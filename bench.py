@@ -1,0 +1,82 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries execute to a noop sink (full computation, no driver collect, no
+column pruning of the measured work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# headline set: one per operator family; the heavy pairwise near-dup ops
+# (q25/q27) are correctness-gated but not headline timings
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_regional_revenue",
+    "q03_topk_orders",
+    "q05_first_order_per_customer",
+    "q08_merge_upsert",
+    "q09_watermark_incremental",
+    "q11_running_user_totals",
+    "q12_topk_per_type",
+    "q13_json_extract",
+    "q14_hash_identity",
+    "q15_seniority_cascade",
+    "q18_skills_extract",
+    "q19_rank_top25",
+    "q20_dedup_exact",
+    "q21_token_stats",
+    "q24_fingerprint",
+    "q26_ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from job_etl_spark.queries import registry
+    from job_etl_spark.session import get_spark
+
+    spark = get_spark("jobspark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = registry()
+
+    runs = int(os.environ.get("JOBSPARK_BENCH_RUNS", "2"))
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = reg[name]
+        # min-of-N: first run pays JVM codegen warmup; steady state is the
+        # honest per-query cost
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "jobspark headline suite wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,42 @@
+"""Deterministic row-identity hashing (reference parity: U1).
+
+The reference computes the staging primary key as
+``md5(lower(ws_norm(company)) || '|' || lower(ws_norm(title)) || '|' ||
+lower(ws_norm(location)))`` where ws_norm = trim + collapse runs of
+whitespace to a single space. It implements this identically three times
+(Python ``services/normalizer/hash_generator.py:53-108``, plpgsql
+``scripts/bootstrap_db.sql:167-180``, dbt macro
+``dbt/job_dbt/macros/normalize_whitespace.sql:13``). Here it is one native
+expression — hash-stable with the reference, Catalyst-optimizable, and
+embarrassingly parallel at 100 TB (no shuffle, pure map).
+
+Company identity (``services/enricher/db_operations.py:298``):
+``md5(lower(ws_norm(coalesce(company,'unknown'))))``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def ws_normalize(col: Column | str) -> Column:
+    """Trim + collapse internal whitespace runs to a single space."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(c), r"\s+", " ")
+
+
+def hash_key_expr(company: Column | str, title: Column | str, location: Column | str) -> Column:
+    """32-hex-char MD5 identity of (company, title, location), case- and
+    whitespace-insensitive. Inputs are required non-null upstream
+    (normalize validation); ``concat_ws`` treats NULL as empty, matching
+    the reference's coalesce-to-'' behavior in the plpgsql twin.
+    """
+    parts = [F.lower(ws_normalize(c)) for c in (company, title, location)]
+    return F.md5(F.concat_ws("|", *parts))
+
+
+def company_id_expr(company: Column | str) -> Column:
+    """MD5 of the normalized, lowercased company name; NULL → 'unknown'."""
+    c = F.col(company) if isinstance(company, str) else company
+    return F.md5(F.lower(ws_normalize(F.coalesce(c, F.lit("unknown")))))

@@ -1,0 +1,82 @@
+"""Merge-upsert — the workhorse write pattern (reference parity: J3/J4/J5).
+
+The reference's ``INSERT … ON CONFLICT (hash_key) DO UPDATE`` (batch
+variant, ``services/normalizer/db_operations.py:427-460``) merges duplicate
+identities: keep ``first_seen_at``, bump ``last_seen_at``, overwrite the
+identity-bearing columns, and ``COALESCE(new, old)`` for the remaining
+nullable columns. On Spark this is a keyed full-outer join + per-column
+coalesce producing a fully rewritten table (partition-overwrite at scale;
+Delta ``MERGE INTO`` drops in behind the same signature when available).
+
+Scale notes (100 TB):
+- The join shuffles both sides on the key — unavoidable for a keyed merge;
+  with bucketed tables on ``hash_key`` the shuffle disappears (bucket-local
+  sort-merge join). AQE handles skewed keys.
+- The updates side is usually a small daily delta → Spark auto-broadcasts
+  it under the threshold; no collect, no driver materialization.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    overwrite_cols: Sequence[str] = (),
+    coalesce_cols: Sequence[str] | None = None,
+    keep_first_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Upsert ``updates`` into ``base`` by ``keys``.
+
+    - ``overwrite_cols``: matched rows take the update's value outright
+      (reference: title/company/location/source + last_seen_at bump).
+    - ``coalesce_cols``: matched rows take ``coalesce(update, base)``
+      (reference: the 11 nullable payload columns). Defaults to every
+      shared non-key column not otherwise classified.
+    - ``keep_first_cols``: matched rows keep the base value
+      (reference: first_seen_at).
+    Unmatched update rows are inserted; unmatched base rows pass through.
+    """
+    keys = list(keys)
+    all_cols = base.columns
+    classified = set(keys) | set(overwrite_cols) | set(keep_first_cols)
+    if coalesce_cols is None:
+        coalesce_cols = [c for c in all_cols if c not in classified and c in updates.columns]
+
+    b = base.alias("b")
+    u = updates.alias("u")
+    # explicit join condition keeps both aliases' key columns addressable
+    joined = b.join(u, [F.col(f"b.{k}") == F.col(f"u.{k}") for k in keys], "full_outer")
+    matched = F.col(f"u.{keys[0]}").isNotNull() & F.col(f"b.{keys[0]}").isNotNull()
+    out = []
+    for k in keys:
+        out.append(F.coalesce(F.col(f"u.{k}"), F.col(f"b.{k}")).alias(k))
+    for c in all_cols:
+        if c in keys:
+            continue
+        bcol = F.col(f"b.{c}")
+        ucol = F.col(f"u.{c}") if c in updates.columns else F.lit(None)
+        if c in keep_first_cols:
+            expr = F.coalesce(bcol, ucol)
+        elif c in overwrite_cols:
+            expr = F.when(matched, ucol).otherwise(F.coalesce(ucol, bcol))
+        elif c in coalesce_cols:
+            expr = F.coalesce(ucol, bcol)
+        else:
+            expr = F.coalesce(bcol, ucol)
+        out.append(expr.alias(c))
+    return joined.select(*out)
+
+
+def insert_if_absent(base: DataFrame, new_rows: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """``INSERT … ON CONFLICT DO NOTHING`` (J4): anti-join then append.
+    The anti-join broadcasts whichever side is small; at scale this is a
+    shuffle-free append when both are bucketed on the key."""
+    fresh = new_rows.join(base.select(*keys).distinct(), on=list(keys), how="left_anti")
+    return base.unionByName(fresh.select(*base.columns))

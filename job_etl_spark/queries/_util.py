@@ -1,0 +1,60 @@
+"""Parity helpers shared by the query inventory.
+
+Cross-engine determinism rules (empirically verified against DuckDB 1.0):
+
+- ``SUM(double)`` is accumulation-order-dependent → cast each addend to
+  DECIMAL(30,6) first (double→decimal cast is correctly-rounded and
+  identical in both engines), sum exactly, round, then cast to double.
+- ``ROUND(double, n)`` differs between engines (Spark rounds the shortest
+  decimal repr, DuckDB the binary value) → only ever round DECIMALs.
+- Per-row double arithmetic (+,-,*,/) is IEEE-deterministic and safe.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEC = "decimal(30,6)"
+
+
+@dataclass
+class Query:
+    """A declared query: Spark impl + DuckDB oracle twin (None → the driver
+    records a weaker rows-only check; reserved for non-SQL-expressible ops)."""
+
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    note: str = ""
+
+
+def dsum(c: Column, scale: int = 2) -> Column:
+    """Order-independent, engine-exact sum of a double column."""
+    return F.round(F.sum(c.cast(DEC)), scale).cast("double")
+
+
+def davg(c: Column, scale: int = 6) -> Column:
+    """Exact decimal sum / non-null count, rounded — engine-exact average."""
+    return F.round(F.sum(c.cast(DEC)) / F.count(c), scale).cast("double")
+
+
+def dround(c: Column, scale: int = 2) -> Column:
+    """Engine-exact rounding of a per-row double expression."""
+    return F.round(c.cast("decimal(24,10)"), scale).cast("double")
+
+
+def sql_dsum(expr: str, scale: int = 2) -> str:
+    return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(30,6))), {scale}) AS DOUBLE)"
+
+
+def sql_davg(expr: str, scale: int = 6) -> str:
+    return (
+        f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(30,6))) / COUNT({expr}), {scale}) AS DOUBLE)"
+    )
+
+
+def sql_dround(expr: str, scale: int = 2) -> str:
+    return f"CAST(ROUND(CAST({expr} AS DECIMAL(24,10)), {scale}) AS DOUBLE)"

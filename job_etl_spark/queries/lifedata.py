@@ -1,0 +1,421 @@
+"""LLM-training-data pipeline operators (BASELINE.json north star) over the
+``documents`` and ``embeddings`` tables: deduplication, text analysis,
+fingerprinting, similarity search, and multimodal binary plumbing.
+
+Scale stance: every pairwise operator is *blocked* (lang/source/length or
+label buckets) so candidate generation is an equi-join, never a cartesian
+product; hashes are md5-derived (engine-portable, seed-stable); nothing
+collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+from job_etl_spark.queries._util import Query, dround, sql_dround
+from job_etl_spark.tables import table
+
+
+def _hexint(c):
+    """First 15 hex chars of md5 → bigint (60 bits, portable across engines)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+_SQL_HEXINT = "(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# q20 — exact dedup (hash-groupBy; scalable shape of U1-keyed dedup)
+# ---------------------------------------------------------------------------
+def q20_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+_Q20_SQL = """
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q21 — token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+_BPE_RE = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+
+def q21_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    tokens = F.split(F.col("text"), r"\s+")
+    # group index 0 = whole match (Spark defaults to group 1, which errors
+    # on a pattern with no capture groups)
+    bpe = F.expr(f"regexp_extract_all(lower(text), '{_BPE_RE}', 0)".replace("\\", "\\\\"))
+    n_tok = F.size(tokens).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.size(bpe).cast("bigint").alias("n_bpe_tokens"),
+        dround(F.col("n_chars") / n_tok, 6).alias("avg_token_len"),
+    )
+
+
+_AVG_TOK = sql_dround("n_chars / len(regexp_split_to_array(text, '\\s+'))::DOUBLE", 6)
+_Q21_SQL = f"""
+SELECT doc_id,
+  len(regexp_split_to_array(text, '{chr(92)}s+')) AS n_tokens,
+  len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS n_bpe_tokens,
+  {_AVG_TOK} AS avg_token_len
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# q22 — quality scoring (length / punctuation / stopword ratios)
+# ---------------------------------------------------------------------------
+_STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def q22_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    tokens = F.split(F.lower("text"), " ")
+    n_tok = F.size(tokens)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(tokens, lambda x: F.array_contains(stop_arr, x)))
+    n_punct = F.length(F.regexp_replace(F.lower("text"), r"[a-z0-9\s]", ""))
+    len_score = F.least(F.lit(1.0), F.col("n_chars") / F.lit(500.0))
+    stop_ratio = n_stop / n_tok.cast("double")
+    punct_ratio = n_punct / F.col("n_chars").cast("double")
+    quality = 0.5 * len_score + 0.3 * (1 - punct_ratio) + 0.2 * stop_ratio
+    return docs.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.col("n_chars").alias("n_chars"),
+        dround(stop_ratio, 6).alias("stop_ratio"),
+        dround(punct_ratio, 6).alias("punct_ratio"),
+        dround(quality, 6).alias("quality"),
+    )
+
+
+_SW_SQL = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
+_Q22_SQL = f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+    string_split(lower(text), ' ') AS toks,
+    length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS n_punct
+  FROM documents
+), m AS (
+  SELECT doc_id, n_chars,
+    len(toks) AS n_tokens,
+    len(list_filter(toks, x -> list_contains({_SW_SQL}, x)))
+      / (len(toks)::DOUBLE) AS stop_ratio,
+    n_punct / (n_chars::DOUBLE) AS punct_ratio,
+    least(1.0::DOUBLE, n_chars / 500.0::DOUBLE) AS len_score
+  FROM t
+)
+SELECT doc_id, n_tokens, n_chars,
+  {sql_dround('stop_ratio', 6)} AS stop_ratio,
+  {sql_dround('punct_ratio', 6)} AS punct_ratio,
+  {sql_dround(
+      '0.5::DOUBLE*len_score + 0.3::DOUBLE*(1.0::DOUBLE - punct_ratio)'
+      ' + 0.2::DOUBLE*stop_ratio', 6)} AS quality
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# q23 — language ID (dictionary-overlap heuristic; integer argmax)
+# ---------------------------------------------------------------------------
+_LANG_DICTS = {
+    "en": ["the", "a", "fast", "slow", "big", "small"],
+    "de": ["table", "join", "merge", "batch", "hash"],
+    "fr": ["vector", "window", "stream", "query", "group"],
+}
+
+
+def q23_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    tokens = F.split(F.lower("text"), " ")
+    def _overlap(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(tokens, lambda x: F.array_contains(arr, x)))
+
+    scores = {lang: _overlap(words) for lang, words in _LANG_DICTS.items()}
+    pred = (
+        F.when((scores["en"] >= scores["de"]) & (scores["en"] >= scores["fr"]), "en")
+        .when(scores["de"] >= scores["fr"], "de")
+        .otherwise("fr")
+    )
+    return docs.select(
+        "doc_id",
+        scores["en"].alias("score_en"),
+        scores["de"].alias("score_de"),
+        scores["fr"].alias("score_fr"),
+        pred.alias("predicted_lang"),
+        "lang",
+    )
+
+
+def _lang_sql(lang: str) -> str:
+    arr = "[" + ", ".join(f"'{w}'" for w in _LANG_DICTS[lang]) + "]"
+    return f"len(list_filter(string_split(lower(text), ' '), x -> list_contains({arr}, x)))"
+
+
+_Q23_SQL = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+    CAST({_lang_sql('en')} AS INT) AS score_en,
+    CAST({_lang_sql('de')} AS INT) AS score_de,
+    CAST({_lang_sql('fr')} AS INT) AS score_fr
+  FROM documents
+)
+SELECT doc_id, score_en, score_de, score_fr,
+  CASE WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+       WHEN score_de >= score_fr THEN 'de' ELSE 'fr' END AS predicted_lang,
+  lang
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# q24 — document fingerprinting (content hash + min-shingle winnow hash)
+# ---------------------------------------------------------------------------
+def q24_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    tokens = F.split(norm, " ")
+    n = F.size(tokens)
+    shingles = F.transform(
+        F.sequence(F.lit(1), n - 4),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, 5)),
+    )
+    winnow = F.array_min(F.transform(shingles, _hexint))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("content_fp"),
+        F.when(n >= 5, winnow).alias("winnow_fp"),
+    )
+
+
+_Q24_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+    lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), tok AS (
+  SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM t
+)
+SELECT doc_id,
+  md5(norm) AS content_fp,
+  CASE WHEN len(toks) >= 5 THEN
+    list_min(list_transform(range(1, len(toks) - 3),
+      i -> {_SQL_HEXINT.format(expr="array_to_string(toks[i:i+4], ' ')")}))
+  END AS winnow_fp
+FROM tok
+"""
+
+
+# ---------------------------------------------------------------------------
+# q25 — n-gram Jaccard near-dup (blocked candidate join, no cartesian)
+# ---------------------------------------------------------------------------
+def q25_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    tokens = F.split(F.lower("text"), " ")
+    n = F.size(tokens)
+    grams = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n - 2), lambda i: F.concat_ws(" ", F.slice(tokens, i, 3)))
+    )
+    d = docs.where(n >= 3).select("doc_id", "lang", "source", "n_chars", grams.alias("grams"))
+    a = d.alias("a")
+    b = d.alias("b")
+    # blocking: same (lang, source), |Δchars| ≤ 5 → equi-join + range filter
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 5),
+    )
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    jac = inter / union.cast("double")
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        inter.cast("bigint").alias("n_shared"),
+        dround(jac, 6).alias("jaccard"),
+    ).where(F.col("n_shared") > 0)
+
+
+_Q25_SQL = """
+WITH g AS (
+  SELECT doc_id, lang, source, n_chars,
+    list_distinct(list_transform(range(1, len(string_split(lower(text), ' ')) - 1),
+      i -> array_to_string((string_split(lower(text), ' '))[i:i+2], ' '))) AS grams
+  FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  len(list_intersect(a.grams, b.grams)) AS n_shared,
+  CAST(ROUND(CAST(len(list_intersect(a.grams, b.grams))
+    / ((len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))::DOUBLE)
+    AS DECIMAL(24,10)), 6) AS DOUBLE) AS jaccard
+FROM g a JOIN g b
+  ON a.lang = b.lang AND a.source = b.source
+  AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 5
+WHERE len(list_intersect(a.grams, b.grams)) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# q26 — brute-force cosine top-k similarity search (ANN baseline)
+# ---------------------------------------------------------------------------
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def q26_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    pairs = emb.crossJoin(F.broadcast(queries)).where(F.col("vec_id") != F.col("q_id"))
+    sim = _cosine(F.col("q_vec"), F.col("vec"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("sim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("q_id", "rn", F.col("vec_id").alias("neighbor_id"), dround(F.col("sim"), 6).alias("cosine"))
+    )
+
+
+_Q26_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, vec AS q_vec FROM e WHERE vec_id < 10
+), scored AS (
+  SELECT q.q_id, e.vec_id,
+    list_dot_product(q.q_vec, e.vec)
+      / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(e.vec, e.vec))) AS sim
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT q_id, rn, vec_id AS neighbor_id,
+  CAST(ROUND(CAST(sim AS DECIMAL(24,10)), 6) AS DOUBLE) AS cosine
+FROM ranked WHERE rn <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# q27 — embedding-cosine near-dup (label-blocked pair generation)
+# ---------------------------------------------------------------------------
+def q27_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings").select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    sim = _cosine(F.col("a.vec"), F.col("b.vec"))
+    return (
+        pairs.withColumn("sim", sim)
+        .where(F.col("sim") >= 0.9)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            dround(F.col("sim"), 6).alias("cosine"),
+        )
+    )
+
+
+_Q27_SQL = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+  CAST(ROUND(CAST(
+    list_dot_product(a.vec, b.vec)
+      / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)))
+    AS DECIMAL(24,10)), 6) AS DOUBLE) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.vec, b.vec)
+      / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) >= 0.9
+"""
+
+
+# ---------------------------------------------------------------------------
+# q28 — multimodal binary plumbing (Arrow-batched mapInPandas; decode stubbed)
+# ---------------------------------------------------------------------------
+_MM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("first_byte", IntegerType()),
+    ]
+)
+
+
+def q28_multimodal_bytes(spark: SparkSession, sf: str) -> DataFrame:
+    """Treat text as an opaque binary payload (stand-in for image/audio bytes)
+    and run the decode/feature step as an Arrow-batched mapInPandas — the
+    real 100 TB shape for multimodal columns. The decode itself is a
+    deterministic fake (no image libs in this container); the Spark-side
+    plumbing (binary column, batch iteration, typed output schema) is real.
+    """
+    docs = table(spark, sf, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+
+    def decode_batch(batches):
+        for pdf in batches:
+            out = pdf[["doc_id"]].copy()
+            out["n_bytes"] = pdf["payload"].map(len).astype("int64")
+            out["first_byte"] = pdf["payload"].map(lambda b: b[0] if len(b) else -1).astype("int32")
+            yield out
+
+    return docs.mapInPandas(decode_batch, schema=_MM_SCHEMA)
+
+
+_Q28_SQL = """
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(CASE WHEN length(text) > 0 THEN ascii(text) ELSE -1 END AS INT) AS first_byte
+FROM documents
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "q20_dedup_exact": Query(q20_dedup_exact, _Q20_SQL),
+    "q21_token_stats": Query(q21_token_stats, _Q21_SQL),
+    "q22_quality_score": Query(q22_quality_score, _Q22_SQL),
+    "q23_lang_id": Query(q23_lang_id, _Q23_SQL),
+    "q24_fingerprint": Query(q24_fingerprint, _Q24_SQL),
+    "q25_ngram_jaccard": Query(q25_ngram_jaccard, _Q25_SQL),
+    "q26_ann_cosine_topk": Query(q26_ann_cosine_topk, _Q26_SQL),
+    "q27_embedding_neardup": Query(q27_embedding_neardup, _Q27_SQL),
+    "q28_multimodal_bytes": Query(q28_multimodal_bytes, _Q28_SQL),
+}

@@ -1,0 +1,440 @@
+"""Relational operator coverage (SURVEY.md §2.1-2.7) over the driver tables.
+
+Each query is the Spark-first expression of a reference operator family,
+with scale notes inline: broadcasts are explicit, top-k is
+TakeOrderedAndProject, aggregations are partial+final hash aggs, and no
+query materializes unbounded data on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from job_etl_spark.operators import distinct_on, merge_upsert, top_k
+from job_etl_spark.operators.watermark import high_watermark
+from job_etl_spark.queries._util import Query, davg, dsum, sql_davg, sql_dsum
+from job_etl_spark.tables import table
+
+
+# ---------------------------------------------------------------------------
+# q01 — pricing summary (A1/P5: grouped agg + FILTER-style conditional count)
+# ---------------------------------------------------------------------------
+def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+            # COUNT(*) FILTER (WHERE ...) — reference P5
+            F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("high_disc_count"),
+        )
+    )
+
+
+_Q01_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  {sql_dsum('l_quantity')} AS sum_qty,
+  {sql_dsum('l_extendedprice')} AS sum_base_price,
+  {sql_dsum('l_extendedprice*(1-l_discount)')} AS sum_disc_price,
+  {sql_dsum('l_extendedprice*(1-l_discount)*(1+l_tax)')} AS sum_charge,
+  {sql_davg('l_quantity')} AS avg_qty,
+  {sql_davg('l_extendedprice')} AS avg_price,
+  {sql_davg('l_discount')} AS avg_disc,
+  COUNT(*) AS count_order,
+  COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS high_disc_count
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q02 — regional revenue (J1: star join with broadcast dims)
+# ---------------------------------------------------------------------------
+def q02_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    nation = table(spark, sf, "nation")
+    region = table(spark, sf, "region")
+    # dims are tiny → broadcast; only lineitem⋈orders shuffles (AQE may
+    # broadcast orders too at small SF)
+    geo = F.broadcast(
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        )
+    ).select("c_custkey", "n_name", "r_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(geo, orders.o_custkey == geo.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.countDistinct("n_name").alias("n_nations"),
+        )
+    )
+
+
+_Q02_SQL = f"""
+SELECT r_name,
+  {sql_dsum('l_extendedprice*(1-l_discount)')} AS revenue,
+  COUNT(DISTINCT o_orderkey) AS n_orders,
+  COUNT(DISTINCT n_name) AS n_nations
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# q03 — top-k revenue orders (O1: TakeOrderedAndProject; J1 join)
+# ---------------------------------------------------------------------------
+def q03_topk_orders(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    building = F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")).select("c_custkey")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(building, orders.o_custkey == building.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    return top_k(rev, [F.desc("revenue"), F.asc("o_orderkey")], 10)
+
+
+_Q03_SQL = f"""
+SELECT o_orderkey, o_orderdate,
+  {sql_dsum('l_extendedprice*(1-l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# q04 — per-source stats (A2-shape: global + per-group with min/max ts)
+# ---------------------------------------------------------------------------
+def q04_priority_stats(spark: SparkSession, sf: str) -> DataFrame:
+    orders = table(spark, sf, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+            davg(F.col("o_totalprice")).alias("avg_price"),
+        )
+    )
+
+
+_Q04_SQL = f"""
+SELECT o_orderpriority,
+  COUNT(*) AS n_orders,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  MIN(o_orderdate) AS first_order,
+  MAX(o_orderdate) AS last_order,
+  {sql_davg('o_totalprice')} AS avg_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# q05 — DISTINCT ON keep-first (A4: window dedup)
+# ---------------------------------------------------------------------------
+def q05_first_order_per_customer(spark: SparkSession, sf: str) -> DataFrame:
+    orders = table(spark, sf, "orders")
+    first = distinct_on(
+        orders, ["o_custkey"], [F.asc("o_orderdate"), F.asc("o_orderkey")]
+    )
+    return first.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("first_orderkey"),
+        F.col("o_orderdate").alias("first_orderdate"),
+        F.col("o_totalprice").alias("first_totalprice"),
+    )
+
+
+_Q05_SQL = """
+SELECT o_custkey AS custkey, o_orderkey AS first_orderkey,
+       o_orderdate AS first_orderdate, o_totalprice AS first_totalprice
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q06 — anti join (J4: insert-if-absent / NOT EXISTS)
+# ---------------------------------------------------------------------------
+def q06_customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    cust = table(spark, sf, "customer")
+    orders = table(spark, sf, "orders")
+    return (
+        cust.join(orders.select("o_custkey").distinct(),
+                  cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+_Q06_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q07 — semi join + grouped count
+# ---------------------------------------------------------------------------
+def q07_active_customers_by_segment(spark: SparkSession, sf: str) -> DataFrame:
+    cust = table(spark, sf, "customer")
+    orders = table(spark, sf, "orders")
+    active = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    return active.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_active"))
+
+
+_Q07_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_active
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# q08 — COALESCE-merge upsert (J3: the reference's workhorse write pattern)
+# ---------------------------------------------------------------------------
+def q08_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    base = docs.where(F.col("doc_id") % 3 != 0).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        (F.col("doc_id") * 10).alias("first_seen"),
+        (F.col("doc_id") * 10).alias("last_seen"),
+    )
+    updates = docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(F.upper("lang")).alias("lang"),
+        F.concat(F.lit("new_"), F.col("source")).alias("source"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(F.col("n_chars") + 1).alias("n_chars"),
+        (F.col("doc_id") * 10 + 1).alias("first_seen"),
+        (F.col("doc_id") * 10 + 1).alias("last_seen"),
+    )
+    return merge_upsert(
+        base,
+        updates,
+        keys=["doc_id"],
+        overwrite_cols=["source", "last_seen"],
+        coalesce_cols=["lang", "n_chars"],
+        keep_first_cols=["first_seen"],
+    )
+
+
+_Q08_SQL = """
+WITH base AS (
+  SELECT doc_id, lang, source, n_chars,
+         doc_id*10 AS first_seen, doc_id*10 AS last_seen
+  FROM documents WHERE doc_id % 3 <> 0
+), updates AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN NULL ELSE upper(lang) END AS lang,
+         'new_' || source AS source,
+         CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars + 1 END AS n_chars,
+         doc_id*10 + 1 AS first_seen, doc_id*10 + 1 AS last_seen
+  FROM documents WHERE doc_id % 2 = 0
+)
+SELECT
+  COALESCE(u.doc_id, b.doc_id) AS doc_id,
+  COALESCE(u.lang, b.lang) AS lang,
+  CASE WHEN u.doc_id IS NOT NULL AND b.doc_id IS NOT NULL THEN u.source
+       ELSE COALESCE(u.source, b.source) END AS source,
+  COALESCE(u.n_chars, b.n_chars) AS n_chars,
+  COALESCE(b.first_seen, u.first_seen) AS first_seen,
+  CASE WHEN u.doc_id IS NOT NULL AND b.doc_id IS NOT NULL THEN u.last_seen
+       ELSE COALESCE(u.last_seen, b.last_seen) END AS last_seen
+FROM base b FULL OUTER JOIN updates u ON b.doc_id = u.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q09 — high-watermark incremental scan (A5/P4)
+# ---------------------------------------------------------------------------
+def q09_watermark_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    wm = high_watermark(ev, "ts")  # scalar agg → literal (reference A5)
+    import datetime as dt
+
+    cutoff = wm - dt.timedelta(days=7)
+    return (
+        ev.where(F.col("ts") > F.lit(cutoff))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+_Q09_SQL = f"""
+SELECT event_type,
+  COUNT(*) AS n_events,
+  {sql_dsum('value')} AS total_value,
+  COUNT(DISTINCT user_id) AS n_users
+FROM events
+WHERE ts > (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q10 — union of sources (§2.7 unionByName) + dedup distinct
+# ---------------------------------------------------------------------------
+def q10_union_sources(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    clicks = ev.where(F.col("event_type").isin("click", "view")).select("user_id", "event_type")
+    rest = ev.where(~F.col("event_type").isin("click", "view")).select("user_id", "event_type")
+    return (
+        clicks.unionByName(rest)
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_distinct_users"))
+    )
+
+
+_Q10_SQL = """
+SELECT event_type, COUNT(*) AS n_distinct_users FROM (
+  SELECT DISTINCT user_id, event_type FROM (
+    SELECT user_id, event_type FROM events WHERE event_type IN ('click','view')
+    UNION ALL
+    SELECT user_id, event_type FROM events WHERE event_type NOT IN ('click','view')
+  )
+) GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q11 — running window aggregate (§2.5; exact decimal running sum)
+# ---------------------------------------------------------------------------
+def q11_running_user_totals(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+    prev = F.lag("value").over(w)
+    return ev.where(F.col("user_id") < 50).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.round(run, 2).cast("double").alias("running_value"),
+        F.col("value").alias("value"),
+        prev.alias("prev_value"),
+    )
+
+
+_Q11_SQL = """
+SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))) OVER w, 2) AS DOUBLE) AS running_value,
+  value,
+  lag(value) OVER w AS prev_value
+FROM events
+WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q12 — top-k per group (J7's argmax shape: row_number ≤ k)
+# ---------------------------------------------------------------------------
+def q12_topk_per_type(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("event_type", "rn", "event_id", "user_id", "value")
+    )
+
+
+_Q12_SQL = """
+SELECT event_type, rn, event_id, user_id, value FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q13 — JSON payload extraction (U3/S5 shape: raw JSON → typed columns)
+# ---------------------------------------------------------------------------
+def q13_json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k_val", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k_val").alias("sum_k"),
+            F.count(F.when(F.col("k_val") > 50, 1)).alias("n_high"),
+            F.min("k_val").alias("min_k"),
+            F.max("k_val").alias("max_k"),
+        )
+    )
+
+
+_Q13_SQL = """
+SELECT event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+  COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50 THEN 1 END) AS n_high,
+  MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "q01_pricing_summary": Query(q01_pricing_summary, _Q01_SQL),
+    "q02_regional_revenue": Query(q02_regional_revenue, _Q02_SQL),
+    "q03_topk_orders": Query(q03_topk_orders, _Q03_SQL),
+    "q04_priority_stats": Query(q04_priority_stats, _Q04_SQL),
+    "q05_first_order_per_customer": Query(q05_first_order_per_customer, _Q05_SQL),
+    "q06_customers_without_orders": Query(q06_customers_without_orders, _Q06_SQL),
+    "q07_active_customers_by_segment": Query(q07_active_customers_by_segment, _Q07_SQL),
+    "q08_merge_upsert": Query(q08_merge_upsert, _Q08_SQL),
+    "q09_watermark_incremental": Query(q09_watermark_incremental, _Q09_SQL),
+    "q10_union_sources": Query(q10_union_sources, _Q10_SQL),
+    "q11_running_user_totals": Query(q11_running_user_totals, _Q11_SQL),
+    "q12_topk_per_type": Query(q12_topk_per_type, _Q12_SQL),
+    "q13_json_extract": Query(q13_json_extract, _Q13_SQL),
+}

@@ -1,0 +1,35 @@
+"""SparkSession factory tuned for the engine.
+
+Scale stance (100 TB design rules, SURVEY.md §4.2):
+- AQE on: runtime partition coalescing, skew-join splitting, dynamic
+  broadcast decisions survive a 1000-executor scale-up.
+- UTC session timezone: all timestamp semantics are instant-based;
+  queries additionally emit epoch integers so results are tz-independent.
+- Arrow enabled: any unavoidable pandas_udf path is batch-vectorized.
+- shuffle.partitions default 32 locally; on a real cluster this is
+  overridden by AQE coalescing + `spark.sql.adaptive.advisoryPartitionSizeInBytes`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "jobspark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    sp = shuffle_partitions or int(os.environ.get("JOBSPARK_SHUFFLE_PARTITIONS", "32"))
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("JOBSPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
