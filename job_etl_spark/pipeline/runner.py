@@ -1,0 +1,338 @@
+"""Pipeline runner + stage CLIs (reference parity: §3.1 DAG + §3.2 CLIs).
+
+Replaces Airflow for single-process runs: extract → normalize → enrich →
+marts → rank → dq → report, with tables persisted as parquet between
+stages (a storage layer with atomic overwrite-rewrite; Delta MERGE drops
+in behind ``TableStore`` when available).
+
+CLI contract mirrors the reference services: ``--limit --source --dry-run
+--verbose``, stats dict printed as JSON, exit codes 0 (ok), 1 (partial —
+some rows rejected), 2 (fatal).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import os
+import sys
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from job_etl_spark.operators import dq
+from job_etl_spark.pipeline import report as report_mod
+from job_etl_spark.pipeline.enrich import (
+    SkillsDictionary,
+    enrich_seniority,
+    enrich_skills,
+    seed_company_records,
+)
+from job_etl_spark.pipeline.marts import build_dim_companies, build_fact_jobs
+from job_etl_spark.pipeline.normalize import merge_into_staging, normalize_common
+from job_etl_spark.pipeline.rank import RankingConfig, rank_jobs
+from job_etl_spark.schema import (
+    STAGING_SCHEMA,
+    VALID_CONTRACT_TYPES,
+    VALID_REMOTE_TYPES,
+    VALID_SENIORITY_LEVELS,
+)
+from job_etl_spark.sources.base import SourceAdapter, common_from_raw, land_raw
+from job_etl_spark.sources.mock_adapter import MockAdapter
+
+
+class TableStore:
+    """Parquet-backed tables with read-modify-overwrite semantics.
+
+    At 100 TB the overwrite becomes partition-scoped (partitionBy source/
+    ingest-date + dynamic partition overwrite) or a Delta MERGE; the runner
+    only touches this seam.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def exists(self, name: str) -> bool:
+        import glob
+
+        return bool(glob.glob(os.path.join(self.path(name), "*.parquet"))) or bool(
+            glob.glob(os.path.join(self.path(name), "_SUCCESS"))
+        )
+
+    def read(self, name: str, schema=None) -> DataFrame:
+        if not self.exists(name):
+            if schema is None:
+                raise FileNotFoundError(self.path(name))
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(self.path(name))
+
+    def write(self, name: str, df: DataFrame, mode: str = "overwrite") -> None:
+        df.write.mode(mode).parquet(self.path(name))
+        self.spark.catalog.refreshByPath(self.path(name))
+
+    def rewrite(self, name: str, df: DataFrame) -> None:
+        """Safe read-modify-write: materialize to a temp dir first (the
+        plan reads the files being replaced), then swap. refreshByPath
+        invalidates Spark's cached file listing of the overwritten dir —
+        without it later scans chase deleted part files."""
+        tmp = self.path(f"__tmp_{name}")
+        df.write.mode("overwrite").parquet(tmp)
+        self.spark.catalog.refreshByPath(tmp)
+        final = self.spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(self.path(name))
+        self.spark.catalog.refreshByPath(self.path(name))
+        # temp cleanup is best-effort
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def rewrite_many(self, updates: dict[str, DataFrame]) -> None:
+        """Two-phase multi-table rewrite: materialize every plan to a temp
+        dir FIRST, then swap — required when one table's new plan reads
+        another table being replaced in the same stage."""
+        import shutil
+
+        tmps = {}
+        for name, df in updates.items():
+            tmp = self.path(f"__tmp_{name}")
+            df.write.mode("overwrite").parquet(tmp)
+            self.spark.catalog.refreshByPath(tmp)
+            tmps[name] = tmp
+        for name, tmp in tmps.items():
+            self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path(name))
+            self.spark.catalog.refreshByPath(self.path(name))
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_extract(
+    store: TableStore, adapter: SourceAdapter, max_jobs: int | None = None, run_ts=None
+) -> dict:
+    run_ts = run_ts or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    jobs = adapter.fetch_all(max_jobs=max_jobs)
+    raw_df = land_raw(store.spark, jobs, run_ts)
+    store.write("raw_job_postings", raw_df, mode="append")
+    return {"extracted_count": len(jobs), "source": adapter.source_name}
+
+
+def run_normalize(
+    store: TableStore,
+    adapter: SourceAdapter,
+    min_collected_at=None,
+    limit: int | None = None,
+    dry_run: bool = False,
+    run_ts=None,
+) -> dict:
+    """S5 scan (+watermark) → U3/U2 → J3 merge. Exit-code semantics via
+    'rejected' in the stats dict (main.py:289-354)."""
+    run_ts = run_ts or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    raw = store.read("raw_job_postings")
+    if min_collected_at is not None:
+        raw = raw.where(F.col("collected_at") >= F.lit(min_collected_at))
+    if limit:
+        raw = raw.orderBy(F.desc("collected_at"), F.asc("raw_id")).limit(limit)
+    common = common_from_raw(raw, adapter)
+    res = normalize_common(common, run_ts)
+    n_ok = res.normalized.count()
+    n_bad = res.rejected.count()
+    if not dry_run:
+        staging = store.read("staging_job_postings", STAGING_SCHEMA)
+        merged = merge_into_staging(staging, res.normalized)
+        store.rewrite("staging_job_postings", merged)
+    return {"normalized": n_ok, "rejected": n_bad, "dry_run": dry_run}
+
+
+def run_enrich(
+    store: TableStore,
+    dictionary_path: str | None = None,
+    sources: list[str] | None = None,
+    include_existing: bool = False,
+    dry_run: bool = False,
+    run_ts=None,
+) -> dict:
+    run_ts = run_ts or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    staging = store.read("staging_job_postings", STAGING_SCHEMA)
+    dictionary = SkillsDictionary.load(dictionary_path)
+    before_pending = staging.where(
+        F.col("seniority_enrichment_status") == "not_tried"
+    ).count()
+    enriched = enrich_skills(staging, dictionary, sources, include_existing)
+    enriched = enrich_seniority(enriched)
+    from job_etl_spark.schema import StructType  # noqa: F401
+
+    companies_schema = (
+        "company_id string, name string, source_first_seen string, "
+        "enriched_at timestamp, created_at timestamp, updated_at timestamp"
+    )
+    companies = store.read("staging_companies", companies_schema)
+    companies2 = seed_company_records(companies, enriched, run_ts)
+    stats = {
+        "seniority_pending_before": before_pending,
+        "dry_run": dry_run,
+    }
+    if not dry_run:
+        # companies2's plan reads staging; two-phase swap avoids reading
+        # files deleted by the staging rewrite
+        store.rewrite_many(
+            {"staging_job_postings": enriched, "staging_companies": companies2}
+        )
+        stats["companies_total"] = store.read("staging_companies").count()
+    return stats
+
+
+def run_marts(store: TableStore, run_ts=None) -> dict:
+    run_ts = run_ts or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    staging = store.read("staging_job_postings", STAGING_SCHEMA)
+    companies = store.read(
+        "staging_companies",
+        "company_id string, name string, source_first_seen string, "
+        "enriched_at timestamp, created_at timestamp, updated_at timestamp",
+    )
+    existing_fact = store.read("fact_jobs") if store.exists("fact_jobs") else None
+    dim = build_dim_companies(companies, None)
+    fact = build_fact_jobs(staging, existing_fact, run_ts)
+    store.rewrite("dim_companies", dim)
+    store.rewrite("fact_jobs", fact)
+    return {"dim_rows": store.read("dim_companies").count(), "fact_rows": store.read("fact_jobs").count()}
+
+
+def run_rank(
+    store: TableStore,
+    config: RankingConfig | None = None,
+    rank_all: bool = False,
+    min_ingested_at=None,
+    limit: int | None = None,
+    dry_run: bool = False,
+) -> dict:
+    cfg = config or RankingConfig()
+    fact = store.read("fact_jobs")
+    target = F.lit(True) if rank_all else F.col("rank_score").isNull()
+    if min_ingested_at is not None and not rank_all:
+        target = target & (F.col("ingested_at") >= F.lit(min_ingested_at))
+    to_rank = fact.where(target)
+    if limit:
+        to_rank = to_rank.orderBy(F.desc("ingested_at"), F.asc("hash_key")).limit(limit)
+    ranked = rank_jobs(to_rank, None, cfg)
+    n = ranked.count()
+    if not dry_run:
+        untouched = fact.join(ranked.select("hash_key"), "hash_key", "left_anti")
+        store.rewrite("fact_jobs", untouched.unionByName(ranked.select(*fact.columns)))
+    stats = report_mod.ranking_stats(store.read("fact_jobs")) if not dry_run else {}
+    return {"ranked_now": n, "dry_run": dry_run, **stats}
+
+
+def run_dq(store: TableStore) -> list[dq.DQResult]:
+    """dbt-test equivalents over the marts (schema.yml parity)."""
+    fact = store.read("fact_jobs")
+    dim = store.read("dim_companies")
+    checks = {
+        "fact_jobs.hash_key.unique": dq.check_unique(fact, ["hash_key"]),
+        "fact_jobs.hash_key.not_null": dq.check_not_null(fact, "hash_key"),
+        "fact_jobs.remote_type.accepted": dq.check_accepted_values(
+            fact, "remote_type", VALID_REMOTE_TYPES
+        ),
+        "fact_jobs.contract_type.accepted": dq.check_accepted_values(
+            fact, "contract_type", VALID_CONTRACT_TYPES
+        ),
+        "fact_jobs.seniority_level.accepted": dq.check_accepted_values(
+            fact, "seniority_level", VALID_SENIORITY_LEVELS
+        ),
+        "dim_companies.company_id.unique": dq.check_unique(dim, ["company_id"]),
+        "fact_jobs.company_id.relationship": dq.check_relationships(
+            fact, "company_id", dim, "company_id"
+        ),
+    }
+    return dq.run_checks(checks)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    warehouse: str | None = None,
+    num_jobs: int = 100,
+    run_ts=None,
+) -> dict:
+    """The full DAG slice on the mock source — SURVEY.md §7.1's 'one real
+    query' end-to-end."""
+    warehouse = warehouse or tempfile.mkdtemp(prefix="jobspark_wh_")
+    run_ts = run_ts or dt.datetime(2026, 1, 1, 7, 0, 0)
+    store = TableStore(spark, warehouse)
+    adapter = MockAdapter(num_jobs=num_jobs)
+    stats: dict = {"warehouse": warehouse}
+    stats["extract"] = run_extract(store, adapter, run_ts=run_ts)
+    stats["normalize"] = run_normalize(store, adapter, run_ts=run_ts)
+    stats["enrich"] = run_enrich(store, run_ts=run_ts)
+    stats["marts"] = run_marts(store, run_ts=run_ts)
+    stats["rank"] = run_rank(store, RankingConfig())
+    stats["dq"] = {r.name: r.violations for r in run_dq(store)}
+    digest = report_mod.daily_digest(store.read("fact_jobs"), store.read("dim_companies"))
+    stats["digest_unique_jobs"] = digest["unique_jobs"]
+    stats["digest_top"] = [r["hash_key"] for r in digest["top_jobs"][:5]]
+    return stats
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="jobspark", description="jobspark pipeline CLI")
+    parser.add_argument("stage", choices=["pipeline", "normalize", "enrich", "rank", "dq"])
+    parser.add_argument("--warehouse", default=None)
+    parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--num-jobs", type=int, default=100)
+    parser.add_argument("--dictionary-path", default=None)
+    parser.add_argument("--config", default=None, help="ranking.yml path")
+    parser.add_argument("--source", action="append", default=None)
+    parser.add_argument("--all", action="store_true", help="re-rank everything")
+    parser.add_argument("--include-existing", action="store_true")
+    parser.add_argument("--dry-run", action="store_true")
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args(argv)
+
+    from job_etl_spark.session import get_spark
+
+    spark = get_spark("jobspark-cli")
+    if not args.verbose:
+        spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if args.stage == "pipeline":
+            stats = run_pipeline(spark, args.warehouse, num_jobs=args.num_jobs)
+        else:
+            if not args.warehouse:
+                print(json.dumps({"error": "--warehouse required"}), file=sys.stderr)
+                return 2
+            store = TableStore(spark, args.warehouse)
+            if args.stage == "normalize":
+                stats = run_normalize(
+                    store, MockAdapter(), limit=args.limit, dry_run=args.dry_run
+                )
+            elif args.stage == "enrich":
+                stats = run_enrich(
+                    store,
+                    args.dictionary_path,
+                    args.source,
+                    args.include_existing,
+                    args.dry_run,
+                )
+            elif args.stage == "rank":
+                cfg = RankingConfig.load(args.config) if args.config else RankingConfig()
+                stats = run_rank(store, cfg, rank_all=args.all, limit=args.limit,
+                                 dry_run=args.dry_run)
+            else:
+                results = run_dq(store)
+                stats = {r.name: r.violations for r in results}
+                print(json.dumps(stats, default=str))
+                return 0 if all(r.passed for r in results) else 1
+        print(json.dumps(stats, default=str))
+        rejected = stats.get("normalize", stats).get("rejected", 0) if isinstance(stats, dict) else 0
+        return 1 if rejected else 0
+    except FileNotFoundError as e:
+        print(json.dumps({"error": f"missing table: {e}"}), file=sys.stderr)
+        return 2
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,51 @@
+"""End-to-end pipeline slice (SURVEY.md §7.1): mock source → normalize →
+merge → enrich → marts → rank → DQ → digest, over a temp parquet warehouse.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from job_etl_spark.pipeline.runner import TableStore, run_dq, run_pipeline
+
+
+def test_full_pipeline(spark):
+    stats = run_pipeline(spark, tempfile.mkdtemp(prefix="jobspark_e2e_"), num_jobs=100)
+
+    assert stats["extract"]["extracted_count"] == 100
+    assert stats["normalize"]["rejected"] == 0
+    # mock cycles 6 titles × 5 companies × 5 locations by index → lcm(6,5)=30
+    # distinct (title, company, location) identities after within-batch merge
+    assert stats["normalize"]["normalized"] == 30
+    assert stats["marts"]["fact_rows"] == 30
+    assert stats["rank"]["ranked_jobs"] == 30
+    # every DQ check green
+    assert all(v == 0 for v in stats["dq"].values()), stats["dq"]
+    assert stats["digest_unique_jobs"] == 30
+    assert len(stats["digest_top"]) == 5
+
+    store = TableStore(spark, stats["warehouse"])
+    staging = store.read("staging_job_postings")
+    assert staging.count() == 30
+    # merge kept one row per identity; skills enriched from description
+    row = staging.where(F.size("skills_raw") > 0).first()
+    assert row is not None and "python" in row["skills_raw"]
+    # seniority state machine ran
+    assert staging.where(F.col("seniority_enrichment_status") == "not_tried").count() == 0
+    fact = store.read("fact_jobs")
+    assert fact.where(F.col("rank_score").isNull()).count() == 0
+    scores = [r["rank_score"] for r in fact.select("rank_score").collect()]
+    assert all(0.0 <= s <= 100.0 for s in scores)
+
+
+def test_pipeline_idempotent_rerun(spark):
+    wh = tempfile.mkdtemp(prefix="jobspark_rerun_")
+    first = run_pipeline(spark, wh, num_jobs=60)
+    second = run_pipeline(spark, wh, num_jobs=60)
+    # re-ingesting the same jobs must not duplicate identities (J3 semantics)
+    assert second["marts"]["fact_rows"] == first["marts"]["fact_rows"] == 30
+    store = TableStore(spark, wh)
+    assert store.read("staging_job_postings").count() == 30
+    assert all(r.passed for r in run_dq(store))
