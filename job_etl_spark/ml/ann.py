@@ -1,0 +1,96 @@
+"""Similarity search over embedding columns.
+
+- ``cosine_expr``: exact cosine via zip_with/aggregate — JVM-side, no UDF.
+- ``brute_force_topk``: the exact baseline — broadcast the (small) query
+  set against the full corpus, rank per query. One pass over the corpus.
+- Random-hyperplane LSH (``plane_matrix`` + ``bucket_expr``): the scale
+  path. P sign-bits of projections onto deterministic pseudo-random
+  hyperplanes (md5-seeded, engine-reproducible) → a 2^P-way bucket id.
+  Candidates come from a bucket-equality JOIN (hash-partitioned on the
+  bucket), then exact cosine re-ranks within buckets — no all-pairs
+  comparison, shuffle keyed on bucket only. Recall/cost tunes with P.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_PLANES = 8
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    return dot / (na * nb)
+
+
+def plane_matrix(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-0.5, 0.5): component
+    (p, d) = (int(md5("p,d")[:15], 16) % 1000)/1000 − 0.5. md5-seeded so
+    any engine (or the DuckDB oracle) reproduces the exact same floats."""
+    return [
+        [
+            (int(hashlib.md5(f"{p},{d}".encode()).hexdigest()[:15], 16) % 1000) / 1000.0 - 0.5
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit p set iff dot(vec, plane_p) > 0."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, arr, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "vec",
+) -> DataFrame:
+    """Exact top-k: queries broadcast (bounded query sets), corpus scanned
+    once; per-query rank via window."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    pairs = corpus.crossJoin(F.broadcast(q)).where(F.col(id_col) != F.col("q_id"))
+    sim = cosine_expr(F.col("q_vec"), F.col(vec_col))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        pairs.withColumn("sim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", "rn", F.col(id_col).alias("neighbor_id"), "sim")
+    )
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame, query_pred, k: int = 3,
+    id_col: str = "vec_id", vec_col: str = "vec",
+    n_planes: int = DEFAULT_PLANES, dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: bucket corpus + queries by hyperplane signs,
+    join on bucket equality, exact-cosine re-rank inside buckets."""
+    planes = plane_matrix(n_planes, dim)
+    bucketed = corpus.withColumn("bucket", bucket_expr(F.col(vec_col), planes))
+    q = bucketed.where(query_pred).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    )
+    pairs = bucketed.join(F.broadcast(q), "bucket").where(F.col(id_col) != F.col("q_id"))
+    sim = cosine_expr(F.col("q_vec"), F.col(vec_col))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        pairs.withColumn("sim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", "rn", F.col(id_col).alias("neighbor_id"), "sim")
+    )

@@ -1,0 +1,146 @@
+"""Near-duplicate detection operators: MinHash-LSH and SimHash.
+
+Scale design:
+- Signatures are computed entirely inside per-row array expressions
+  (``transform``/``aggregate`` over token arrays) — whole-stage codegen,
+  zero shuffle, zero Python. A 100 TB corpus signs in one map stage.
+- Candidate generation is the ONLY shuffle: explode b band ids per doc,
+  hash-partition on (band, bucket), self-join bucket-equal pairs. This is
+  the standard shingle→minhash→band→bucket-join LSH pipeline; no
+  all-pairs comparison ever happens.
+- All hashing is md5-derived (first 15 hex chars → 60-bit int): stable
+  across engines (DuckDB oracle twin), runs, and partitionings — unlike
+  ``xxhash64``/``hash`` whose implementations differ per engine.
+
+MinHash params: K=16 permutations, b=4 bands × r=4 rows. Collision
+probability ≈ 1-(1-s^4)^4 — steep around Jaccard s≈0.7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+SIMHASH_BITS = 60
+
+
+def hexint(c: Column) -> Column:
+    """First 15 hex chars of md5 → non-negative 60-bit bigint."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def tokens_expr(text: Column | str) -> Column:
+    t = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(t), " ")
+
+
+def shingles_expr(tokens: Column, n: int = 3) -> Column:
+    """Distinct n-gram (word) shingles; empty for docs shorter than n."""
+    size = F.size(tokens)
+    # floor the sequence end at 1: when() discards the short-doc branch but
+    # still evaluates it, and slice() errors on a start of 0
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(size - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+    return F.when(size >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature_expr(shingles: Column, k: int = MINHASH_K) -> Column:
+    """K min-hashes: for seed s, min over shingles of H(s|shingle).
+    NULL-safe: empty shingle set → NULL signature."""
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda s: F.array_min(
+            F.transform(shingles, lambda g: hexint(F.concat_ws("|", s, g)))
+        ),
+    )
+    return F.when(F.size(shingles) > 0, sig)
+
+
+def lsh_bands(
+    df: DataFrame, doc_col: str, sig_col: str, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """Signature → (doc, band, bucket) rows; bucket = md5 of the band's
+    signature slice. One row per band per doc."""
+    band = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    out = df.select(F.col(doc_col), F.col(sig_col), band)
+    slice_ = F.slice(F.col(sig_col), F.col("band") * rows + 1, rows)
+    bucket = F.md5(F.concat_ws(",", F.transform(slice_, lambda x: x.cast("string"))))
+    return out.select(doc_col, "band", bucket.alias("bucket"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Full LSH pipeline → candidate pairs (id_a < id_b, n_shared_bands)."""
+    sig = docs.select(
+        F.col(id_col),
+        minhash_signature_expr(shingles_expr(tokens_expr(text_col)), k).alias("sig"),
+    ).where(F.col("sig").isNotNull())
+    banded = lsh_bands(sig, id_col, "sig", bands, rows)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    return (
+        pairs.groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def simhash_from_hashes_expr(hs: Column, n_tokens: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash from a precomputed token-hash array column: per bit j, the
+    sign of Σ(2·bit_j(h)−1) over tokens; bit set iff strictly positive.
+    Bits are unrolled in Python because Spark's shiftright needs a literal
+    shift amount. NULL for empty token lists."""
+    def _bit_sum(j: int):
+        # closure factory: pyspark requires HOF lambdas with exactly the
+        # declared arity (a `j=j` default arg breaks signature inspection)
+        def merge(acc, h):
+            return acc + F.shiftright(h, j).bitwiseAND(F.lit(1).cast("bigint")) * 2 - 1
+
+        return F.aggregate(hs, F.lit(0).cast("bigint"), merge)
+
+    packed = F.lit(0).cast("bigint")
+    for j in range(bits):
+        packed = packed + F.when(_bit_sum(j) > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return F.when(n_tokens > 0, packed)
+
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", out_col: str = "simhash",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Attach a simhash column; token hashes are materialized once so the
+    60 per-bit aggregates reuse them instead of re-hashing."""
+    toks = tokens_expr(text_col)
+    step = df.withColumn("_toks", toks).withColumn(
+        "_hs", F.transform(F.col("_toks"), hexint)
+    )
+    out = step.withColumn(
+        out_col, simhash_from_hashes_expr(F.col("_hs"), F.size("_toks"), bits)
+    )
+    return out.drop("_toks", "_hs")
+
+
+def hamming_distance(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

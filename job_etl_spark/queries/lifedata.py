@@ -280,10 +280,9 @@ WHERE len(list_intersect(a.grams, b.grams)) > 0
 # q26 — brute-force cosine top-k similarity search (ANN baseline)
 # ---------------------------------------------------------------------------
 def _cosine(a, b):
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (na * nb)
+    from job_etl_spark.ml.ann import cosine_expr
+
+    return cosine_expr(a, b)
 
 
 def q26_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -408,6 +407,164 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# q32 — LSH-bucketed ANN (random-hyperplane buckets → in-bucket exact rank)
+# ---------------------------------------------------------------------------
+def q32_ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.ml.ann import lsh_bucketed_topk
+
+    emb = table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    out = lsh_bucketed_topk(emb, F.col("vec_id") < 10, k=3)
+    return out.select(
+        "q_id", "rn", "neighbor_id", dround(F.col("sim"), 6).alias("cosine")
+    )
+
+
+def _q32_sql() -> str:
+    from job_etl_spark.ml.ann import plane_matrix
+
+    planes = plane_matrix(8, 64)
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(vec, [{', '.join(repr(x) for x in p)}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings
+), b AS (
+  SELECT vec_id, vec, {bucket_terms} AS bucket FROM e
+), q AS (
+  SELECT vec_id AS q_id, vec AS q_vec, bucket FROM b WHERE vec_id < 10
+), scored AS (
+  SELECT q.q_id, b.vec_id,
+    list_dot_product(q.q_vec, b.vec)
+      / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(b.vec, b.vec))) AS sim
+  FROM b JOIN q ON b.bucket = q.bucket WHERE b.vec_id <> q.q_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT q_id, rn, vec_id AS neighbor_id,
+  CAST(ROUND(CAST(sim AS DECIMAL(24,10)), 6) AS DOUBLE) AS cosine
+FROM ranked WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q29 — MinHash-LSH near-dup candidates (shingle→minhash→band→bucket-join)
+# ---------------------------------------------------------------------------
+def q29_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.ml.dedup import minhash_lsh_candidates
+
+    docs = table(spark, sf, "documents")
+    return minhash_lsh_candidates(docs, "doc_id", "text").orderBy("doc_a", "doc_b")
+
+
+_Q29_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(toks) - 1),
+      i -> array_to_string(toks[i:i+2], ' '))) AS grams
+  FROM tok WHERE len(toks) >= 3
+), sig AS (
+  SELECT doc_id,
+    list_transform(range(0, 16), s ->
+      list_min(list_transform(grams,
+        g -> (('0x' || substr(md5(s || '|' || g), 1, 15))::BIGINT)))) AS sig
+  FROM sh WHERE len(grams) > 0
+), banded AS (
+  SELECT doc_id, band,
+    md5(array_to_string(sig[band*4+1 : band*4+4], ',')) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q30 — SimHash signatures (64-bit-family content hash, 60 bits here)
+# ---------------------------------------------------------------------------
+def q30_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.ml.dedup import with_simhash
+
+    docs = table(spark, sf, "documents")
+    return with_simhash(docs, "text", "simhash").select("doc_id", "simhash")
+
+
+_Q30_SQL = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), hh AS (
+  SELECT doc_id, len(toks) AS n,
+    list_transform(toks, t -> (('0x' || substr(md5(t), 1, 15))::BIGINT)) AS hs
+  FROM tok
+)
+SELECT doc_id,
+  CASE WHEN n > 0 THEN
+    CAST(list_sum(list_transform(range(0, 60), j ->
+      CASE WHEN list_sum(list_transform(hs, x -> ((x >> j) & 1) * 2 - 1)) > 0
+           THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT)
+  END AS simhash
+FROM hh
+"""
+
+
+# ---------------------------------------------------------------------------
+# q31 — SimHash near-dup pairs (blocked, hamming ≤ 16)
+# ---------------------------------------------------------------------------
+def q31_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.ml.dedup import hamming_distance, with_simhash
+
+    docs = table(spark, sf, "documents")
+    sigs = with_simhash(docs, "text", "simhash").select("doc_id", "lang", "source", "simhash")
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    ham = hamming_distance(F.col("a.simhash"), F.col("b.simhash"))
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        ham.cast("int").alias("hamming"),
+    ).where(F.col("hamming") <= 16)
+
+
+_Q31_SQL = """
+WITH tok AS (
+  SELECT doc_id, lang, source, string_split(lower(text), ' ') AS toks FROM documents
+), hh AS (
+  SELECT doc_id, lang, source, len(toks) AS n,
+    list_transform(toks, t -> (('0x' || substr(md5(t), 1, 15))::BIGINT)) AS hs
+  FROM tok
+), sig AS (
+  SELECT doc_id, lang, source,
+    CASE WHEN n > 0 THEN
+      CAST(list_sum(list_transform(range(0, 60), j ->
+        CASE WHEN list_sum(list_transform(hs, x -> ((x >> j) & 1) * 2 - 1)) > 0
+             THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT)
+    END AS simhash
+  FROM hh
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a
+JOIN sig b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q20_dedup_exact": Query(q20_dedup_exact, _Q20_SQL),
     "q21_token_stats": Query(q21_token_stats, _Q21_SQL),
@@ -418,4 +575,8 @@ QUERIES: dict[str, Query] = {
     "q26_ann_cosine_topk": Query(q26_ann_cosine_topk, _Q26_SQL),
     "q27_embedding_neardup": Query(q27_embedding_neardup, _Q27_SQL),
     "q28_multimodal_bytes": Query(q28_multimodal_bytes, _Q28_SQL),
+    "q29_minhash_lsh": Query(q29_minhash_lsh, _Q29_SQL),
+    "q30_simhash": Query(q30_simhash, _Q30_SQL),
+    "q31_simhash_neardup": Query(q31_simhash_neardup, _Q31_SQL),
+    "q32_ann_lsh_bucketed": Query(q32_ann_lsh_bucketed, _q32_sql()),
 }

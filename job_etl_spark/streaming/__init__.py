@@ -1,0 +1,19 @@
+"""Structured Streaming wrappers (SURVEY.md §2.9).
+
+The reference is batch-only; its incremental idioms map directly onto
+streaming concepts and this module exposes that equivalence:
+
+- watermark analog (`min_collected_at` margins, dbt MAX(ingested_at)) →
+  ``withWatermark`` + windowed aggregation
+- hash-key merge-upsert (J3: keep first_seen, bump last_seen) →
+  ``foreachBatch`` running the SAME ``merge_upsert`` operator per
+  micro-batch — one code path for batch and streaming writes
+"""
+
+from job_etl_spark.streaming.pipeline import (
+    foreach_batch_merge,
+    stream_from_directory,
+    windowed_event_stats,
+)
+
+__all__ = ["stream_from_directory", "windowed_event_stats", "foreach_batch_merge"]

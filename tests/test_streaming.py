@@ -1,0 +1,69 @@
+"""Structured Streaming equivalence: the same transformations produce the
+same results over a stream (availableNow micro-batches) as over the batch
+frame, and foreachBatch merge matches J3 semantics under replay."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from job_etl_spark.pipeline.runner import TableStore
+from job_etl_spark.streaming import (
+    foreach_batch_merge,
+    stream_from_directory,
+    windowed_event_stats,
+)
+from job_etl_spark.tables import table
+from tests.conftest import SF_SMOKE
+
+
+def test_windowed_stats_stream_equals_batch(spark):
+    events = table(spark, SF_SMOKE, "events")
+    src = tempfile.mkdtemp(prefix="jobspark_stream_src_")
+    events.write.mode("overwrite").parquet(src)
+    schema = events.schema
+
+    batch_result = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in windowed_event_stats(events).collect()
+    }
+
+    stream = stream_from_directory(spark, src, schema)
+    assert stream.isStreaming
+    out_rows = []
+
+    def sink(df, _bid):
+        out_rows.extend(df.collect())
+
+    q = (
+        windowed_event_stats(stream)
+        .writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    stream_result = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in out_rows
+    }
+    assert stream_result == batch_result and len(batch_result) > 0
+
+
+def test_foreach_batch_merge_idempotent(spark):
+    store = TableStore(spark, tempfile.mkdtemp(prefix="jobspark_stream_wh_"))
+    rows = spark.createDataFrame(
+        [("k1", "a", 1), ("k2", "b", 2)], "hash_key string, v string, seen int"
+    )
+    merge = foreach_batch_merge(
+        store, "t", keys=["hash_key"], overwrite_cols=["seen"], coalesce_cols=["v"]
+    )
+    merge(rows, 0)
+    merge(rows, 1)  # replayed micro-batch must be a no-op
+    out = store.read("t")
+    assert out.count() == 2
+    upd = spark.createDataFrame([("k1", None, 9)], "hash_key string, v string, seen int")
+    merge(upd, 2)
+    r = store.read("t").where(F.col("hash_key") == "k1").first()
+    assert r["seen"] == 9 and r["v"] == "a"  # overwrite bumped, coalesce kept
