@@ -32,10 +32,32 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
         # parquet reader rejects; read nanos as long and truncate to micros
         # (matching every engine that reads ns at microsecond precision).
+        # The raw long survives as _ts_ns: filters on the DERIVED ts can't
+        # reach the parquet scan, but filters on _ts_ns push down — use
+        # ts_ns_predicate() for incremental scans.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("_ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ts_ns_strictly_after(cutoff) -> "F.Column":
+    """Pushdown-friendly strict ``ts > cutoff`` for the events table:
+    ``ts_µs > X  ⇔  _ts_ns ≥ (X+1)·1000`` — exact equivalence under the
+    ns→µs truncation, expressed on the RAW parquet column so the
+    predicate reaches the scan (PushedFilters + row-group skipping)."""
+    import datetime as _dt
+
+    if isinstance(cutoff, _dt.datetime):
+        import calendar
+
+        # integer µs arithmetic — float .timestamp() loses sub-µs precision
+        micros = calendar.timegm(cutoff.utctimetuple()) * 1_000_000 + cutoff.microsecond
+    else:
+        micros = int(cutoff)
+    return F.col("_ts_ns") >= (micros + 1) * 1000
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> None:
