@@ -35,7 +35,11 @@ HEADLINE = [
     "q20_dedup_exact",
     "q21_token_stats",
     "q24_fingerprint",
+    "q25_ngram_jaccard",
     "q26_ann_cosine_topk",
+    "q29_minhash_lsh",
+    "q31_simhash_neardup",
+    "q32_ann_lsh_bucketed",
 ]
 
 

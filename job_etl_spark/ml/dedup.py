@@ -51,16 +51,50 @@ def shingles_expr(tokens: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature_expr(shingles: Column, k: int = MINHASH_K) -> Column:
-    """K min-hashes: for seed s, min over shingles of H(s|shingle).
+MINHASH_PRIME = 2147483647  # 2^31 − 1: a·h < 2^62 stays inside BIGINT in
+# both Spark and DuckDB (no HUGEINT promotion → identical arithmetic)
+
+
+def minhash_coefficients(k: int = MINHASH_K) -> tuple[list[int], list[int]]:
+    """Deterministic md5-seeded universal-hash coefficients (a_s, b_s)."""
+    import hashlib
+
+    def h(tag: str) -> int:
+        return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16)
+
+    a = [h(f"a{s}") % (MINHASH_PRIME - 1) + 1 for s in range(k)]
+    b = [h(f"b{s}") % MINHASH_PRIME for s in range(k)]
+    return a, b
+
+
+def shingle_hashes_expr(shingles: Column) -> Column:
+    """Base hash per shingle (md5 once), reduced mod p for the permutations."""
+    return F.transform(shingles, lambda g: hexint(g) % MINHASH_PRIME)
+
+
+def minhash_signature_expr(hashes: Column, k: int = MINHASH_K) -> Column:
+    """K min-hashes via universal-hash permutations of the base hashes:
+    sig_s = min over shingles of (a_s·h + b_s) mod p. One md5 per shingle
+    total (vs k per shingle hashing each seed separately) — the md5 is the
+    cost center; the permutations are integer multiply-adds inside codegen.
     NULL-safe: empty shingle set → NULL signature."""
+    a, b = minhash_coefficients(k)
+    a_arr = F.array(*[F.lit(x).cast("bigint") for x in a])
+    b_arr = F.array(*[F.lit(x).cast("bigint") for x in b])
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda s: F.array_min(
-            F.transform(shingles, lambda g: hexint(F.concat_ws("|", s, g)))
+            F.transform(
+                hashes,
+                lambda h: (
+                    F.element_at(a_arr, (s + 1).cast("int")) * h
+                    + F.element_at(b_arr, (s + 1).cast("int"))
+                )
+                % MINHASH_PRIME,
+            )
         ),
     )
-    return F.when(F.size(shingles) > 0, sig)
+    return F.when(F.size(hashes) > 0, sig)
 
 
 def lsh_bands(
@@ -84,10 +118,15 @@ def minhash_lsh_candidates(
     rows: int = LSH_ROWS,
 ) -> DataFrame:
     """Full LSH pipeline → candidate pairs (id_a < id_b, n_shared_bands)."""
-    sig = docs.select(
-        F.col(id_col),
-        minhash_signature_expr(shingles_expr(tokens_expr(text_col)), k).alias("sig"),
-    ).where(F.col("sig").isNotNull())
+    # materialize base hashes as a column so the k permutations reuse them
+    sig = (
+        docs.select(
+            F.col(id_col),
+            shingle_hashes_expr(shingles_expr(tokens_expr(text_col))).alias("_hs"),
+        )
+        .select(F.col(id_col), minhash_signature_expr(F.col("_hs"), k).alias("sig"))
+        .where(F.col("sig").isNotNull())
+    )
     banded = lsh_bands(sig, id_col, "sig", bands, rows)
     a = banded.alias("a")
     b = banded.alias("b")

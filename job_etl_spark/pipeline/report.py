@@ -61,10 +61,21 @@ def ranking_stats(fact: DataFrame) -> dict:
     return d
 
 
-def daily_digest(fact: DataFrame, dim: DataFrame | None = None, k: int = DIGEST_TOP_K):
+def daily_digest(
+    fact: DataFrame,
+    dim: DataFrame | None = None,
+    k: int = DIGEST_TOP_K,
+    approx: bool = False,
+):
     """O1+A6: dedup count + top-k by (rank_score desc, ingested_at desc) —
-    the only driver-side collect in the pipeline, bounded at k rows."""
-    n_unique = fact.select(F.countDistinct("hash_key")).first()[0]
+    the only driver-side collect in the pipeline, bounded at k rows.
+    ``approx=True`` swaps COUNT(DISTINCT) for approx_count_distinct (HLL):
+    at 100 TB the exact distinct is a full shuffle on hash_key; the sketch
+    is one pass, mergeable, ~2% error."""
+    distinct_expr = (
+        F.approx_count_distinct("hash_key") if approx else F.countDistinct("hash_key")
+    )
+    n_unique = fact.select(distinct_expr).first()[0]
     df = fact
     if dim is not None:
         df = df.join(F.broadcast(dim.select("company_id", "company")), "company_id", "left")
@@ -77,7 +88,26 @@ def daily_digest(fact: DataFrame, dim: DataFrame | None = None, k: int = DIGEST_
 
 
 def export_tables(fact: DataFrame, dim: DataFrame, out_dir: str) -> dict:
-    """S11 re-expressed: capped export of both mart tables to parquet."""
+    """S11 re-expressed: capped export of both mart tables to parquet,
+    plus a Tableau .hyper file when pantab is installed (it is not in this
+    container — the parquet export is the portable artifact)."""
     fact.limit(EXPORT_ROW_CAP).write.mode("overwrite").parquet(f"{out_dir}/fact_jobs")
     dim.limit(EXPORT_ROW_CAP).write.mode("overwrite").parquet(f"{out_dir}/dim_companies")
-    return {"out_dir": out_dir, "cap": EXPORT_ROW_CAP}
+    result = {"out_dir": out_dir, "cap": EXPORT_ROW_CAP, "hyper_file": None}
+    try:  # pragma: no cover - optional dependency
+        import pantab
+
+        hyper_path = f"{out_dir}/jobs.hyper"
+        pantab.frames_to_hyper(
+            {
+                "fact_jobs": fact.limit(EXPORT_ROW_CAP).toPandas(),
+                "dim_companies": dim.limit(EXPORT_ROW_CAP).toPandas(),
+            },
+            hyper_path,
+        )
+        result["hyper_file"] = hyper_path
+    except ImportError:
+        pass
+    except Exception as e:  # reference swallows export failures (S11)
+        result["error"] = str(e)
+    return result

@@ -18,6 +18,7 @@ import json
 import os
 import sys
 import tempfile
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -72,8 +73,21 @@ class TableStore:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(self.path(name))
 
-    def write(self, name: str, df: DataFrame, mode: str = "overwrite") -> None:
-        df.write.mode(mode).parquet(self.path(name))
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+        partition_by: Sequence[str] = (),
+    ) -> None:
+        """At 100 TB, pass partition_by=('source',) (or ingest date): writes
+        become partition-scoped, incremental scans prune partitions, and
+        with spark.sql.sources.partitionOverwriteMode=dynamic a merge
+        rewrites only the partitions it touched."""
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(name))
         self.spark.catalog.refreshByPath(self.path(name))
 
     def rewrite(self, name: str, df: DataFrame) -> None:
@@ -175,6 +189,20 @@ def run_enrich(
         "seniority_pending_before": before_pending,
         "dry_run": dry_run,
     }
+    # company enrichment sub-phase (U6/J5/S13): runs when a cached
+    # candidates table exists (offline snapshot of per-name API results);
+    # matched + unmatched pending rows both get enriched_at stamped
+    if store.exists("company_candidates"):
+        from job_etl_spark.pipeline.company_match import (
+            apply_company_matches,
+            match_companies,
+        )
+
+        candidates = store.read("company_candidates")
+        matches = match_companies(companies2, candidates)
+        n_matched = matches.where(F.col("candidate_name").isNotNull()).count()
+        stats["companies_matched"] = n_matched
+        companies2 = apply_company_matches(companies2, matches, run_ts)
     if not dry_run:
         # companies2's plan reads staging; two-phase swap avoids reading
         # files deleted by the staging rewrite

@@ -463,20 +463,28 @@ def q29_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_lsh_candidates(docs, "doc_id", "text").orderBy("doc_a", "doc_b")
 
 
-_Q29_SQL = """
+def _q29_sql() -> str:
+    from job_etl_spark.ml.dedup import MINHASH_PRIME, minhash_coefficients
+
+    a, b = minhash_coefficients(16)
+    a_sql = "[" + ", ".join(str(x) for x in a) + "]"
+    b_sql = "[" + ", ".join(str(x) for x in b) + "]"
+    return f"""
 WITH tok AS (
   SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
 ), sh AS (
   SELECT doc_id,
-    list_distinct(list_transform(range(1, len(toks) - 1),
-      i -> array_to_string(toks[i:i+2], ' '))) AS grams
+    list_transform(
+      list_distinct(list_transform(range(1, len(toks) - 1),
+        i -> array_to_string(toks[i:i+2], ' '))),
+      g -> (('0x' || substr(md5(g), 1, 15))::BIGINT) % {MINHASH_PRIME}) AS hs
   FROM tok WHERE len(toks) >= 3
 ), sig AS (
   SELECT doc_id,
     list_transform(range(0, 16), s ->
-      list_min(list_transform(grams,
-        g -> (('0x' || substr(md5(s || '|' || g), 1, 15))::BIGINT)))) AS sig
-  FROM sh WHERE len(grams) > 0
+      list_min(list_transform(hs,
+        h -> (({a_sql})[s+1] * h + ({b_sql})[s+1]) % {MINHASH_PRIME}))) AS sig
+  FROM sh WHERE len(hs) > 0
 ), banded AS (
   SELECT doc_id, band,
     md5(array_to_string(sig[band*4+1 : band*4+4], ',')) AS bucket
@@ -487,6 +495,9 @@ FROM banded a
 JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 """
+
+
+_Q29_SQL = _q29_sql()
 
 
 # ---------------------------------------------------------------------------

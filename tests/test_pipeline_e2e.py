@@ -40,6 +40,32 @@ def test_full_pipeline(spark):
     assert all(0.0 <= s <= 100.0 for s in scores)
 
 
+def test_pipeline_with_company_candidates(spark):
+    """When a cached candidates table exists, the enrich stage runs the
+    fuzzy company matcher and stamps enriched_at on every pending row."""
+    import datetime as dt
+
+    wh = tempfile.mkdtemp(prefix="jobspark_cand_")
+    store = TableStore(spark, wh)
+    candidates = spark.createDataFrame(
+        [
+            ("Acme Corp", "Acme Corporation", 4.4),
+            ("Acme Corp", "Acme Corp", 4.1),
+            ("Globex Inc", "Globex", 3.8),
+        ],
+        "search_name string, candidate_name string, candidate_rating double",
+    )
+    store.write("company_candidates", candidates)
+    stats = run_pipeline(spark, wh, num_jobs=60)
+    assert stats["enrich"]["companies_matched"] == 2  # Acme + Globex
+    comp = store.read("staging_companies")
+    assert comp.where(F.col("enriched_at").isNull()).count() == 0  # skip markers
+    matched = {r["name"]: r["matched_name"] for r in comp.collect()}
+    assert matched["Acme Corp"] == "Acme Corp"
+    assert matched["Globex Inc"] == "Globex"
+    assert matched["Initech LLC"] is None  # no candidates → skipped
+
+
 def test_pipeline_idempotent_rerun(spark):
     wh = tempfile.mkdtemp(prefix="jobspark_rerun_")
     first = run_pipeline(spark, wh, num_jobs=60)
