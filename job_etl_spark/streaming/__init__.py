@@ -13,7 +13,13 @@ streaming concepts and this module exposes that equivalence:
 from job_etl_spark.streaming.pipeline import (
     foreach_batch_merge,
     stream_from_directory,
+    stream_normalize,
     windowed_event_stats,
 )
 
-__all__ = ["stream_from_directory", "windowed_event_stats", "foreach_batch_merge"]
+__all__ = [
+    "stream_from_directory",
+    "windowed_event_stats",
+    "foreach_batch_merge",
+    "stream_normalize",
+]

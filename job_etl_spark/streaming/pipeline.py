@@ -49,6 +49,36 @@ def windowed_event_stats(
     )
 
 
+def stream_normalize(
+    store,
+    adapter,
+    raw_dir: str,
+    run_ts,
+    checkpoint_dir: str | None = None,
+):
+    """The reference's extract→normalize→merge loop as a streaming query:
+    new raw-landing files become micro-batches; each batch runs the SAME
+    normalize_common + merge_into_staging operators inside foreachBatch
+    (within-batch window dedup is legal there — the batch frame is a
+    plain DataFrame). Returns the started StreamingQuery (availableNow)."""
+    from job_etl_spark.pipeline.normalize import merge_into_staging, normalize_common
+    from job_etl_spark.schema import RAW_SCHEMA, STAGING_SCHEMA
+    from job_etl_spark.sources.base import common_from_raw
+
+    stream = stream_from_directory(store.spark, raw_dir, RAW_SCHEMA)
+
+    def _batch(raw_df: DataFrame, batch_id: int) -> None:
+        common = common_from_raw(raw_df, adapter)
+        res = normalize_common(common, run_ts)
+        staging = store.read("staging_job_postings", STAGING_SCHEMA)
+        store.rewrite("staging_job_postings", merge_into_staging(staging, res.normalized))
+
+    writer = stream.writeStream.foreachBatch(_batch).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def foreach_batch_merge(
     store,
     table: str,

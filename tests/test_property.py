@@ -1,0 +1,188 @@
+"""Property-based cross-checks (hypothesis): the Spark-native expressions
+must agree with independent pure-Python ports of the reference semantics
+on randomized inputs. Each example is a BATCH of rows so Spark runs once
+per example, not once per row.
+
+Alphabet restricted to printable ASCII: the reference operates on API
+strings, and Java/Python regex classes (\\s, \\b) only coincide there.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import re
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from job_etl_spark.functions.identity import hash_key_expr
+from job_etl_spark.functions.numeric import salary_bounds_exprs
+from job_etl_spark.functions.text import seniority_level_expr
+from job_etl_spark.functions.timeparse import parse_timestamp_expr
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+_ASCII = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), min_size=1, max_size=30
+)
+_ASCII_WS = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126, include_characters="\t\n "),
+    min_size=1,
+    max_size=40,
+)
+
+
+# --- pure-Python twins (independent ports of the reference semantics) -----
+
+
+def _py_ws_norm(s: str) -> str:
+    return re.sub(r"[ \t\n\x0b\f\r]+", " ", s.strip())
+
+
+def _py_hash_key(company: str, title: str, location: str) -> str:
+    parts = "|".join(_py_ws_norm(x).lower() for x in (company, title, location))
+    return hashlib.md5(parts.encode()).hexdigest()
+
+
+def _py_seniority(title: str | None) -> str:
+    if not title:
+        return "unknown"
+    t = title.lower()
+    if " iii" in t or t.startswith("iii"):
+        return "senior"
+    if (
+        " ii " in t or "level ii" in t or t.startswith("ii ") or t.endswith(" ii")
+        or " ii," in t or " ii)" in t or " ii/" in t or "engineer ii" in t
+    ):
+        return "intermediate"
+    if (
+        "level i" in t or " i " in t or t.startswith("i ") or t.endswith(" i")
+        or " i," in t or " i)" in t or " i/" in t or "engineer i " in t
+        or "engineer i)" in t
+    ):
+        return "junior"
+    m = re.search(r"\bl([4-9]|[1-9][0-9]+)\b", t)
+    if m:
+        n = int(m.group(1))
+        if n >= 5:
+            return "senior"
+        if n == 4:
+            return "intermediate"
+    for pat in (r"\bchief\b", r"\bvp\b", r"\bvice president\b", r"\bhead of\b",
+                r"\bdirector\b", r"\bmanager\b", r"\badvanced\b"):
+        if re.search(pat, t):
+            return "senior"
+    if re.search(r"\bintern\b", t):
+        return "junior"
+    tiers = {
+        "senior": [r"\bsenior\b", r"\bsr\.?\b", r"\blead\b", r"\bprincipal\b",
+                   r"\bstaff\b", r"\barchitect\b"],
+        "intermediate": [r"\bintermediate\b", r"\bmid-level\b", r"\bmid level\b", r"\bmid\b"],
+        "junior": [r"\bjunior\b", r"\bjr\.?\b", r"\bassociate\b", r"\bentry-level\b",
+                   r"\bentry level\b", r"\bentry\b"],
+    }
+    for level, pats in tiers.items():
+        if any(re.search(p, t) for p in pats):
+            return level
+    return "unknown"
+
+
+# --- properties ------------------------------------------------------------
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(_ASCII_WS, _ASCII_WS, _ASCII_WS), min_size=1, max_size=50))
+def test_hash_key_matches_python_md5(spark, rows):
+    df = spark.createDataFrame(rows, "c string, t string, l string")
+    got = [r["h"] for r in df.select(hash_key_expr("c", "t", "l").alias("h")).collect()]
+    want = [_py_hash_key(c, t, l) for c, t, l in rows]
+    assert got == want
+
+
+# seed vocabulary biases examples toward cascade-relevant strings
+_TITLE_WORDS = st.sampled_from(
+    ["engineer", "senior", "sr.", "ii", "iii", "i", "l4", "l5", "intern", "manager",
+     "architect", "architecture", "mid", "entry", "junior", "jr", "staff", "data",
+     "lead", "vp", "head", "of", "level", "x"]
+)
+_TITLES = st.lists(_TITLE_WORDS, min_size=0, max_size=6).map(lambda ws: " ".join(ws))
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.one_of(_TITLES, _ASCII_WS), min_size=1, max_size=80))
+def test_seniority_cascade_matches_python_port(spark, titles):
+    df = spark.createDataFrame([(t,) for t in titles], "t string")
+    got = [r["s"] for r in df.select(seniority_level_expr("t").alias("s")).collect()]
+    want = [_py_seniority(t) for t in titles]
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                           min_value=-1e9, max_value=1e9)),
+            st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                           min_value=-1e9, max_value=1e9)),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_salary_swap_matches_python(spark, pairs):
+    df = spark.createDataFrame(pairs, "a double, b double")
+    lo, hi = salary_bounds_exprs("a", "b")
+    got = [(r["lo"], r["hi"]) for r in df.select(lo.alias("lo"), hi.alias("hi")).collect()]
+    want = [
+        ((min(a, b), max(a, b)) if a is not None and b is not None else (a, b))
+        for a, b in pairs
+    ]
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=4_000_000_000).map(str),  # epoch
+            st.datetimes(
+                min_value=dt.datetime(1971, 1, 1), max_value=dt.datetime(2100, 1, 1)
+            ).map(lambda d: d.replace(microsecond=0).isoformat() + "Z"),
+            _ASCII,  # mostly invalid → NULL
+            st.none(),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_timestamp_parse_matches_python(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v string")
+    got = [
+        r["u"]
+        for r in df.select(F.unix_seconds(parse_timestamp_expr("v")).alias("u")).collect()
+    ]
+
+    def py_parse(v):
+        if v is None:
+            return None
+        s = v.strip()
+        if re.fullmatch(r"-?[0-9]+(\.[0-9]+)?", s):
+            return int(float(s))
+        try:
+            d = dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+        except ValueError:
+            return None
+        if d.tzinfo is None:
+            d = d.replace(tzinfo=dt.timezone.utc)
+        return int(d.timestamp())
+
+    want = [py_parse(v) for v in values]
+    assert got == want

@@ -51,6 +51,36 @@ def test_windowed_stats_stream_equals_batch(spark):
     assert stream_result == batch_result and len(batch_result) > 0
 
 
+def test_stream_normalize_converges_to_batch(spark):
+    """Raw landing files streamed in two drops → staging equals the batch
+    pipeline's staging (same identities, merge semantics under replay)."""
+    import datetime as dt
+
+    from job_etl_spark.sources.base import land_raw
+    from job_etl_spark.sources.mock_adapter import MockAdapter
+    from job_etl_spark.streaming import stream_normalize
+
+    run_ts = dt.datetime(2026, 1, 1, 7, 0, 0)
+    adapter = MockAdapter(num_jobs=60)
+    jobs = adapter.fetch_all()
+    raw_dir = tempfile.mkdtemp(prefix="jobspark_rawstream_")
+    ckpt = tempfile.mkdtemp(prefix="jobspark_ckpt_")
+    store = TableStore(spark, tempfile.mkdtemp(prefix="jobspark_swh_"))
+
+    land_raw(spark, jobs[:30], run_ts).write.mode("append").parquet(raw_dir)
+    q = stream_normalize(store, adapter, raw_dir, run_ts, ckpt)
+    q.awaitTermination(300)
+    first = store.read("staging_job_postings").count()
+
+    land_raw(spark, jobs[30:], run_ts).write.mode("append").parquet(raw_dir)
+    q2 = stream_normalize(store, adapter, raw_dir, run_ts, ckpt)
+    q2.awaitTermination(300)
+    staging = store.read("staging_job_postings")
+    # 60 mock jobs → 30 distinct identities; merge keeps them unique
+    assert first <= 30 and staging.count() == 30
+    assert staging.select("hash_key").distinct().count() == 30
+
+
 def test_foreach_batch_merge_idempotent(spark):
     store = TableStore(spark, tempfile.mkdtemp(prefix="jobspark_stream_wh_"))
     rows = spark.createDataFrame(
