@@ -20,10 +20,19 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def ws_normalize(col: Column | str) -> Column:
-    """Trim + collapse internal whitespace runs to a single space."""
+def strip_ws(col: Column | str) -> Column:
+    """Strip ALL leading/trailing whitespace — Python ``str.strip()``
+    semantics. Spark's ``trim`` strips only spaces (0x20), but the
+    reference's authoritative hash path is Python ``.strip()``
+    (``hash_generator.py``), which strips tabs/newlines too; a
+    hypothesis counterexample ('\\n' location) caught the difference."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(F.trim(c), r"\s+", " ")
+    return F.regexp_replace(c, r"(^\s+)|(\s+$)", "")
+
+
+def ws_normalize(col: Column | str) -> Column:
+    """Strip + collapse internal whitespace runs to a single space."""
+    return F.regexp_replace(strip_ws(col), r"\s+", " ")
 
 
 def hash_key_expr(company: Column | str, title: Column | str, location: Column | str) -> Column:

@@ -19,7 +19,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from job_etl_spark.functions.identity import hash_key_expr
+from job_etl_spark.functions.identity import hash_key_expr, strip_ws
 from job_etl_spark.functions.numeric import safe_double_expr, salary_bounds_exprs
 from job_etl_spark.functions.text import validate_enum_expr
 from job_etl_spark.functions.timeparse import parse_timestamp_expr
@@ -74,10 +74,10 @@ def normalize_common(common: DataFrame, run_ts) -> NormalizeResult:
         hash_key_expr("company", "job_title", "location").alias("hash_key"),
         F.col("provider_job_id"),
         F.col("job_link"),
-        F.trim("job_title").alias("job_title"),
-        F.trim("company").alias("company"),
+        strip_ws("job_title").alias("job_title"),  # python-strip semantics
+        strip_ws("company").alias("company"),
         validate_enum_expr("company_size", VALID_COMPANY_SIZES, "unknown").alias("company_size"),
-        F.trim("location").alias("location"),
+        strip_ws("location").alias("location"),
         validate_enum_expr("remote_type", VALID_REMOTE_TYPES, "unknown").alias("remote_type"),
         validate_enum_expr("contract_type", VALID_CONTRACT_TYPES, "unknown").alias(
             "contract_type"

@@ -18,10 +18,15 @@ from job_etl_spark.queries._util import Query, dround, sql_dround
 from job_etl_spark.tables import table
 
 _WS = r"'\s+'"  # duckdb regex literal (no backslash escape processing)
+_TRIM = r"'(^\s+)|(\s+$)'"  # python-strip semantics (trim() is space-only)
+
+
+def _sql_norm(x: str) -> str:
+    return f"lower(regexp_replace(regexp_replace({x}, {_TRIM}, '', 'g'), {_WS}, ' ', 'g'))"
 
 
 def _sql_hash3(a: str, b: str, c: str) -> str:
-    parts = [f"lower(regexp_replace(trim({x}), {_WS}, ' ', 'g'))" for x in (a, b, c)]
+    parts = [_sql_norm(x) for x in (a, b, c)]
     return f"md5({parts[0]} || '|' || {parts[1]} || '|' || {parts[2]})"
 
 
@@ -48,7 +53,7 @@ SELECT c_custkey,
   {_sql_hash3("'  ' || upper(c_name) || '   Inc  '",
               "'Data  Engineer ' || c_mktsegment",
               "lower(n_name) || ' ,  remote'")} AS hash_key,
-  md5(lower(regexp_replace(trim(coalesce(upper(c_name), 'unknown')), {_WS}, ' ', 'g'))) AS company_id
+  md5({_sql_norm("coalesce(upper(c_name), 'unknown')")}) AS company_id
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 """
 

@@ -427,6 +427,79 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# q33 — recency scan (O2/S5: ORDER BY ts DESC LIMIT n with total order)
+# ---------------------------------------------------------------------------
+def q33_recent_events(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    return top_k(
+        ev.select(
+            "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type"
+        ),
+        [F.desc("ts_us"), F.desc("event_id")],
+        100,
+    )
+
+
+_Q33_SQL = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+FROM events
+ORDER BY ts_us DESC, event_id DESC
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# q34 — gap-based sessionization (stateful operator, batch form: lag →
+# gap flag → running session counter; streaming twin = session_window)
+# ---------------------------------------------------------------------------
+def q34_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    gap = F.when(
+        prev_us.isNull() | (F.unix_micros("ts") - prev_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.withColumn("new_sess", gap)
+        .withColumn("session_id", F.sum("new_sess").over(wrun))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_micros("ts")).alias("start_us"),
+            F.max(F.unix_micros("ts")).alias("end_us"),
+            dsum(F.col("value")).alias("session_value"),
+        )
+        .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
+    )
+
+
+_Q34_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+  COUNT(*) AS n_events,
+  MIN(epoch_us(ts)) AS start_us,
+  MAX(epoch_us(ts)) AS end_us,
+  {sql_dsum('value')} AS session_value,
+  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us
+FROM sess GROUP BY user_id, session_id
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q01_pricing_summary": Query(q01_pricing_summary, _Q01_SQL),
     "q02_regional_revenue": Query(q02_regional_revenue, _Q02_SQL),
@@ -441,4 +514,6 @@ QUERIES: dict[str, Query] = {
     "q11_running_user_totals": Query(q11_running_user_totals, _Q11_SQL),
     "q12_topk_per_type": Query(q12_topk_per_type, _Q12_SQL),
     "q13_json_extract": Query(q13_json_extract, _Q13_SQL),
+    "q33_recent_events": Query(q33_recent_events, _Q33_SQL),
+    "q34_sessionize": Query(q34_sessionize, _Q34_SQL),
 }
