@@ -40,6 +40,8 @@ HEADLINE = [
     "q29_minhash_lsh",
     "q31_simhash_neardup",
     "q32_ann_lsh_bucketed",
+    "q33_recent_events",
+    "q34_sessionize",
 ]
 
 

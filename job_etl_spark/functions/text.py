@@ -230,10 +230,11 @@ _COMPANY_SUFFIXES = [
 def clean_company_name_expr(col: Column | str) -> Column:
     """Strip legal suffixes (case-insensitive), trailing punctuation, collapse
     whitespace, lowercase — the normalization both sides of the fuzzy join get."""
+    from job_etl_spark.functions.identity import ws_normalize
+
     c = F.col(col) if isinstance(col, str) else col
     out = c
     for suf in _COMPANY_SUFFIXES:
         out = F.regexp_replace(out, "(?i)" + suf, "")
     out = F.regexp_replace(out, r"[\s,.\-]+$", "")
-    out = F.regexp_replace(F.trim(out), r"\s+", " ")
-    return F.lower(out)
+    return F.lower(ws_normalize(out))

@@ -300,6 +300,17 @@ def run_pipeline(
     digest = report_mod.daily_digest(store.read("fact_jobs"), store.read("dim_companies"))
     stats["digest_unique_jobs"] = digest["unique_jobs"]
     stats["digest_top"] = [r["hash_key"] for r in digest["top_jobs"][:5]]
+    # S12 notify: dry-run by default (no SMTP in this environment); failures
+    # never fail the pipeline, matching the reference's all_done semantics
+    from job_etl_spark.pipeline.notifier import send_digest
+
+    notify = send_digest(
+        "jobspark daily digest",
+        {k: v for k, v in stats.items() if isinstance(v, (int, str))},
+        digest["top_jobs"],
+        dry_run=True,
+    )
+    stats["notify"] = {k: notify[k] for k in ("sent", "n_top", "error")}
     return stats
 
 

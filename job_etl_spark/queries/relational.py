@@ -500,6 +500,19 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q35 — approx distinct (A6 at scale: HLL sketch instead of exact shuffle).
+# No oracle: HLL implementations differ across engines; the estimate is
+# asserted within ±5% of exact in tests, and the driver records rows-only.
+# ---------------------------------------------------------------------------
+def q35_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 QUERIES: dict[str, Query] = {
     "q01_pricing_summary": Query(q01_pricing_summary, _Q01_SQL),
     "q02_regional_revenue": Query(q02_regional_revenue, _Q02_SQL),
@@ -516,4 +529,9 @@ QUERIES: dict[str, Query] = {
     "q13_json_extract": Query(q13_json_extract, _Q13_SQL),
     "q33_recent_events": Query(q33_recent_events, _Q33_SQL),
     "q34_sessionize": Query(q34_sessionize, _Q34_SQL),
+    "q35_approx_distinct": Query(
+        q35_approx_distinct,
+        None,
+        note="HLL sketches differ across engines — rows-only check by design",
+    ),
 }
