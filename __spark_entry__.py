@@ -8,11 +8,19 @@ digest analog, SURVEY.md §3.1 step 9) at sf0.001. ``queries()`` /
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from job_etl_spark.queries import registry
+# the package lives next to this file; make the import independent of the
+# driver's cwd / import mechanism
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from job_etl_spark.queries import registry  # noqa: E402
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
