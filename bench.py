@@ -42,6 +42,7 @@ HEADLINE = [
     "q32_ann_lsh_bucketed",
     "q33_recent_events",
     "q34_sessionize",
+    "q36_hourly_rollup",
 ]
 
 

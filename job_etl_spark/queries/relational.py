@@ -501,6 +501,33 @@ FROM sess GROUP BY user_id, session_id
 
 
 # ---------------------------------------------------------------------------
+# q36 — hourly continuous-aggregate rollup (hypertable idiom): built
+# incrementally from two halves and combined — the query output IS the
+# incrementally-refreshed table, proving rollup(a∪b) == combine(r(a), r(b))
+# ---------------------------------------------------------------------------
+def q36_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.operators.rollup import combine_rollups, finalize_rollup, hourly_rollup
+
+    ev = table(spark, sf, "events")
+    old = hourly_rollup(ev.where(F.col("event_id") % 2 == 0))
+    delta = hourly_rollup(ev.where(F.col("event_id") % 2 == 1))
+    return finalize_rollup(combine_rollups(old, delta))
+
+
+_Q36_SQL = f"""
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+  event_type,
+  COUNT(*) AS n_events,
+  {sql_dsum('value')} AS total_value,
+  {sql_davg('value')} AS avg_value,
+  MIN(event_id) AS first_event_id,
+  MAX(event_id) AS last_event_id
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # q35 — approx distinct (A6 at scale: HLL sketch instead of exact shuffle).
 # No oracle: HLL implementations differ across engines; the estimate is
 # asserted within ±5% of exact in tests, and the driver records rows-only.
@@ -534,4 +561,5 @@ QUERIES: dict[str, Query] = {
         None,
         note="HLL sketches differ across engines — rows-only check by design",
     ),
+    "q36_hourly_rollup": Query(q36_hourly_rollup, _Q36_SQL),
 }
