@@ -43,6 +43,7 @@ HEADLINE = [
     "q33_recent_events",
     "q34_sessionize",
     "q36_hourly_rollup",
+    "q37_asof_join",
 ]
 
 

@@ -528,6 +528,51 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# q37 — as-of join: each purchase matched to the user's latest click at or
+# before it (union-tag composition vs DuckDB's native ASOF JOIN oracle).
+# Emits the matched click's timestamp (not id) so equal-ts ties are
+# unambiguous across engines.
+# ---------------------------------------------------------------------------
+def q37_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.operators.asof import asof_join
+
+    ev = table(spark, sf, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts_us"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts_us", F.col("ts_us").alias("click_ts_us")
+    )
+    joined = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts_us", right_ts="ts_us",
+        value_cols=["click_ts_us"],
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "ts_us",
+        "click_ts_us",
+        (F.col("ts_us") - F.col("click_ts_us")).alias("gap_us"),
+    )
+
+
+_Q37_SQL = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, epoch_us(ts) AS click_ts_us FROM events WHERE event_type = 'click'
+)
+SELECT p.purchase_id, p.user_id, p.ts_us, c.click_ts_us,
+       p.ts_us - c.click_ts_us AS gap_us
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts_us >= c.click_ts_us
+"""
+
+
+# ---------------------------------------------------------------------------
 # q35 — approx distinct (A6 at scale: HLL sketch instead of exact shuffle).
 # No oracle: HLL implementations differ across engines; the estimate is
 # asserted within ±5% of exact in tests, and the driver records rows-only.
@@ -562,4 +607,5 @@ QUERIES: dict[str, Query] = {
         note="HLL sketches differ across engines — rows-only check by design",
     ),
     "q36_hourly_rollup": Query(q36_hourly_rollup, _Q36_SQL),
+    "q37_asof_join": Query(q37_asof_join, _Q37_SQL),
 }

@@ -1,0 +1,72 @@
+"""As-of join operator: edge-case semantics on tiny hand-built frames.
+
+Reference parity target: the reference's point-in-time join
+(reference: src/exec/asof_join — behavior only); oracle twin is q37
+vs DuckDB's native ASOF JOIN in test_oracle_parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from job_etl_spark.operators.asof import asof_join
+
+
+def _mk(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_asof_basic_null_and_carry(spark):
+    left = _mk(
+        spark,
+        [("u1", 5, "p1"), ("u1", 15, "p2"), ("u2", 3, "p3")],
+        "k string, ts long, pid string",
+    )
+    right = _mk(
+        spark,
+        [("u1", 4, 100), ("u1", 10, 200), ("u2", 9, 300)],
+        "k string, rts long, v int",
+    )
+    out = {
+        r["pid"]: r["v"]
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="rts", value_cols=["v"]
+        ).collect()
+    }
+    # p1@5 -> right@4; p2@15 -> right@10 (latest <=); p3@3 -> nothing precedes
+    assert out == {"p1": 100, "p2": 200, "p3": None}
+
+
+def test_asof_tie_matches_equal_ts(spark):
+    left = _mk(spark, [("u1", 10, "p1")], "k string, ts long, pid string")
+    right = _mk(spark, [("u1", 10, 7)], "k string, rts long, v int")
+    rows = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="rts", value_cols=["v"]
+    ).collect()
+    assert rows[0]["v"] == 7  # <= semantics: equal timestamp matches
+
+
+def test_asof_inner_drops_unmatched(spark):
+    left = _mk(
+        spark, [("u1", 1, "p1"), ("u1", 9, "p2")], "k string, ts long, pid string"
+    )
+    right = _mk(spark, [("u1", 5, 1)], "k string, rts long, v int")
+    rows = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="rts", value_cols=["v"],
+        how="inner",
+    ).collect()
+    assert [r["pid"] for r in rows] == ["p2"]
+
+
+def test_asof_single_shuffle_plan(spark):
+    """The scalable claim: one Exchange (on the key), no join blow-up."""
+    left = _mk(spark, [("u1", 5, "p1")], "k string, ts long, pid string")
+    right = _mk(spark, [("u1", 4, 1)], "k string, rts long, v int")
+    plan = (
+        asof_join(left, right, key="k", left_ts="ts", right_ts="rts", value_cols=["v"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
