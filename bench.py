@@ -44,6 +44,9 @@ HEADLINE = [
     "q34_sessionize",
     "q36_hourly_rollup",
     "q37_asof_join",
+    "q38_small_qty_revenue",
+    "q39_large_volume_orders",
+    "q40_red_part_suppliers",
 ]
 
 

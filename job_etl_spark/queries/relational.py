@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from job_etl_spark.operators import distinct_on, merge_upsert, top_k
 from job_etl_spark.operators.watermark import high_watermark
-from job_etl_spark.queries._util import Query, davg, dsum, sql_davg, sql_dsum
+from job_etl_spark.queries._util import DEC, Query, davg, dsum, sql_davg, sql_dsum
 from job_etl_spark.tables import table
 
 
@@ -573,6 +573,136 @@ FROM p ASOF LEFT JOIN c
 
 
 # ---------------------------------------------------------------------------
+# q38 — TPC-H Q17 shape: correlated scalar subquery ("below half the
+# part's average quantity"), decorrelated Spark-first as a single window
+# pass instead of agg + self-join. Because the brand filter already
+# restricts to whole parts, avg-per-part over the filtered rows equals the
+# correlated subquery over all rows — one shuffle total, and the broadcast
+# part filter prunes lineitem before any aggregation.
+# (l_quantity is whole-numbered, so double avg is order-independent.)
+# ---------------------------------------------------------------------------
+def q38_small_qty_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    part = table(spark, sf, "part")
+    brand_parts = F.broadcast(
+        part.where(F.col("p_brand") == "Brand#4").select("p_partkey", "p_brand")
+    )
+    filtered = li.join(brand_parts, li.l_partkey == brand_parts.p_partkey)
+    w = Window.partitionBy("l_partkey")
+    small = filtered.withColumn("part_avg_qty", F.avg("l_quantity").over(w)).where(
+        F.col("l_quantity") < 0.5 * F.col("part_avg_qty")
+    )
+    return small.groupBy("p_brand").agg(
+        F.round(F.sum(F.col("l_extendedprice").cast(DEC)) / 7, 2)
+        .cast("double")
+        .alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small_lines"),
+    )
+
+
+_Q38_SQL = """
+SELECT p_brand,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) / 7, 2) AS DOUBLE) AS avg_yearly,
+  COUNT(*) AS n_small_lines
+FROM lineitem l
+JOIN part p ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#4'
+  AND l_quantity < (
+    SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+GROUP BY p_brand
+"""
+
+
+# ---------------------------------------------------------------------------
+# q39 — TPC-H Q18 shape: large-volume orders (IN-subquery with HAVING),
+# decorrelated as aggregate-then-join. The lineitem agg runs first with
+# map-side partial aggregation; the tiny surviving key set (≈1% of orders)
+# then drives broadcast joins against orders and customer, so the big
+# side shuffles exactly once, on l_orderkey.
+# ---------------------------------------------------------------------------
+def q39_large_volume_orders(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+_Q39_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, SUM(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q40 — TPC-H Q20 shape: nested EXISTS chain (suppliers who shipped > 50
+# units of any 'red…' part in 1995), flattened to agg → left-semi joins.
+# The part predicate broadcasts into the lineitem scan (partition-pruned,
+# pushed shipdate range), the HAVING agg shrinks to a handful of supplier
+# keys, and the final semi-join against supplier is a broadcast.
+# ---------------------------------------------------------------------------
+def q40_red_part_suppliers(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    part = table(spark, sf, "part")
+    supp = table(spark, sf, "supplier")
+    nation = table(spark, sf, "nation")
+    red = F.broadcast(part.where(F.col("p_name").like("red%")).select("p_partkey"))
+    shipped = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+        )
+        .join(red, li.l_partkey == red.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(F.broadcast(shipped), supp.s_suppkey == shipped.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+_Q40_SQL = """
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(l_quantity) > 50
+)
+"""
+
+
+# ---------------------------------------------------------------------------
 # q35 — approx distinct (A6 at scale: HLL sketch instead of exact shuffle).
 # No oracle: HLL implementations differ across engines; the estimate is
 # asserted within ±5% of exact in tests, and the driver records rows-only.
@@ -608,4 +738,7 @@ QUERIES: dict[str, Query] = {
     ),
     "q36_hourly_rollup": Query(q36_hourly_rollup, _Q36_SQL),
     "q37_asof_join": Query(q37_asof_join, _Q37_SQL),
+    "q38_small_qty_revenue": Query(q38_small_qty_revenue, _Q38_SQL),
+    "q39_large_volume_orders": Query(q39_large_volume_orders, _Q39_SQL),
+    "q40_red_part_suppliers": Query(q40_red_part_suppliers, _Q40_SQL),
 }
