@@ -90,6 +90,30 @@ class TableStore:
         w.parquet(self.path(name))
         self.spark.catalog.refreshByPath(self.path(name))
 
+    def overwrite_partitions(
+        self, name: str, df: DataFrame, partition_by: Sequence[str]
+    ) -> None:
+        """Dynamic partition overwrite: replace ONLY the partitions present
+        in ``df``, leaving every other partition's files untouched.
+
+        This is the 100 TB incremental-write path (reference:
+        services/normalizer/db_operations.py:414 batch upsert, re-expressed
+        as partition-scoped file replacement): a daily merge that touches 1
+        of 1000 date partitions rewrites ~0.1% of the table instead of all
+        of it, and concurrent readers of other partitions are unaffected.
+        The conf is saved/restored so the session-wide STATIC default (the
+        safe mode for full overwrites) still applies elsewhere."""
+        conf = self.spark.conf
+        prev = conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            df.write.mode("overwrite").partitionBy(*partition_by).parquet(
+                self.path(name)
+            )
+        finally:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        self.spark.catalog.refreshByPath(self.path(name))
+
     def rewrite(self, name: str, df: DataFrame) -> None:
         """Safe read-modify-write: materialize to a temp dir first (the
         plan reads the files being replaced), then swap. refreshByPath

@@ -55,12 +55,18 @@ def stream_normalize(
     raw_dir: str,
     run_ts,
     checkpoint_dir: str | None = None,
+    processing_time: str | None = None,
 ):
     """The reference's extract→normalize→merge loop as a streaming query:
     new raw-landing files become micro-batches; each batch runs the SAME
     normalize_common + merge_into_staging operators inside foreachBatch
     (within-batch window dedup is legal there — the batch frame is a
-    plain DataFrame). Returns the started StreamingQuery (availableNow)."""
+    plain DataFrame). Returns the started StreamingQuery.
+
+    Trigger modes: default drains what exists and stops (availableNow —
+    the reference's daily-batch DAG run); ``processing_time`` (e.g.
+    ``"5 seconds"``) keeps the query live, polling the landing dir each
+    interval — the continuous-ingest deployment of the same pipeline."""
     from job_etl_spark.pipeline.normalize import merge_into_staging, normalize_common
     from job_etl_spark.schema import RAW_SCHEMA, STAGING_SCHEMA
     from job_etl_spark.sources.base import common_from_raw
@@ -73,7 +79,11 @@ def stream_normalize(
         staging = store.read("staging_job_postings", STAGING_SCHEMA)
         store.rewrite("staging_job_postings", merge_into_staging(staging, res.normalized))
 
-    writer = stream.writeStream.foreachBatch(_batch).trigger(availableNow=True)
+    writer = stream.writeStream.foreachBatch(_batch)
+    if processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    else:
+        writer = writer.trigger(availableNow=True)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()

@@ -75,3 +75,22 @@ def test_pipeline_idempotent_rerun(spark):
     store = TableStore(spark, wh)
     assert store.read("staging_job_postings").count() == 30
     assert all(r.passed for r in run_dq(store))
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """overwrite_partitions replaces only the partitions present in the
+    incoming frame — the 100 TB incremental-write path."""
+    store = TableStore(spark, str(tmp_path))
+    base = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 10), ("c", 100)], "src string, v int"
+    )
+    store.write("t", base, partition_by=["src"])
+    patch = spark.createDataFrame([("b", 99)], "src string, v int")
+    store.overwrite_partitions("t", patch, partition_by=["src"])
+    out = {(r["src"], r["v"]) for r in store.read("t").collect()}
+    # a and c untouched; b fully replaced
+    assert out == {("a", 1), ("a", 2), ("c", 100), ("b", 99)}
+    # conf restored to the safe session default
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper() == "STATIC"
+    )

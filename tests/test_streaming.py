@@ -97,3 +97,50 @@ def test_foreach_batch_merge_idempotent(spark):
     merge(upd, 2)
     r = store.read("t").where(F.col("hash_key") == "k1").first()
     assert r["seen"] == 9 and r["v"] == "a"  # overwrite bumped, coalesce kept
+
+
+def test_stream_normalize_continuous_trigger(spark):
+    """processingTime trigger: the query stays live and picks up files
+    landed AFTER start — the continuous-ingest deployment mode."""
+    import datetime as dt
+    import time
+
+    from job_etl_spark.sources.base import land_raw
+    from job_etl_spark.sources.mock_adapter import MockAdapter
+    from job_etl_spark.streaming import stream_normalize
+
+    run_ts = dt.datetime(2026, 1, 1, 7, 0, 0)
+    # the mock's identity pool cycles with period 30 → N jobs yield
+    # min(N, 30) distinct identities
+    adapter = MockAdapter(num_jobs=60)
+    jobs = adapter.fetch_all()
+    raw_dir = tempfile.mkdtemp(prefix="jobspark_rawcont_")
+    ckpt = tempfile.mkdtemp(prefix="jobspark_ckptcont_")
+    store = TableStore(spark, tempfile.mkdtemp(prefix="jobspark_swhcont_"))
+
+    land_raw(spark, jobs[:20], run_ts).write.mode("append").parquet(raw_dir)
+    q = stream_normalize(
+        store, adapter, raw_dir, run_ts, ckpt, processing_time="1 second"
+    )
+    try:
+        assert q.isActive
+
+        def staging_count():
+            try:
+                return store.read("staging_job_postings").count()
+            except FileNotFoundError:
+                return 0
+
+        deadline = time.time() + 120
+        while staging_count() < 20 and time.time() < deadline:
+            time.sleep(1)
+        assert staging_count() == 20  # first drop drained: 20 identities
+        # second drop lands while the query is live: jobs 20-59 add
+        # exactly identities 20-29 (the rest are cycle duplicates)
+        land_raw(spark, jobs[20:], run_ts).write.mode("append").parquet(raw_dir)
+        while staging_count() < 30 and time.time() < deadline:
+            time.sleep(1)
+        assert staging_count() == 30
+        assert q.isActive  # still running — it did not drain-and-stop
+    finally:
+        q.stop()
