@@ -47,6 +47,9 @@ HEADLINE = [
     "q38_small_qty_revenue",
     "q39_large_volume_orders",
     "q40_red_part_suppliers",
+    "q41_rollup_hierarchy",
+    "q42_pivot_status",
+    "q43_quantity_percentiles",
 ]
 
 

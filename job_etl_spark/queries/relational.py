@@ -703,6 +703,92 @@ WHERE s_suppkey IN (
 
 
 # ---------------------------------------------------------------------------
+# q41 — ROLLUP hierarchy totals (A1 family at scale: one shuffle computes
+# every level of the (returnflag, linestatus) hierarchy via partial aggs —
+# the Spark-first replacement for N separate GROUP BYs; GROUPING() flags
+# disambiguate real NULLs from subtotal rows).
+# ---------------------------------------------------------------------------
+def q41_rollup_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice")).alias("sum_price"),
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+        )
+    )
+
+
+_Q41_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  COUNT(*) AS n_lines,
+  {sql_dsum('l_extendedprice')} AS sum_price,
+  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+  CAST(GROUPING(l_linestatus) AS INT) AS g_status
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q42 — pivot (wide conditional aggregation): one pass over the fact,
+# map-side partial aggs, no per-pivot-value rescans. Explicit pivot value
+# list keeps the plan static (no extra distinct-values job at scale).
+# ---------------------------------------------------------------------------
+def q42_pivot_status(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum(F.col("l_quantity")))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+    )
+
+
+_Q42_SQL = f"""
+SELECT l_returnflag,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,6))) FILTER (WHERE l_linestatus = 'F'), 2) AS DOUBLE) AS qty_f,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(30,6))) FILTER (WHERE l_linestatus = 'O'), 2) AS DOUBLE) AS qty_o
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# q43 — exact per-group percentiles (order statistics): Spark's native
+# `percentile` (exact, linear interpolation — same definition as DuckDB
+# quantile_cont). l_quantity is whole-numbered so the interpolation
+# arithmetic is IEEE-identical across engines. At 100 TB the swap-in is
+# approx_percentile (t-digest, mergeable) — the exact form shown here is
+# the oracle-checkable twin.
+# ---------------------------------------------------------------------------
+def q43_quantity_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("p90"),
+        F.percentile("l_quantity", F.lit(0.99)).alias("p99"),
+        F.min("l_quantity").alias("q_min"),
+        F.max("l_quantity").alias("q_max"),
+    )
+
+
+_Q43_SQL = """
+SELECT l_returnflag,
+  quantile_cont(l_quantity, 0.5) AS p50,
+  quantile_cont(l_quantity, 0.9) AS p90,
+  quantile_cont(l_quantity, 0.99) AS p99,
+  MIN(l_quantity) AS q_min,
+  MAX(l_quantity) AS q_max
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
 # q35 — approx distinct (A6 at scale: HLL sketch instead of exact shuffle).
 # No oracle: HLL implementations differ across engines; the estimate is
 # asserted within ±5% of exact in tests, and the driver records rows-only.
@@ -741,4 +827,7 @@ QUERIES: dict[str, Query] = {
     "q38_small_qty_revenue": Query(q38_small_qty_revenue, _Q38_SQL),
     "q39_large_volume_orders": Query(q39_large_volume_orders, _Q39_SQL),
     "q40_red_part_suppliers": Query(q40_red_part_suppliers, _Q40_SQL),
+    "q41_rollup_hierarchy": Query(q41_rollup_hierarchy, _Q41_SQL),
+    "q42_pivot_status": Query(q42_pivot_status, _Q42_SQL),
+    "q43_quantity_percentiles": Query(q43_quantity_percentiles, _Q43_SQL),
 }
