@@ -50,6 +50,10 @@ HEADLINE = [
     "q41_rollup_hierarchy",
     "q42_pivot_status",
     "q43_quantity_percentiles",
+    "q44_interval_join",
+    "q45_cube_matrix",
+    "q46_window_frames",
+    "q47_lone_return_supplier",
 ]
 
 

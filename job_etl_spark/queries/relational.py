@@ -789,6 +789,184 @@ GROUP BY l_returnflag
 
 
 # ---------------------------------------------------------------------------
+# q44 — interval/range join (scale-path operator the reference lacks):
+# clicks within the hour before each purchase, via the banded range join —
+# one shuffle on (user_id, time-bucket), ≤2 bucket copies per purchase, no
+# per-key cartesian, skewed users subdivided by time. Oracle: DuckDB's
+# native BETWEEN join. Counts re-aggregate on purchase_id (the left key),
+# so purchases with zero prior clicks are restored by a final left join.
+# ---------------------------------------------------------------------------
+def q44_interval_join(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.operators.range_join import banded_range_join
+
+    ev = table(spark, sf, "events")
+    hour_us = 3_600_000_000
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.unix_micros("ts").alias("click_ts_us"),
+    )
+    pairs = banded_range_join(
+        purchases.withColumnRenamed("user_id", "c_user_id"),
+        clicks,
+        keys=["c_user_id"],
+        left_val="ts_us",
+        right_val="click_ts_us",
+        lower=-hour_us,
+        upper=-1,  # strictly before the purchase
+    )
+    counts = pairs.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_prior_clicks"))
+    return (
+        purchases.join(counts, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            "user_id",
+            "ts_us",
+            F.coalesce(F.col("n_prior_clicks"), F.lit(0)).alias("n_prior_clicks"),
+        )
+    )
+
+
+_Q44_SQL = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, epoch_us(ts) AS click_ts_us FROM events WHERE event_type = 'click'
+)
+SELECT p.purchase_id, p.user_id, p.ts_us,
+       CAST(COUNT(c.click_ts_us) AS BIGINT) AS n_prior_clicks
+FROM p LEFT JOIN c
+  ON p.user_id = c.user_id
+ AND c.click_ts_us BETWEEN p.ts_us - 3600000000 AND p.ts_us - 1
+GROUP BY p.purchase_id, p.user_id, p.ts_us
+"""
+
+
+# ---------------------------------------------------------------------------
+# q45 — CUBE over two dimensions (every subtotal combination in ONE
+# shuffle via partial-agg expansion; grouping_id() disambiguates subtotal
+# rows from real NULLs). The Spark-first replacement for 4 separate
+# GROUP BY passes over a 100 TB fact.
+# ---------------------------------------------------------------------------
+def q45_cube_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    orders = table(spark, sf, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+_Q45_SQL = f"""
+SELECT o_orderpriority, o_orderstatus,
+  COUNT(*) AS n_orders,
+  {sql_dsum('o_totalprice')} AS sum_price,
+  CAST(GROUPING(o_orderpriority, o_orderstatus) AS INT) AS gid
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q46 — window frames (the §2.5 surface beyond row_number): lag/lead,
+# a ROWS-frame moving sum, and ntile quartiles in a single window pass —
+# one shuffle on user_id, total order (ts, event_id) for determinism.
+# The moving sum goes through exact DECIMAL addends (frame sums are
+# accumulation-order-dependent in raw double).
+# ---------------------------------------------------------------------------
+def q46_window_frames(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w3 = w.rowsBetween(-2, Window.currentRow)
+    return clicks.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(F.sum(F.col("value").cast(DEC)).over(w3), 2)
+        .cast("double")
+        .alias("mov_sum3"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+_Q46_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+  LAG(value) OVER w AS prev_value,
+  LEAD(value) OVER w AS next_value,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))) OVER (
+    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS mov_sum3,
+  CAST(NTILE(4) OVER w AS INT) AS quartile
+FROM events
+WHERE event_type = 'click'
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q47 — TPC-H Q21 shape (multi-EXISTS self-correlation): suppliers who
+# were the ONLY supplier with a returned line in a multi-supplier order.
+# Decorrelated Spark-first: ONE groupBy over lineitem computes both
+# correlated existence counts (distinct suppliers / distinct returning
+# suppliers per order), the tiny surviving key set broadcasts back onto
+# the returned rows, and supplier is a broadcast dim — the fact shuffles
+# once, vs. the literal plan's two correlated rescans.
+# ---------------------------------------------------------------------------
+def q47_lone_return_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    supp = table(spark, sf, "supplier")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(
+                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+            ).alias("n_ret_supp"),
+        )
+        .where((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+        .select("l_orderkey")
+    )
+    blamed = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(F.broadcast(per_order), "l_orderkey")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
+    return top_k(blamed, [F.desc("numwait"), F.asc("s_suppkey")], 10)
+
+
+_Q47_SQL = """
+WITH lone AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING COUNT(DISTINCT l_suppkey) > 1
+     AND COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) = 1
+)
+SELECT s_suppkey, s_name, COUNT(DISTINCT l.l_orderkey) AS numwait
+FROM lineitem l
+JOIN lone ON l.l_orderkey = lone.l_orderkey
+JOIN supplier ON s_suppkey = l.l_suppkey
+WHERE l.l_returnflag = 'R'
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # q35 — approx distinct (A6 at scale: HLL sketch instead of exact shuffle).
 # No oracle: HLL implementations differ across engines; the estimate is
 # asserted within ±5% of exact in tests, and the driver records rows-only.
@@ -830,4 +1008,8 @@ QUERIES: dict[str, Query] = {
     "q41_rollup_hierarchy": Query(q41_rollup_hierarchy, _Q41_SQL),
     "q42_pivot_status": Query(q42_pivot_status, _Q42_SQL),
     "q43_quantity_percentiles": Query(q43_quantity_percentiles, _Q43_SQL),
+    "q44_interval_join": Query(q44_interval_join, _Q44_SQL),
+    "q45_cube_matrix": Query(q45_cube_matrix, _Q45_SQL),
+    "q46_window_frames": Query(q46_window_frames, _Q46_SQL),
+    "q47_lone_return_supplier": Query(q47_lone_return_supplier, _Q47_SQL),
 }

@@ -53,3 +53,28 @@ def test_salted_join_matches_plain(spark):
     plain = orders.join(cust, "o_custkey").count()
     salted = salted_join(orders, cust, ["o_custkey"]).count()
     assert salted == plain
+
+
+def test_banded_range_join_matches_naive(spark):
+    """Bucketed plan == naive equi-join + range filter, including with a
+    band narrower than the span (>2 covering buckets) — no duplicate or
+    missing pairs, bounds inclusive."""
+    from job_etl_spark.operators.range_join import banded_range_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 250), (3, "b", 100), (4, "c", 0)],
+        "lid int, k string, lv long",
+    )
+    right = spark.createDataFrame(
+        [(10, "a", 100), (11, "a", 150), (12, "a", 201), (13, "b", 99),
+         (14, "b", 200), (15, "x", 100)],
+        "rid int, k string, rv long",
+    )
+    naive = left.join(right.withColumnRenamed("k", "k2"),
+                      (F.col("k") == F.col("k2"))
+                      & (F.col("rv") >= F.col("lv"))
+                      & (F.col("rv") <= F.col("lv") + 100))
+    expect = sorted((r["lid"], r["rid"]) for r in naive.collect())
+    for band in (100, 37, 250):
+        got = banded_range_join(left, right, ["k"], "lv", "rv", 0, 100, band=band)
+        assert sorted((r["lid"], r["rid"]) for r in got.collect()) == expect, band
