@@ -16,10 +16,16 @@ from job_etl_spark.streaming.pipeline import (
     stream_normalize,
     windowed_event_stats,
 )
+from job_etl_spark.streaming.stateful import (
+    session_stats_native,
+    sessionize_stateful,
+)
 
 __all__ = [
     "stream_from_directory",
     "windowed_event_stats",
     "foreach_batch_merge",
     "stream_normalize",
+    "session_stats_native",
+    "sessionize_stateful",
 ]

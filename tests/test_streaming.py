@@ -144,3 +144,103 @@ def test_stream_normalize_continuous_trigger(spark):
         assert q.isActive  # still running — it did not drain-and-stop
     finally:
         q.stop()
+
+
+def test_session_window_native_stream_equals_batch(spark):
+    """Native session_window: streaming availableNow result == batch
+    result over the same events."""
+    from job_etl_spark.streaming import session_stats_native
+
+    events = table(spark, SF_SMOKE, "events")
+    src = tempfile.mkdtemp(prefix="jobspark_sess_src_")
+    events.write.mode("overwrite").parquet(src)
+
+    batch = {
+        (r["user_id"], r["start_us"]): (r["n_events"], round(r["session_value"], 6))
+        for r in session_stats_native(events).collect()
+    }
+    out_rows = []
+    q = (
+        session_stats_native(stream_from_directory(spark, src, events.schema))
+        .writeStream.outputMode("complete")
+        .foreachBatch(lambda df, _b: out_rows.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = {
+        (r["user_id"], r["start_us"]): (r["n_events"], round(r["session_value"], 6))
+        for r in out_rows
+    }
+    assert streamed == batch and len(batch) > 0
+
+
+def test_sessionize_stateful_applyinpandas(spark):
+    """applyInPandasWithState sessionization: two micro-batch drops; the
+    second drop's events close the first drop's sessions across the batch
+    boundary (state carried in the state store), and a final far-future
+    flush event closes everything else. Emitted sessions must equal the
+    batch gap-sessionization of the real events."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    from job_etl_spark.streaming import sessionize_stateful
+
+    def ev(uid, minute, value):
+        return (uid, dt.datetime(2026, 1, 1, 10 + minute // 60, minute % 60), value)
+
+    # user 1: two sessions (gap at 40 min); user 2: one session
+    drop1 = [ev(1, 0, 1.0), ev(1, 10, 2.0), ev(2, 5, 5.0)]
+    drop2 = [ev(1, 50, 3.0), ev(1, 55, 4.0), ev(2, 20, 6.0)]
+    flush = [(uid, dt.datetime(2026, 6, 1), 0.0) for uid in (1, 2)]
+    schema = "user_id long, ts timestamp, value double"
+
+    src = tempfile.mkdtemp(prefix="jobspark_stateful_src_")
+    ckpt = tempfile.mkdtemp(prefix="jobspark_stateful_ckpt_")
+    out_rows = []
+
+    def run_drop(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        q = (
+            sessionize_stateful(stream_from_directory(spark, src, schema))
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, _b: out_rows.extend(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_drop(drop1)
+    run_drop(drop2)
+    run_drop(flush)
+
+    got = {
+        (r["user_id"], r["start_us"]): (r["end_us"], r["n_events"], r["session_value"])
+        for r in out_rows
+        if r["start_us"] < int(dt.datetime(2026, 6, 1).timestamp()) * 1_000_000
+    }
+
+    # batch twin (q34 logic) over the real events
+    batch_ev = spark.createDataFrame(drop1 + drop2, schema)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag(F.unix_micros("ts")).over(w)
+    sess = batch_ev.withColumn(
+        "new_sess",
+        F.when(prev.isNull() | (F.unix_micros("ts") - prev > 30 * 60 * 1_000_000), 1).otherwise(0),
+    ).withColumn(
+        "sid", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+    expect = {
+        (r["user_id"], r["start_us"]): (r["end_us"], r["n"], r["total"])
+        for r in sess.groupBy("user_id", "sid")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("start_us"),
+            F.max(F.unix_micros("ts")).alias("end_us"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("total"),
+        )
+        .collect()
+    }
+    assert got == expect and len(expect) == 3
