@@ -54,6 +54,7 @@ HEADLINE = [
     "q45_cube_matrix",
     "q46_window_frames",
     "q47_lone_return_supplier",
+    "q48_ann_ivf",
 ]
 
 

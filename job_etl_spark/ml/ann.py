@@ -73,6 +73,80 @@ def brute_force_topk(
     )
 
 
+def assign_centroid(
+    vec: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Map-only coarse quantization: nearest centroid id by cosine, ties
+    to the smallest id. A ``greatest()`` fold over (sim, -id) structs —
+    no shuffle, no window, scales as a pure projection. ``centroids`` is
+    the collected codebook (bounded: C rows)."""
+    entries = [
+        F.struct(
+            cosine_expr(vec, F.array(*[F.lit(x) for x in cvec])).alias("s"),
+            F.lit(-cid).alias("n"),
+        )
+        for cid, cvec in centroids
+    ]
+    return (-F.greatest(*entries).getField("n")).cast("int")
+
+
+def ivf_topk(
+    corpus: DataFrame, query_pred, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "vec",
+    n_centroids: int = 16, nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the classic ANN scale path:
+
+    1. coarse codebook: a deterministic centroid set (the ``n_centroids``
+       smallest-id vectors; swap in k-means centroids at deployment —
+       the operator only needs SOME fixed codebook);
+    2. assignment: every corpus row gets its nearest centroid via the
+       shuffle-free ``assign_centroid`` projection → the corpus is
+       implicitly partitioned into C inverted lists;
+    3. probe: each query ranks the codebook and searches only its
+       ``nprobe`` nearest lists — the candidate join is keyed on
+       centroid_id, so per-query work drops from O(N) to O(N·nprobe/C);
+    4. exact cosine re-rank inside the probed lists.
+
+    Recall/cost tunes with (n_centroids, nprobe); nprobe == n_centroids
+    degenerates to the exact brute force."""
+    cents = [
+        (r["_cid"], r["_cvec"])
+        for r in corpus.where(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
+        .collect()
+    ]
+    assigned = corpus.withColumn(
+        "centroid_id", assign_centroid(F.col(vec_col), cents)
+    )
+    queries = corpus.where(query_pred).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    cent_df = F.broadcast(
+        queries.sparkSession.createDataFrame(
+            [(cid, cvec) for cid, cvec in cents], "c_id int, c_vec array<double>"
+        )
+    )
+    wprobe = Window.partitionBy("q_id").orderBy(F.desc("c_sim"), F.asc("c_id"))
+    probes = (
+        queries.crossJoin(cent_df)
+        .withColumn("c_sim", cosine_expr(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("prn", F.row_number().over(wprobe))
+        .where(F.col("prn") <= nprobe)
+        .select("q_id", "q_vec", F.col("c_id").alias("centroid_id"))
+    )
+    pairs = assigned.join(F.broadcast(probes), "centroid_id").where(
+        F.col(id_col) != F.col("q_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        pairs.withColumn("sim", cosine_expr(F.col("q_vec"), F.col(vec_col)))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("q_id", "rn", F.col(id_col).alias("neighbor_id"), "sim")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame, query_pred, k: int = 3,
     id_col: str = "vec_id", vec_col: str = "vec",

@@ -454,6 +454,69 @@ FROM ranked WHERE rn <= 3
 
 
 # ---------------------------------------------------------------------------
+# q48 — IVF (inverted-file) ANN: the second scale path next to LSH (q32).
+# Deterministic coarse codebook (smallest-id vectors stand in for k-means
+# centroids), shuffle-free nearest-centroid assignment (a greatest() fold
+# over (sim, -id) structs — a pure projection), nprobe-limited candidate
+# join keyed on centroid_id, exact cosine re-rank inside the probed
+# lists. Per-query work: O(N·nprobe/C) instead of O(N).
+# ---------------------------------------------------------------------------
+def q48_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.ml.ann import ivf_topk
+
+    emb = table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    out = ivf_topk(
+        emb, F.col("vec_id") < 10, k=5, n_centroids=16, nprobe=2
+    )
+    return out.select(
+        "q_id", "rn", "neighbor_id", dround(F.col("sim"), 6).alias("cosine")
+    )
+
+
+_Q48_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+_Q48_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings
+), c AS (
+  SELECT vec_id AS c_id, vec AS c_vec FROM e WHERE vec_id < 16
+), asg AS (
+  SELECT vec_id, vec, c_id AS centroid_id FROM (
+    SELECT e.vec_id, e.vec, c.c_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {_Q48_COS.format(a='e.vec', b='c.c_vec')} DESC, c.c_id ASC) AS arn
+    FROM e CROSS JOIN c) t
+  WHERE arn = 1
+), q AS (
+  SELECT vec_id AS q_id, vec AS q_vec FROM e WHERE vec_id < 10
+), probe AS (
+  SELECT q_id, q_vec, c_id AS centroid_id FROM (
+    SELECT q.q_id, q.q_vec, c.c_id,
+      row_number() OVER (PARTITION BY q.q_id ORDER BY
+        {_Q48_COS.format(a='q.q_vec', b='c.c_vec')} DESC, c.c_id ASC) AS prn
+    FROM q CROSS JOIN c) t
+  WHERE prn <= 2
+), scored AS (
+  SELECT p.q_id, a.vec_id,
+    {_Q48_COS.format(a='p.q_vec', b='a.vec')} AS sim
+  FROM probe p JOIN asg a ON a.centroid_id = p.centroid_id
+  WHERE a.vec_id <> p.q_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT q_id, rn, vec_id AS neighbor_id,
+  CAST(ROUND(CAST(sim AS DECIMAL(24,10)), 6) AS DOUBLE) AS cosine
+FROM ranked WHERE rn <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
 # q29 — MinHash-LSH near-dup candidates (shingle→minhash→band→bucket-join)
 # ---------------------------------------------------------------------------
 def q29_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -590,4 +653,5 @@ QUERIES: dict[str, Query] = {
     "q30_simhash": Query(q30_simhash, _Q30_SQL),
     "q31_simhash_neardup": Query(q31_simhash_neardup, _Q31_SQL),
     "q32_ann_lsh_bucketed": Query(q32_ann_lsh_bucketed, _q32_sql()),
+    "q48_ann_ivf": Query(q48_ann_ivf, _Q48_SQL),
 }

@@ -78,3 +78,22 @@ def test_banded_range_join_matches_naive(spark):
     for band in (100, 37, 250):
         got = banded_range_join(left, right, ["k"], "lv", "rv", 0, 100, band=band)
         assert sorted((r["lid"], r["rid"]) for r in got.collect()) == expect, band
+
+
+def test_ivf_degenerates_to_brute_force(spark):
+    """nprobe == n_centroids searches every inverted list → exactly the
+    brute-force result; and with nprobe=2 every neighbor comes from a
+    probed list (the approximation is structural, not a bug)."""
+    from job_etl_spark.ml.ann import brute_force_topk, ivf_topk
+
+    emb = table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    pred = F.col("vec_id") < 5
+    exact = {(r["q_id"], r["rn"]): r["neighbor_id"]
+             for r in brute_force_topk(emb, emb.where(pred), k=3).collect()}
+    full_probe = {(r["q_id"], r["rn"]): r["neighbor_id"]
+                  for r in ivf_topk(emb, pred, k=3, n_centroids=8, nprobe=8).collect()}
+    assert full_probe == exact and len(exact) == 15
+    approx = ivf_topk(emb, pred, k=3, n_centroids=8, nprobe=2)
+    assert approx.count() == 15  # full k returned for every query
