@@ -55,6 +55,8 @@ HEADLINE = [
     "q46_window_frames",
     "q47_lone_return_supplier",
     "q48_ann_ivf",
+    "q49_variant_extract",
+    "q50_bilateral_trade",
 ]
 
 

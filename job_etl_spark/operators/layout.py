@@ -1,0 +1,67 @@
+"""Physical-layout operators: clustered writes for scan pruning.
+
+At 100 TB the fastest scan is the one that never reads the file: parquet
+readers prune whole files/row-groups whose column min/max statistics
+exclude the predicate. That only works if the writer CLUSTERS rows so
+per-file ranges are disjoint — the Spark-native equivalent of
+Delta/Iceberg ``CLUSTER BY`` (Z-order-lite for a single sort axis):
+
+    repartitionByRange(cols)        → range-disjoint output partitions
+    .sortWithinPartitions(cols)     → monotone row-groups inside each file
+
+``files_matching_predicate`` counts, from the parquet footers alone, how
+many files a ``[lo, hi]`` predicate must open — the exact pruning logic
+a reader applies, usable as a layout-quality metric and in tests.
+
+The reference has no analog (single Postgres heap + btree indexes); this
+replaces its `idx_fact_jobs_rank_score`-style index tuning
+(scripts/bootstrap_db.sql:156-159) for immutable columnar storage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    num_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet range-clustered on ``cluster_cols``: file
+    k holds the k-th contiguous range of the sort key, each file's
+    row-groups internally sorted — min/max footers become an index."""
+    (
+        df.repartitionByRange(num_files, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def files_matching_predicate(path: str, column: str, lo, hi) -> tuple[int, int]:
+    """(files whose [min,max] intersects [lo,hi], total files) — computed
+    from parquet footer statistics exactly as a pruning reader would."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    hits = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == column and col.statistics is not None:
+                    s = col.statistics
+                    if s.has_min_max:
+                        fmin = s.min if fmin is None else min(fmin, s.min)
+                        fmax = s.max if fmax is None else max(fmax, s.max)
+        if fmin is None or (fmax >= lo and fmin <= hi):
+            hits += 1  # unknown stats → must read
+    return hits, len(files)

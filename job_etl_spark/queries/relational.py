@@ -967,6 +967,104 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# q50 — TPC-H Q7 shape: bilateral volume between two nations, the
+# role-playing-dimension pattern (nation joined TWICE under different
+# roles: customer's vs supplier's). Both nation filters broadcast and
+# prune their fact side BEFORE the single big lineitem⋈orders shuffle;
+# the (cust_nation, supp_nation, year) agg is a rollup-friendly partial
+# agg. Year bucketing via native year() on the NTZ shipdate (tz-free).
+# ---------------------------------------------------------------------------
+def q50_bilateral_trade(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    supp = table(spark, sf, "supplier")
+    nation = table(spark, sf, "nation")
+    pair = ["NATION_1", "NATION_2"]
+    n = nation.where(F.col("n_name").isin(pair))
+    cust_n = F.broadcast(
+        cust.join(F.broadcast(n), cust.c_nationkey == n.n_nationkey).select(
+            "c_custkey", F.col("n_name").alias("cust_nation")
+        )
+    )
+    supp_n = F.broadcast(
+        supp.join(F.broadcast(n), supp.s_nationkey == n.n_nationkey).select(
+            "s_suppkey", F.col("n_name").alias("supp_nation")
+        )
+    )
+    return (
+        li.join(supp_n, li.l_suppkey == supp_n.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_n, orders.o_custkey == cust_n.c_custkey)
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q50_SQL = f"""
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+  CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+  {sql_dsum('l_extendedprice*(1-l_discount)')} AS volume,
+  COUNT(*) AS n_lines
+FROM lineitem
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name <> sn.n_name
+GROUP BY cust_nation, supp_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# q49 — VariantType JSON path (the modern twin of q13's get_json_object):
+# try_parse_json parses each payload ONCE into Spark 4's binary Variant
+# encoding; every subsequent variant_get is a typed offset lookup, not a
+# string re-parse — the right shape when one 100 TB payload column feeds
+# many extractions. try_* keeps ANSI mode null-on-malformed. Per-event
+# typed extraction + a variant-derived filter, then the same agg as q13
+# (oracle: plain JSON SQL — the value surface is identical, only the
+# physical encoding differs).
+# ---------------------------------------------------------------------------
+def q49_variant_extract(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    v = F.try_parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        ev.withColumn("k_val", k)
+        .where(F.col("k_val").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_with_k"),
+            F.sum("k_val").alias("sum_k"),
+            F.count(F.when(F.col("k_val") % 2 == 0, 1)).alias("n_even"),
+        )
+    )
+
+
+_Q49_SQL = """
+SELECT event_type,
+  COUNT(*) AS n_with_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+  COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) % 2 = 0 THEN 1 END) AS n_even
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # q35 — approx distinct (A6 at scale: HLL sketch instead of exact shuffle).
 # No oracle: HLL implementations differ across engines; the estimate is
 # asserted within ±5% of exact in tests, and the driver records rows-only.
@@ -1012,4 +1110,6 @@ QUERIES: dict[str, Query] = {
     "q45_cube_matrix": Query(q45_cube_matrix, _Q45_SQL),
     "q46_window_frames": Query(q46_window_frames, _Q46_SQL),
     "q47_lone_return_supplier": Query(q47_lone_return_supplier, _Q47_SQL),
+    "q49_variant_extract": Query(q49_variant_extract, _Q49_SQL),
+    "q50_bilateral_trade": Query(q50_bilateral_trade, _Q50_SQL),
 }

@@ -97,3 +97,32 @@ def test_ivf_degenerates_to_brute_force(spark):
     assert full_probe == exact and len(exact) == 15
     approx = ivf_topk(emb, pred, k=3, n_centroids=8, nprobe=2)
     assert approx.count() == 15  # full k returned for every query
+
+
+def test_clustered_write_enables_file_skipping(spark):
+    """Range-clustered layout: a month-wide shipdate predicate must open
+    ~1-2 of 8 files; the same data written unclustered leaves every file
+    overlapping the predicate (no pruning possible)."""
+    import tempfile
+
+    from job_etl_spark.operators.layout import (
+        files_matching_predicate,
+        write_clustered,
+    )
+
+    li = table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_shipdate")
+    base = tempfile.mkdtemp(prefix="jobspark_layout_")
+    clustered, scattered = f"{base}/clustered", f"{base}/scattered"
+    write_clustered(li, clustered, ["l_shipdate"], num_files=8)
+    li.repartition(8).write.mode("overwrite").parquet(scattered)
+
+    import datetime as dt
+
+    lo, hi = dt.datetime(1996, 3, 1), dt.datetime(1996, 3, 31)
+    c_hits, c_total = files_matching_predicate(clustered, "l_shipdate", lo, hi)
+    s_hits, s_total = files_matching_predicate(scattered, "l_shipdate", lo, hi)
+    assert c_total == 8 and s_total == 8
+    assert c_hits <= 2, f"clustered layout should skip most files, hit {c_hits}"
+    assert s_hits == 8, "random layout cannot skip"
+    # layout changes bytes, never rows
+    assert spark.read.parquet(clustered).count() == li.count()
