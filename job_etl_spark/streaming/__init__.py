@@ -17,6 +17,7 @@ from job_etl_spark.streaming.pipeline import (
     windowed_event_stats,
 )
 from job_etl_spark.streaming.stateful import (
+    interval_join_stream,
     session_stats_native,
     sessionize_stateful,
 )
@@ -28,4 +29,5 @@ __all__ = [
     "stream_normalize",
     "session_stats_native",
     "sessionize_stateful",
+    "interval_join_stream",
 ]

@@ -74,6 +74,33 @@ def session_stats_native(
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    lower: str = "interval 1 hour",
+    upper: str = "interval 0 seconds",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: match right rows with
+    ``right_ts ∈ [left_ts − lower, left_ts + upper]`` on the same key.
+    Both sides carry watermarks, so the join's buffered state is evicted
+    once event time passes the interval + watermark — bounded state, the
+    streaming twin of the batch ``banded_range_join`` (q44). ``left_ts``
+    and ``right_ts`` must be distinct column names (rename before
+    calling); matched pairs emit as soon as both rows have arrived."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & F.expr(f"{right_ts} >= {left_ts} - {lower}")
+        & F.expr(f"{right_ts} <= {left_ts} + {upper}")
+    )
+    return l.join(r, cond, "inner").drop(r[key])
+
+
 def _sessionize_fn(gap_us: int):
     def fn(
         key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state

@@ -126,3 +126,21 @@ def test_clustered_write_enables_file_skipping(spark):
     assert s_hits == 8, "random layout cannot skip"
     # layout changes bytes, never rows
     assert spark.read.parquet(clustered).count() == li.count()
+
+
+def test_compact_small_files(spark):
+    """64 accreted small files → a handful after compaction; same rows;
+    optional re-clustering keeps the footer-stat index tight."""
+    import glob
+    import tempfile
+
+    from job_etl_spark.operators.layout import compact
+
+    li = table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_shipdate")
+    path = tempfile.mkdtemp(prefix="jobspark_compact_") + "/t"
+    li.repartition(64).write.parquet(path)
+    assert len(glob.glob(path + "/*.parquet")) == 64
+    before = spark.read.parquet(path).count()
+    n = compact(spark, path, target_bytes=1 << 30, cluster_cols=["l_shipdate"])
+    assert n <= 4
+    assert spark.read.parquet(path).count() == before

@@ -244,3 +244,61 @@ def test_sessionize_stateful_applyinpandas(spark):
         .collect()
     }
     assert got == expect and len(expect) == 3
+
+
+def test_interval_join_stream_equals_batch(spark):
+    """Stream-stream interval join (watermark-bounded state) produces the
+    same pairs as the batch banded_range_join over the same data."""
+    import datetime as dt
+
+    from job_etl_spark.operators.range_join import banded_range_join
+    from job_etl_spark.streaming import interval_join_stream
+
+    def t(minute):
+        return dt.datetime(2026, 1, 1, 10 + minute // 60, minute % 60)
+
+    purchases = [(100 + i, 1 + i % 2, t(m)) for i, m in enumerate([30, 45, 90])]
+    clicks = [(200 + i, 1 + i % 2, t(m)) for i, m in enumerate([0, 20, 40, 85])]
+    p_schema = "purchase_id long, user_id long, p_ts timestamp"
+    c_schema = "click_id long, user_id long, c_ts timestamp"
+    p_dir = tempfile.mkdtemp(prefix="jobspark_ssj_p_")
+    c_dir = tempfile.mkdtemp(prefix="jobspark_ssj_c_")
+    spark.createDataFrame(purchases, p_schema).write.mode("append").parquet(p_dir)
+    spark.createDataFrame(clicks, c_schema).write.mode("append").parquet(c_dir)
+
+    joined = interval_join_stream(
+        stream_from_directory(spark, p_dir, p_schema),
+        stream_from_directory(spark, c_dir, c_schema),
+        key="user_id",
+        left_ts="p_ts",
+        right_ts="c_ts",
+        lower="interval 1 hour",
+        upper="interval 0 seconds",
+    )
+    assert joined.isStreaming
+    out = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _b: out.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted((r["purchase_id"], r["click_id"]) for r in out)
+
+    hour_us = 3_600_000_000
+    batch = banded_range_join(
+        spark.createDataFrame(purchases, p_schema).withColumn(
+            "ts_us", F.unix_micros("p_ts")
+        ),
+        spark.createDataFrame(clicks, c_schema).withColumn(
+            "c_ts_us", F.unix_micros("c_ts")
+        ),
+        keys=["user_id"],
+        left_val="ts_us",
+        right_val="c_ts_us",
+        lower=-hour_us,
+        upper=0,
+    )
+    expect = sorted((r["purchase_id"], r["click_id"]) for r in batch.collect())
+    assert got == expect and len(expect) > 0
