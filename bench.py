@@ -57,6 +57,9 @@ HEADLINE = [
     "q48_ann_ivf",
     "q49_variant_extract",
     "q50_bilateral_trade",
+    "q51_top_supplier",
+    "q52_except_customers",
+    "q53_argmax_aggregates",
 ]
 
 

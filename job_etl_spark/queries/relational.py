@@ -1028,6 +1028,112 @@ GROUP BY cust_nation, supp_nation, l_year
 
 
 # ---------------------------------------------------------------------------
+# q51 — TPC-H Q15 shape: top supplier(s) by quarterly revenue — an
+# aggregate filtered against its own global max (ties kept). Spark-first
+# decorrelation: revenue agg once (one shuffle), global max as a 1-row
+# broadcast cross join (no second scan, no driver round-trip), filter.
+# ---------------------------------------------------------------------------
+def q51_top_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    supp = table(spark, sf, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    best = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .where(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q51_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+    {sql_dsum("l_extendedprice*(1-l_discount)")} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q52 — multiset set-ops (§2.7 beyond the reference's implicit unions):
+# customers ordering in 1995 but not 1996 via exceptAll on key multisets,
+# then distinct + broadcast-join back for names. exceptAll plans as a
+# single hash aggregation over tagged counts — one shuffle, no N²
+# NOT-IN semantics, null-safe by construction.
+# ---------------------------------------------------------------------------
+def q52_except_customers(spark: SparkSession, sf: str) -> DataFrame:
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+
+    def keys_in(year: int):
+        return orders.where(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01"))
+        ).select("o_custkey")
+
+    lost = keys_in(1995).exceptAll(keys_in(1996)).distinct()
+    return (
+        lost.join(F.broadcast(cust), lost.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+_Q52_SQL = """
+WITH lost AS (
+  SELECT DISTINCT o_custkey FROM (
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  ) t
+)
+SELECT c_custkey, c_name, c_mktsegment
+FROM lost JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# q53 — argmax/argmin aggregates (max_by/min_by): the single-pass
+# replacement for the DISTINCT-ON window when only one column is wanted.
+# Ordering key is a (value, event_id) struct so ties resolve
+# deterministically in both engines.
+# ---------------------------------------------------------------------------
+def q53_argmax_aggregates(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    ordkey = F.struct(F.col("value"), F.col("event_id"))
+    return ev.groupBy("event_type").agg(
+        F.max_by("event_id", ordkey).alias("top_event_id"),
+        F.min_by("event_id", ordkey).alias("bottom_event_id"),
+        F.max("value").alias("max_value"),
+        F.min("value").alias("min_value"),
+    )
+
+
+_Q53_SQL = """
+SELECT event_type,
+  first(event_id ORDER BY value DESC, event_id DESC) AS top_event_id,
+  first(event_id ORDER BY value ASC, event_id ASC) AS bottom_event_id,
+  MAX(value) AS max_value,
+  MIN(value) AS min_value
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # q49 — VariantType JSON path (the modern twin of q13's get_json_object):
 # try_parse_json parses each payload ONCE into Spark 4's binary Variant
 # encoding; every subsequent variant_get is a typed offset lookup, not a
@@ -1112,4 +1218,7 @@ QUERIES: dict[str, Query] = {
     "q47_lone_return_supplier": Query(q47_lone_return_supplier, _Q47_SQL),
     "q49_variant_extract": Query(q49_variant_extract, _Q49_SQL),
     "q50_bilateral_trade": Query(q50_bilateral_trade, _Q50_SQL),
+    "q51_top_supplier": Query(q51_top_supplier, _Q51_SQL),
+    "q52_except_customers": Query(q52_except_customers, _Q52_SQL),
+    "q53_argmax_aggregates": Query(q53_argmax_aggregates, _Q53_SQL),
 }
