@@ -60,6 +60,7 @@ HEADLINE = [
     "q51_top_supplier",
     "q52_except_customers",
     "q53_argmax_aggregates",
+    "q54_chunk_documents",
 ]
 
 

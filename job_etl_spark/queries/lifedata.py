@@ -527,6 +527,45 @@ FROM ranked WHERE rn <= 5
 
 
 # ---------------------------------------------------------------------------
+# q54 — fixed-window document chunking (the training-data windowing op):
+# native array expression (transform + slice over the token array), one
+# map stage, rows expand via explode — no Python, no shuffle. The UDTF
+# twin (functions/chunking.py::ChunkDocuments) is the extension point
+# for real tokenizers; tests prove it row-identical to this plan.
+# ---------------------------------------------------------------------------
+def q54_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.functions.chunking import chunks_expr, tokens_expr
+
+    docs = table(spark, sf, "documents")
+    ch = docs.select(
+        "doc_id", F.explode(chunks_expr(tokens_expr("text"))).alias("c")
+    )
+    return ch.select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.md5(F.col("c.chunk_text")).alias("chunk_md5"),
+    )
+
+
+_Q54_SQL = """
+WITH t AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+  CAST(w AS INT) AS chunk_idx,
+  CAST(least(len(toks) - w * 32, 32) AS INT) AS n_tokens,
+  md5(array_to_string(toks[w * 32 + 1 : w * 32 + 32], ' ')) AS chunk_md5
+FROM t, LATERAL (
+  SELECT unnest(range(0, CAST(ceil(len(toks) / 32.0) AS BIGINT))) AS w
+) u
+WHERE len(toks) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # q29 — MinHash-LSH near-dup candidates (shingle→minhash→band→bucket-join)
 # ---------------------------------------------------------------------------
 def q29_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -689,4 +728,5 @@ QUERIES: dict[str, Query] = {
     "q31_simhash_neardup": Query(q31_simhash_neardup, _Q31_SQL),
     "q32_ann_lsh_bucketed": Query(q32_ann_lsh_bucketed, _q32_sql()),
     "q48_ann_ivf": Query(q48_ann_ivf, _Q48_SQL),
+    "q54_chunk_documents": Query(q54_chunk_documents, _Q54_SQL),
 }

@@ -54,3 +54,39 @@ def test_datasource_matches_driver_fetch_loop(spark):
     assert sorted(r["raw_id"] for r in again.collect()) == sorted(
         r["raw_id"] for r in df.collect()
     )
+
+
+def test_chunk_udtf_matches_native(spark):
+    """The Python UDTF extension point produces row-identical chunks to
+    the native array-expression plan (including blank/whitespace docs)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udtf
+
+    from job_etl_spark.functions.chunking import (
+        ChunkDocuments,
+        chunks_expr,
+        tokens_expr,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(70))), (2, "one two"), (3, "   "),
+         (4, None), (5, "x " * 32)],
+        "doc_id long, text string",
+    )
+    native = docs.select(
+        "doc_id", F.explode(chunks_expr(tokens_expr("text"))).alias("c")
+    ).select("doc_id", "c.chunk_idx", "c.n_tokens", "c.chunk_text")
+
+    spark.udtf.register(
+        "chunk_documents",
+        udtf(ChunkDocuments,
+             returnType="doc_id bigint, chunk_idx int, n_tokens int, chunk_text string"),
+    )
+    docs.createOrReplaceTempView("chunk_in")
+    via_udtf = spark.sql(
+        "SELECT u.* FROM chunk_in, LATERAL chunk_documents(doc_id, text) u"
+    )
+    assert sorted(map(tuple, native.collect())) == sorted(map(tuple, via_udtf.collect()))
+    # doc 1 → 3 windows (32+32+6), doc 3/4 → none
+    assert native.where("doc_id = 1").count() == 3
+    assert native.where("doc_id in (3,4)").count() == 0
