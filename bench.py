@@ -61,6 +61,7 @@ HEADLINE = [
     "q52_except_customers",
     "q53_argmax_aggregates",
     "q54_chunk_documents",
+    "q55_market_share",
 ]
 
 

@@ -1028,6 +1028,78 @@ GROUP BY cust_nation, supp_nation, l_year
 
 
 # ---------------------------------------------------------------------------
+# q55 — TPC-H Q8 shape: market share (conditional-sum / sum ratio per
+# year). The numerator is a CASE inside the SAME aggregation pass as the
+# denominator — one shuffle computes both, vs. the naive two-query/self
+# -join form. Exact DECIMAL sums keep the ratio engine-identical; the
+# division happens on the rounded decimal-sourced doubles (per-row IEEE
+# division is deterministic).
+# ---------------------------------------------------------------------------
+def q55_market_share(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    supp = table(spark, sf, "supplier")
+    nation = table(spark, sf, "nation")
+    region = table(spark, sf, "region")
+    cust_r = F.broadcast(
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "REGION_1")
+        .select("c_custkey")
+    )
+    supp_n = F.broadcast(
+        supp.join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name"))),
+            supp.s_nationkey == F.col("s_nk"),
+        ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    target = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_r, orders.o_custkey == cust_r.c_custkey)
+        .join(supp_n, li.l_suppkey == supp_n.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            dsum(target).alias("target_volume"),
+            dsum(vol).alias("total_volume"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        "target_volume",
+        "total_volume",
+        F.round(
+            (F.col("target_volume") / F.col("total_volume")).cast("decimal(24,10)"), 6
+        )
+        .cast("double")
+        .alias("mkt_share"),
+    )
+
+
+_Q55_SQL = f"""
+WITH agg AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+    {sql_dsum("CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END")} AS target_volume,
+    {sql_dsum('l_extendedprice*(1-l_discount)')} AS total_volume
+  FROM lineitem
+  JOIN orders    ON l_orderkey = o_orderkey
+  JOIN customer  ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN supplier  ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'REGION_1'
+  GROUP BY o_year
+)
+SELECT o_year, target_volume, total_volume,
+  CAST(ROUND(CAST(target_volume / total_volume AS DECIMAL(24,10)), 6) AS DOUBLE) AS mkt_share
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # q51 — TPC-H Q15 shape: top supplier(s) by quarterly revenue — an
 # aggregate filtered against its own global max (ties kept). Spark-first
 # decorrelation: revenue agg once (one shuffle), global max as a 1-row
@@ -1221,4 +1293,5 @@ QUERIES: dict[str, Query] = {
     "q51_top_supplier": Query(q51_top_supplier, _Q51_SQL),
     "q52_except_customers": Query(q52_except_customers, _Q52_SQL),
     "q53_argmax_aggregates": Query(q53_argmax_aggregates, _Q53_SQL),
+    "q55_market_share": Query(q55_market_share, _Q55_SQL),
 }

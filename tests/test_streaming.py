@@ -302,3 +302,40 @@ def test_interval_join_stream_equals_batch(spark):
     )
     expect = sorted((r["purchase_id"], r["click_id"]) for r in batch.collect())
     assert got == expect and len(expect) > 0
+
+
+def test_drop_duplicates_within_watermark(spark):
+    """Streaming hash-key dedup (dropDuplicatesWithinWatermark): a
+    duplicate identity arriving in a LATER micro-batch within the
+    watermark is dropped — the streaming twin of J3's keep-first merge."""
+    import datetime as dt
+
+    def t(minute):
+        return dt.datetime(2026, 1, 1, 10, minute)
+
+    schema = "hash_key string, seen_at timestamp, payload string"
+    drop1 = [("k1", t(0), "a"), ("k2", t(1), "b")]
+    drop2 = [("k1", t(5), "a-dup"), ("k3", t(6), "c")]
+
+    src = tempfile.mkdtemp(prefix="jobspark_dedup_src_")
+    ckpt = tempfile.mkdtemp(prefix="jobspark_dedup_ckpt_")
+    out_rows = []
+
+    def run_drop(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        q = (
+            stream_from_directory(spark, src, schema)
+            .withWatermark("seen_at", "1 hour")
+            .dropDuplicatesWithinWatermark(["hash_key"])
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda df, _b: out_rows.extend(df.collect()))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_drop(drop1)
+    run_drop(drop2)
+    got = sorted((r["hash_key"], r["payload"]) for r in out_rows)
+    assert got == [("k1", "a"), ("k2", "b"), ("k3", "c")]
