@@ -1,0 +1,48 @@
+"""Plan-quality guards: every declared query must keep the physical plan
+shapes that survive a 100 TB scale-up. A regression that introduces a
+cartesian product or an unbounded nested-loop join fails here even though
+results stay correct at test scale."""
+
+from __future__ import annotations
+
+import pytest
+
+from job_etl_spark.queries import registry
+from tests.conftest import SF_SMOKE
+
+_REG = registry()
+
+# BroadcastNestedLoopJoin is acceptable ONLY where one side is a bounded
+# literal-sized frame by construction (ANN query sets × small codebooks,
+# 1-row global-max scalars)
+_BNLJ_OK = {
+    "q17_fuzzy_match",  # 5-row broadcast candidate dim (J7 demo; the
+    # pipeline's production path equi-joins on the normalized name key)
+    "q26_ann_cosine_topk",  # 10-row query set broadcast against the corpus
+    "q48_ann_ivf",  # 10-row query set × 16-row codebook probe
+    "q51_top_supplier",  # 1-row global-max cross join
+}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(_REG))
+def test_no_unbounded_join_strategies(spark, name):
+    plan = _plan(_REG[name].fn(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in _BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans an unbounded nested-loop join"
+        )
+
+
+def test_watermark_scan_pushes_filters(spark):
+    """The incremental-scan shape must push its predicate into the
+    parquet scan (PushedFilters on the raw ns column)."""
+    plan = _plan(_REG["q09_watermark_incremental"].fn(spark, SF_SMOKE))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(ts)" in plan or "GreaterThan" in plan or "ts" in plan.split(
+        "PushedFilters"
+    )[1][:200]
