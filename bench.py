@@ -62,6 +62,8 @@ HEADLINE = [
     "q53_argmax_aggregates",
     "q54_chunk_documents",
     "q55_market_share",
+    "q56_order_count_histogram",
+    "q57_inactive_rich_customers",
 ]
 
 

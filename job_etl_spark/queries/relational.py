@@ -1028,6 +1028,78 @@ GROUP BY cust_nation, supp_nation, l_year
 
 
 # ---------------------------------------------------------------------------
+# q56 — TPC-H Q13 shape: customer order-count distribution — LEFT join so
+# zero-order customers survive, then an aggregation OF an aggregation
+# (count per customer → histogram of counts). Two shuffles, both on
+# shrinking keys (custkey → count); the second input is one row per
+# customer, so the histogram agg is nearly free.
+# ---------------------------------------------------------------------------
+def q56_order_count_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+_Q56_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+"""
+
+
+# ---------------------------------------------------------------------------
+# q57 — TPC-H Q22 shape: rich-but-inactive customers — a global scalar
+# (avg positive balance) feeding a filter, plus NOT EXISTS as a left-anti
+# join. The scalar is a 1-row broadcast cross join (no driver round-trip,
+# no rescan); the anti join broadcasts the distinct order keys only after
+# aggregation. davg keeps the threshold engine-exact.
+# ---------------------------------------------------------------------------
+def q57_inactive_rich_customers(spark: SparkSession, sf: str) -> DataFrame:
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        davg(F.col("c_acctbal")).alias("avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    inactive = rich.join(
+        orders.select("o_custkey").distinct(),
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return inactive.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        dsum(F.col("c_acctbal")).alias("totacctbal"),
+    )
+
+
+_Q57_SQL = f"""
+SELECT c_mktsegment,
+  COUNT(*) AS numcust,
+  {sql_dsum('c_acctbal')} AS totacctbal
+FROM customer
+WHERE c_acctbal > (
+    SELECT {sql_davg('c_acctbal')} FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
 # q55 — TPC-H Q8 shape: market share (conditional-sum / sum ratio per
 # year). The numerator is a CASE inside the SAME aggregation pass as the
 # denominator — one shuffle computes both, vs. the naive two-query/self
@@ -1294,4 +1366,6 @@ QUERIES: dict[str, Query] = {
     "q52_except_customers": Query(q52_except_customers, _Q52_SQL),
     "q53_argmax_aggregates": Query(q53_argmax_aggregates, _Q53_SQL),
     "q55_market_share": Query(q55_market_share, _Q55_SQL),
+    "q56_order_count_histogram": Query(q56_order_count_histogram, _Q56_SQL),
+    "q57_inactive_rich_customers": Query(q57_inactive_rich_customers, _Q57_SQL),
 }

@@ -21,6 +21,7 @@ _BNLJ_OK = {
     "q26_ann_cosine_topk",  # 10-row query set broadcast against the corpus
     "q48_ann_ivf",  # 10-row query set × 16-row codebook probe
     "q51_top_supplier",  # 1-row global-max cross join
+    "q57_inactive_rich_customers",  # 1-row global-avg cross join
 }
 
 
