@@ -101,6 +101,53 @@ class JobsRestReader(DataSourceReader):
             page = int(next_token)
 
 
+class JobsRestStreamReader:
+    """SimpleDataSourceStreamReader: continuous REST ingest. The offset is
+    the next unread page number, so micro-batches are contiguous page
+    ranges — restart-safe (offsets live in the checkpoint log) and
+    replayable (``readBetweenOffsets`` re-fetches the exact range).
+    Pages that don't exist yet simply yield an empty batch; the query
+    keeps polling — the streaming twin of the batch page-range reader."""
+
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        self._pages_per_batch = max(1, int(self.options.get("pages_per_batch", 2)))
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def _rows_for(self, start_page: int, end_page: int):
+        adapter = _build_adapter(self.options)
+        collected_at = dt.datetime.fromisoformat(
+            self.options.get("collected_at") or dt.datetime.now().isoformat()
+        )
+        page = start_page
+        while page < end_page:
+            jobs, next_token = adapter.fetch(str(page) if page else None)
+            for j in jobs:
+                rid = str(
+                    uuid.uuid5(uuid.NAMESPACE_URL, f"{j.source}/{j.provider_job_id}")
+                )
+                yield (rid, j.source, json.dumps(j.payload, sort_keys=True), collected_at)
+            if next_token is None:
+                return
+            page = int(next_token)
+
+    def read(self, start: dict):
+        start_page = start["page"]
+        end_page = start_page + self._pages_per_batch
+        rows = list(self._rows_for(start_page, end_page))
+        if not rows:
+            return iter(()), start  # source drained: offset unchanged
+        return iter(rows), {"page": end_page}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows_for(start["page"], end["page"])
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: pages are immutable on the provider
+
+
 class JobsRestDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -111,3 +158,6 @@ class JobsRestDataSource(DataSource):
 
     def reader(self, schema) -> JobsRestReader:
         return JobsRestReader(self.options)
+
+    def simpleStreamReader(self, schema) -> JobsRestStreamReader:
+        return JobsRestStreamReader(self.options)

@@ -90,3 +90,42 @@ def test_chunk_udtf_matches_native(spark):
     # doc 1 → 3 windows (32+32+6), doc 3/4 → none
     assert native.where("doc_id = 1").count() == 3
     assert native.where("doc_id in (3,4)").count() == 0
+
+
+def test_datasource_streaming_reader(spark):
+    """The same registered source streams: page-number offsets advance per
+    micro-batch, and the drained stream carries exactly the batch rows."""
+    import time
+
+    spark.dataSource.register(JobsRestDataSource)
+    stream = (
+        spark.readStream.format("jobs_rest")
+        .option("adapter", "mock")
+        .option("num_jobs", 60)
+        .option("jobs_per_page", 10)
+        .option("pages_per_batch", 2)
+        .option("collected_at", "2026-01-01T07:00:00")
+        .load()
+    )
+    assert stream.isStreaming
+    seen = []
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _b: seen.extend(df.collect()))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while len(seen) < 60 and time.time() < deadline:
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert len(seen) == 60
+    batch_ids = {
+        r["raw_id"]
+        for r in _read(
+            spark, num_jobs=60, jobs_per_page=10, collected_at="2026-01-01T07:00:00"
+        ).collect()
+    }
+    assert {r["raw_id"] for r in seen} == batch_ids
