@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 from job_etl_spark.queries._util import Query, dround, sql_dround
-from job_etl_spark.tables import table
+from job_etl_spark.tables import parallel_scan, table
 
 
 def _hexint(c):
@@ -190,7 +190,7 @@ FROM s
 # q24 — document fingerprinting (content hash + min-shingle winnow hash)
 # ---------------------------------------------------------------------------
 def q24_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    docs = table(spark, sf, "documents")
+    docs = parallel_scan(table(spark, sf, "documents"))
     norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
     tokens = F.split(norm, " ")
     n = F.size(tokens)
@@ -228,7 +228,7 @@ FROM tok
 # q25 — n-gram Jaccard near-dup (blocked candidate join, no cartesian)
 # ---------------------------------------------------------------------------
 def q25_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    docs = table(spark, sf, "documents")
+    docs = parallel_scan(table(spark, sf, "documents"))
     tokens = F.split(F.lower("text"), " ")
     n = F.size(tokens)
     grams = F.array_distinct(
@@ -298,7 +298,7 @@ def _cosine(a, b):
 def q26_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = table(spark, sf, "embeddings").select(
+    emb = parallel_scan(table(spark, sf, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
     )
     queries = emb.where(F.col("vec_id") < 10).select(
@@ -339,7 +339,7 @@ FROM ranked WHERE rn <= 5
 # q27 — embedding-cosine near-dup (label-blocked pair generation)
 # ---------------------------------------------------------------------------
 def q27_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    emb = table(spark, sf, "embeddings").select(
+    emb = parallel_scan(table(spark, sf, "embeddings")).select(
         "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
     )
     a = emb.alias("a")
@@ -423,7 +423,7 @@ FROM documents
 def q32_ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     from job_etl_spark.ml.ann import lsh_bucketed_topk
 
-    emb = table(spark, sf, "embeddings").select(
+    emb = parallel_scan(table(spark, sf, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
     )
     out = lsh_bucketed_topk(emb, F.col("vec_id") < 10, k=3)
@@ -474,7 +474,7 @@ FROM ranked WHERE rn <= 3
 def q48_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     from job_etl_spark.ml.ann import ivf_topk
 
-    emb = table(spark, sf, "embeddings").select(
+    emb = parallel_scan(table(spark, sf, "embeddings")).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
     )
     out = ivf_topk(
@@ -536,7 +536,7 @@ FROM ranked WHERE rn <= 5
 def q54_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     from job_etl_spark.functions.chunking import chunks_expr, tokens_expr
 
-    docs = table(spark, sf, "documents")
+    docs = parallel_scan(table(spark, sf, "documents"))
     ch = docs.select(
         "doc_id", F.explode(chunks_expr(tokens_expr("text"))).alias("c")
     )
@@ -571,7 +571,7 @@ WHERE len(toks) > 0
 def q29_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     from job_etl_spark.ml.dedup import minhash_lsh_candidates
 
-    docs = table(spark, sf, "documents")
+    docs = parallel_scan(table(spark, sf, "documents"))
     return minhash_lsh_candidates(docs, "doc_id", "text").orderBy("doc_a", "doc_b")
 
 
@@ -618,7 +618,7 @@ _Q29_SQL = _q29_sql()
 def q30_simhash(spark: SparkSession, sf: str) -> DataFrame:
     from job_etl_spark.ml.dedup import with_simhash
 
-    docs = table(spark, sf, "documents")
+    docs = parallel_scan(table(spark, sf, "documents"))
     return with_simhash(docs, "text", "simhash").select("doc_id", "simhash")
 
 
@@ -651,7 +651,7 @@ def q31_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     # 3.5× faster than the self-join at sf0.1, identical pair multiset.
     from job_etl_spark.ml.dedup import with_simhash
 
-    docs = table(spark, sf, "documents")
+    docs = parallel_scan(table(spark, sf, "documents"))
     sigs = with_simhash(docs, "text", "simhash").select(
         "doc_id", "lang", "source", "simhash"
     )

@@ -60,6 +60,23 @@ def ts_ns_strictly_after(cutoff) -> "F.Column":
     return F.col("_ts_ns") >= (micros + 1) * 1000
 
 
+def parallel_scan(df: DataFrame) -> DataFrame:
+    """Give a compute-heavy map stage full cluster parallelism even when
+    the scan collapses to a handful of splits (a single-file,
+    single-row-group table — parquet can't be byte-range-split below the
+    row group, so a small file pins the whole stage to one core).
+
+    No-op when the scan already has ≥ defaultParallelism partitions —
+    always true for a real at-scale table — so the round-robin shuffle
+    only ever happens on inputs small enough that it costs microseconds
+    against the per-row hashing it unlocks (measured 1.7-4.5× on the
+    near-dup suite at sf0.1)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def register_all(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views so Spark SQL can reference them."""
     for name in TABLE_NAMES:
