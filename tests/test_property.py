@@ -186,3 +186,75 @@ def test_timestamp_parse_matches_python(spark, values):
 
     want = [py_parse(v) for v in values]
     assert got == want
+
+
+# --- chunking: native array expression vs pure-Python twin ----------------
+
+
+def _py_chunks(text: str | None, size: int = 32):
+    if text is None:
+        return []
+    toks = [t for t in re.split(r"\s+", text.strip().lower()) if t]
+    return [
+        (w // size, len(toks[w : w + size]), " ".join(toks[w : w + size]))
+        for w in range(0, len(toks), size)
+    ]
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.one_of(_ASCII_WS, st.none()), min_size=1, max_size=20))
+def test_chunking_matches_python(spark, texts):
+    from job_etl_spark.functions.chunking import chunks_expr, tokens_expr
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["c"]["chunk_idx"]): (r["c"]["n_tokens"], r["c"]["chunk_text"])
+        for r in df.select(
+            "doc_id", F.explode(chunks_expr(tokens_expr("text"))).alias("c")
+        ).collect()
+    }
+    expect = {
+        (i, idx): (n, txt)
+        for i, t in enumerate(texts)
+        for idx, n, txt in _py_chunks(t)
+    }
+    assert got == expect
+
+
+# --- banded range join vs naive nested-loop twin --------------------------
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 300)),
+        min_size=1,
+        max_size=15,
+    ),
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 300)),
+        min_size=1,
+        max_size=15,
+    ),
+    st.integers(1, 120),
+)
+def test_banded_range_join_matches_naive_property(spark, lrows, rrows, band):
+    from job_etl_spark.operators.range_join import banded_range_join
+
+    lo, hi = -40, 25
+    left = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(lrows)], "lid int, k string, lv long"
+    )
+    right = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rrows)], "rid int, k string, rv long"
+    )
+    expect = sorted(
+        (li, ri)
+        for li, lk, lv in ((i, k, v) for i, (k, v) in enumerate(lrows))
+        for ri, rk, rv in ((i, k, v) for i, (k, v) in enumerate(rrows))
+        if lk == rk and lv + lo <= rv <= lv + hi
+    )
+    got = banded_range_join(left, right, ["k"], "lv", "rv", lo, hi, band=band)
+    assert sorted((r["lid"], r["rid"]) for r in got.collect()) == expect
