@@ -64,6 +64,7 @@ HEADLINE = [
     "q55_market_share",
     "q56_order_count_histogram",
     "q57_inactive_rich_customers",
+    "q58_dedup_clusters",
 ]
 
 

@@ -713,6 +713,49 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
 """
 
 
+# ---------------------------------------------------------------------------
+# q58 — dedup clusters: the union-find step that turns near-dup PAIRS
+# (q31's blocked simhash output) into CLUSTERS via iterative min-label
+# propagation (ml/cluster.py). Deterministic fixpoint (component min), so
+# it oracle-checks against a DuckDB recursive-CTE transitive closure over
+# the identical pair set.
+# ---------------------------------------------------------------------------
+def q58_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.ml.cluster import connected_components
+
+    pairs = q31_simhash_neardup(spark, sf).select("doc_a", "doc_b")
+    cc = connected_components(pairs)
+    return cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("node").alias("max_doc_id"),
+    )
+
+
+_Q58_SQL = (
+    _Q31_SQL.replace('"""', "")
+    .replace("WITH tok AS (", "WITH RECURSIVE tok AS (", 1)
+    .replace(
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,",
+        ", pairs AS (\nSELECT a.doc_id AS doc_a, b.doc_id AS doc_b,",
+    )
+    + """
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), labeled AS (
+  SELECT a AS node, MIN(b) AS cluster_id FROM reach GROUP BY a
+)
+SELECT cluster_id, COUNT(*) AS n_docs, MAX(node) AS max_doc_id
+FROM labeled GROUP BY cluster_id
+"""
+)
+
+
 QUERIES: dict[str, Query] = {
     "q20_dedup_exact": Query(q20_dedup_exact, _Q20_SQL),
     "q21_token_stats": Query(q21_token_stats, _Q21_SQL),
@@ -729,4 +772,5 @@ QUERIES: dict[str, Query] = {
     "q32_ann_lsh_bucketed": Query(q32_ann_lsh_bucketed, _q32_sql()),
     "q48_ann_ivf": Query(q48_ann_ivf, _Q48_SQL),
     "q54_chunk_documents": Query(q54_chunk_documents, _Q54_SQL),
+    "q58_dedup_clusters": Query(q58_dedup_clusters, _Q58_SQL),
 }

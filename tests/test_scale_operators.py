@@ -144,3 +144,15 @@ def test_compact_small_files(spark):
     n = compact(spark, path, target_bytes=1 << 30, cluster_cols=["l_shipdate"])
     assert n <= 4
     assert spark.read.parquet(path).count() == before
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation: a 5-node chain (diameter > 1 iteration),
+    a separate 2-node component, and an edge-less node never appears."""
+    from job_etl_spark.ml.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
