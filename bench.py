@@ -65,6 +65,7 @@ HEADLINE = [
     "q56_order_count_histogram",
     "q57_inactive_rich_customers",
     "q58_dedup_clusters",
+    "q59_train_test_split",
 ]
 
 

@@ -714,6 +714,40 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
 
 
 # ---------------------------------------------------------------------------
+# q59 — deterministic train/val/test split: hash-bucket assignment
+# (md5(doc_id) mod 100 → 80/10/10). The production-correct alternative
+# to random sampling: stable across runs/engines/partitionings, docs don't
+# reshuffle old assignments, and the split is reproducible from the key
+# alone. Pure projection + grouped count — no shuffle beyond the final
+# small agg.
+# ---------------------------------------------------------------------------
+def q59_train_test_split(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    bucket = _hexint(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_Q59_SQL = f"""
+WITH b AS (
+  SELECT lang,
+    {_SQL_HEXINT.format(expr="CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+  lang, COUNT(*) AS n_docs
+FROM b GROUP BY split, lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # q58 — dedup clusters: the union-find step that turns near-dup PAIRS
 # (q31's blocked simhash output) into CLUSTERS via iterative min-label
 # propagation (ml/cluster.py). Deterministic fixpoint (component min), so
@@ -773,4 +807,5 @@ QUERIES: dict[str, Query] = {
     "q48_ann_ivf": Query(q48_ann_ivf, _Q48_SQL),
     "q54_chunk_documents": Query(q54_chunk_documents, _Q54_SQL),
     "q58_dedup_clusters": Query(q58_dedup_clusters, _Q58_SQL),
+    "q59_train_test_split": Query(q59_train_test_split, _Q59_SQL),
 }
