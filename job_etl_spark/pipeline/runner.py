@@ -147,6 +147,71 @@ class TableStore:
             self.spark.catalog.refreshByPath(self.path(name))
             shutil.rmtree(tmp, ignore_errors=True)
 
+    # -- snapshot versioning (Delta-lite time travel) ----------------------
+    # Each write lands in an immutable {table}/_v/{N}/ dir; a one-line
+    # _LATEST pointer file flips atomically (os.replace). Readers resolve
+    # the pointer (or an explicit version) so writers never disturb a
+    # running read, rollback is a pointer flip, and audits can re-read any
+    # retained snapshot — the file-layout core of what Delta/Iceberg
+    # transaction logs provide, without a new dependency.
+
+    def _vdir(self, name: str, version: int) -> str:
+        return os.path.join(self.path(name), "_v", str(version))
+
+    def _pointer(self, name: str) -> str:
+        return os.path.join(self.path(name), "_LATEST")
+
+    def snapshots(self, name: str) -> list[int]:
+        import glob
+
+        return sorted(
+            int(os.path.basename(d))
+            for d in glob.glob(os.path.join(self.path(name), "_v", "*"))
+            if os.path.basename(d).isdigit()
+        )
+
+    def latest_snapshot(self, name: str) -> int | None:
+        try:
+            with open(self._pointer(name)) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def write_snapshot(self, name: str, df: DataFrame) -> int:
+        version = (self.latest_snapshot(name) or 0) + 1
+        df.write.mode("overwrite").parquet(self._vdir(name, version))
+        tmp = self._pointer(name) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._pointer(name))  # atomic pointer flip
+        return version
+
+    def read_snapshot(self, name: str, version: int | None = None) -> DataFrame:
+        v = version if version is not None else self.latest_snapshot(name)
+        if v is None:
+            raise FileNotFoundError(f"no snapshots for table {name!r}")
+        return self.spark.read.parquet(self._vdir(name, v))
+
+    def rollback(self, name: str, version: int) -> None:
+        if version not in self.snapshots(name):
+            raise ValueError(f"version {version} not retained for {name!r}")
+        tmp = self._pointer(name) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, self._pointer(name))
+
+    def vacuum_snapshots(self, name: str, keep: int = 2) -> list[int]:
+        """Drop all but the newest ``keep`` snapshots (never the pointer
+        target). Returns the removed versions."""
+        import shutil
+
+        current = self.latest_snapshot(name)
+        vs = self.snapshots(name)
+        removable = [v for v in vs[:-keep] if v != current] if keep > 0 else []
+        for v in removable:
+            shutil.rmtree(self._vdir(name, v), ignore_errors=True)
+        return removable
+
 
 def run_extract(
     store: TableStore, adapter: SourceAdapter, max_jobs: int | None = None, run_ts=None

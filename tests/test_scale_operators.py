@@ -156,3 +156,26 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r["node"]: r["cluster_id"] for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_tablestore_snapshot_versioning(spark):
+    """Snapshot writes are immutable, the pointer flips atomically,
+    time-travel reads any retained version, rollback is a pointer flip,
+    and vacuum never removes the pointer target."""
+    import tempfile
+
+    from job_etl_spark.pipeline.runner import TableStore
+
+    store = TableStore(spark, tempfile.mkdtemp(prefix="jobspark_snap_"))
+    for i in (1, 2, 3):
+        v = store.write_snapshot("t", spark.range(i * 10).withColumnRenamed("id", "x"))
+        assert v == i
+    assert store.snapshots("t") == [1, 2, 3]
+    assert store.read_snapshot("t").count() == 30          # latest
+    assert store.read_snapshot("t", version=1).count() == 10  # time travel
+    store.rollback("t", 1)
+    assert store.read_snapshot("t").count() == 10
+    removed = store.vacuum_snapshots("t", keep=1)
+    assert 1 not in removed  # pointer target survives vacuum
+    assert store.read_snapshot("t").count() == 10
+    assert store.read_snapshot("t", version=3).count() == 30  # kept by keep=1
