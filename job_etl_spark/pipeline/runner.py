@@ -66,12 +66,20 @@ class TableStore:
             glob.glob(os.path.join(self.path(name), "_SUCCESS"))
         )
 
-    def read(self, name: str, schema=None) -> DataFrame:
+    def read(self, name: str, schema=None, merge_schema: bool = False) -> DataFrame:
+        """``merge_schema=True`` unions the footer schemas of every file
+        (parquet schema evolution): rows written before a column existed
+        read as NULL. Off by default — the merge pass reads every footer,
+        which is a real cost on a 100 TB table; flip it only for tables
+        that actually evolve."""
         if not self.exists(name):
             if schema is None:
                 raise FileNotFoundError(self.path(name))
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(self.path(name))
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(self.path(name))
 
     def write(
         self,

@@ -179,3 +179,23 @@ def test_tablestore_snapshot_versioning(spark):
     assert 1 not in removed  # pointer target survives vacuum
     assert store.read_snapshot("t").count() == 10
     assert store.read_snapshot("t", version=3).count() == 30  # kept by keep=1
+
+
+def test_tablestore_schema_evolution(spark):
+    """Appending files with a new column: merge_schema=True reads the
+    union schema with NULLs for pre-evolution rows."""
+    import tempfile
+
+    from job_etl_spark.pipeline.runner import TableStore
+
+    store = TableStore(spark, tempfile.mkdtemp(prefix="jobspark_evo_"))
+    store.write("t", spark.createDataFrame([(1, "a")], "id long, v string"))
+    store.write(
+        "t",
+        spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double"),
+        mode="append",
+    )
+    merged = store.read("t", merge_schema=True)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}
