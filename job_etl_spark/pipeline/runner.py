@@ -375,6 +375,36 @@ def run_dq(store: TableStore) -> list[dq.DQResult]:
     return dq.run_checks(checks)
 
 
+def run_dedupe_report(store: TableStore) -> dict:
+    """The reference's ``dedupe_consolidate`` DAG task is a placeholder
+    echo (`airflow/dags/jobs_etl_daily.py:1624-1640` — exact dedup already
+    happened in the hash-key merge). Here the stage earns its place:
+    MinHash-LSH near-dup candidates over staging descriptions, clustered
+    by connected components — surfacing postings that hash-key identity
+    (company|title|location) treats as distinct but whose text is a
+    near-copy (cross-company reposts, template spam)."""
+    from job_etl_spark.ml.cluster import connected_components
+    from job_etl_spark.ml.dedup import minhash_lsh_candidates
+
+    staging = store.read("staging_job_postings").where(
+        F.col("description").isNotNull()
+    )
+    pairs = minhash_lsh_candidates(staging, "hash_key", "description")
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return {"near_dup_pairs": 0, "near_dup_clusters": 0, "docs_in_clusters": 0}
+    cc = connected_components(pairs)
+    per_cluster = cc.groupBy("cluster_id").count()
+    agg = per_cluster.agg(
+        F.count(F.lit(1)).alias("clusters"), F.sum("count").alias("docs")
+    ).first()
+    return {
+        "near_dup_pairs": n_pairs,
+        "near_dup_clusters": agg["clusters"],
+        "docs_in_clusters": agg["docs"],
+    }
+
+
 def run_pipeline(
     spark: SparkSession,
     warehouse: str | None = None,
@@ -392,6 +422,7 @@ def run_pipeline(
     stats["normalize"] = run_normalize(store, adapter, run_ts=run_ts)
     stats["enrich"] = run_enrich(store, run_ts=run_ts)
     stats["marts"] = run_marts(store, run_ts=run_ts)
+    stats["dedupe"] = run_dedupe_report(store)
     stats["rank"] = run_rank(store, RankingConfig())
     stats["dq"] = {r.name: r.violations for r in run_dq(store)}
     digest = report_mod.daily_digest(store.read("fact_jobs"), store.read("dim_companies"))

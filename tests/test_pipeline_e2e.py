@@ -23,6 +23,10 @@ def test_full_pipeline(spark):
     assert stats["rank"]["ranked_jobs"] == 30
     # every DQ check green
     assert all(v == 0 for v in stats["dq"].values()), stats["dq"]
+    # the mock's templated descriptions are near-copies across distinct
+    # hash-key identities — the dedupe stage must surface them as clusters
+    assert stats["dedupe"]["near_dup_pairs"] > 0
+    assert stats["dedupe"]["docs_in_clusters"] > stats["dedupe"]["near_dup_clusters"]
     assert stats["digest_unique_jobs"] == 30
     assert len(stats["digest_top"]) == 5
 
