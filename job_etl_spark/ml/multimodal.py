@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     FloatType,
     IntegerType,
     LongType,
@@ -105,6 +106,40 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
             yield out
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 224) -> DataFrame:
+    """Resize plumbing (mapInPandas, same batch shape as the real codec
+    path): scale stub dimensions so the longer side equals ``max_side``
+    (aspect preserved, never upscaled), payload re-emitted per batch. The
+    real implementation swaps the body for PIL ``Image.thumbnail`` —
+    schema, batching, and partitioning stay identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"].map(lambda b: bytes(b) if b is not None else b"")
+            n_bytes = payloads.map(len).astype("int64")
+            w = (n_bytes % 640).astype("int64").clip(lower=1)
+            h = (n_bytes % 480).astype("int64").clip(lower=1)
+            scale = (max_side / w.combine(h, max)).clip(upper=1.0)
+            out = pd.DataFrame()
+            out["media_id"] = pdf["media_id"]
+            out["width"] = (w * scale).round().clip(lower=1).astype("int32")
+            out["height"] = (h * scale).round().clip(lower=1).astype("int32")
+            out["payload"] = pdf["payload"]
+            yield out
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:

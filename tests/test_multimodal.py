@@ -39,3 +39,24 @@ def test_sample_frames_shape(spark):
 def test_real_decode_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         decode_real(b"bytes", "image")
+
+
+def test_resize_images_plumbing(spark):
+    """Resize stub: aspect preserved, longer side == max_side, never
+    upscaled, payload passes through the Arrow batch unchanged."""
+    from job_etl_spark.ml.multimodal import as_media, resize_images
+    from job_etl_spark.tables import table
+    from tests.conftest import SF_SMOKE
+
+    docs = table(spark, SF_SMOKE, "documents").limit(20)
+    media = as_media(docs, "doc_id", "text", "image")
+    out = {r["media_id"]: r for r in resize_images(media, max_side=100).collect()}
+    src = {r["media_id"]: r for r in media.collect()}
+    assert set(out) == set(src) and len(out) == 20
+    for mid, r in out.items():
+        n = src[mid]["meta_n_bytes"]
+        w0, h0 = max(n % 640, 1), max(n % 480, 1)
+        assert max(r["width"], r["height"]) <= 100 or (w0 <= 100 and h0 <= 100)
+        if max(w0, h0) > 100:
+            assert max(r["width"], r["height"]) == 100  # hit the target side
+        assert r["payload"] == src[mid]["payload"]
