@@ -66,6 +66,7 @@ HEADLINE = [
     "q57_inactive_rich_customers",
     "q58_dedup_clusters",
     "q59_train_test_split",
+    "q60_vocabulary",
 ]
 
 

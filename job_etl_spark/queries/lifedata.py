@@ -714,6 +714,37 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
 
 
 # ---------------------------------------------------------------------------
+# q60 — vocabulary building: corpus token frequencies, top-k. The
+# explode-then-count shape: map-side partial aggregation absorbs the
+# token explosion before the shuffle (each task emits one partial count
+# per distinct token, not one row per token occurrence), and the top-k
+# is TakeOrderedAndProject — the vocabulary never materializes sorted.
+# ---------------------------------------------------------------------------
+def q60_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.operators import top_k
+
+    docs = table(spark, sf, "documents")
+    tokens = F.explode(F.split(F.lower("text"), " ")).alias("token")
+    counts = (
+        docs.select(tokens)
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return top_k(counts, [F.desc("n_occurrences"), F.asc("token")], 50)
+
+
+_Q60_SQL = """
+SELECT token, COUNT(*) AS n_occurrences
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
+WHERE token <> ''
+GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
 # q59 — deterministic train/val/test split: hash-bucket assignment
 # (md5(doc_id) mod 100 → 80/10/10). The production-correct alternative
 # to random sampling: stable across runs/engines/partitionings, docs don't
@@ -808,4 +839,5 @@ QUERIES: dict[str, Query] = {
     "q54_chunk_documents": Query(q54_chunk_documents, _Q54_SQL),
     "q58_dedup_clusters": Query(q58_dedup_clusters, _Q58_SQL),
     "q59_train_test_split": Query(q59_train_test_split, _Q59_SQL),
+    "q60_vocabulary": Query(q60_vocabulary, _Q60_SQL),
 }
