@@ -67,6 +67,7 @@ HEADLINE = [
     "q58_dedup_clusters",
     "q59_train_test_split",
     "q60_vocabulary",
+    "q61_trailing_hour_window",
 ]
 
 

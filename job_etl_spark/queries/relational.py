@@ -1028,6 +1028,54 @@ GROUP BY cust_nation, supp_nation, l_year
 
 
 # ---------------------------------------------------------------------------
+# q61 — RANGE window frames (time-based, not row-based): per user, the
+# count and exact sum of click values in the TRAILING HOUR of event time
+# — the "rate over sliding physical window" shape. The frame bound is an
+# epoch-µs integer range (tz-free, identical in both engines); one
+# window pass, one shuffle on user_id. percent_rank over the same total
+# order covers the remaining rank-family surface.
+# ---------------------------------------------------------------------------
+def q61_trailing_hour_window(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    hour_us = 3_600_000_000
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    wrange = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-hour_us, Window.currentRow)
+    )
+    wrank = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return clicks.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count(F.lit(1)).over(wrange).alias("n_last_hour"),
+        F.round(F.sum(F.col("value").cast(DEC)).over(wrange), 2)
+        .cast("double")
+        .alias("sum_last_hour"),
+        F.round(F.percent_rank().over(wrank).cast("decimal(24,10)"), 6)
+        .cast("double")
+        .alias("pct_rank"),
+    )
+
+
+_Q61_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+  COUNT(*) OVER wr AS n_last_hour,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))) OVER wr, 2) AS DOUBLE) AS sum_last_hour,
+  CAST(ROUND(CAST(percent_rank() OVER wk AS DECIMAL(24,10)), 6) AS DOUBLE) AS pct_rank
+FROM events
+WHERE event_type = 'click'
+WINDOW
+  wr AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+  wk AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # q56 — TPC-H Q13 shape: customer order-count distribution — LEFT join so
 # zero-order customers survive, then an aggregation OF an aggregation
 # (count per customer → histogram of counts). Two shuffles, both on
@@ -1368,4 +1416,5 @@ QUERIES: dict[str, Query] = {
     "q55_market_share": Query(q55_market_share, _Q55_SQL),
     "q56_order_count_histogram": Query(q56_order_count_histogram, _Q56_SQL),
     "q57_inactive_rich_customers": Query(q57_inactive_rich_customers, _Q57_SQL),
+    "q61_trailing_hour_window": Query(q61_trailing_hour_window, _Q61_SQL),
 }

@@ -339,3 +339,38 @@ def test_drop_duplicates_within_watermark(spark):
     run_drop(drop2)
     got = sorted((r["hash_key"], r["payload"]) for r in out_rows)
     assert got == [("k1", "a"), ("k2", "b"), ("k3", "c")]
+
+
+def test_progress_monitor_listener(spark):
+    """StreamingQueryListener captures per-batch throughput: total rows
+    observed across batches equals the data streamed."""
+    import time
+
+    from job_etl_spark.streaming.monitor import ProgressMonitor
+
+    events = table(spark, SF_SMOKE, "events").limit(500)
+    src = tempfile.mkdtemp(prefix="jobspark_mon_src_")
+    events.write.mode("overwrite").parquet(src)
+
+    mon = ProgressMonitor()
+    spark.streams.addListener(mon)
+    try:
+        q = (
+            stream_from_directory(spark, src, events.schema)
+            .groupBy("event_type")
+            .count()
+            .writeStream.outputMode("complete")
+            .format("noop")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        # listener events are delivered asynchronously
+        deadline = time.time() + 30
+        while mon.summary()["total_rows"] < 500 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(mon)
+    s = mon.summary()
+    assert s["total_rows"] == 500 and s["n_batches"] >= 1
+    assert s["queries_started"] >= 1
