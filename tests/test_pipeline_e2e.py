@@ -98,3 +98,34 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
     assert (
         spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper() == "STATIC"
     )
+
+
+def test_cli_stage_sequence_and_exit_codes():
+    """The stage CLIs compose against a shared warehouse (SURVEY §3.2
+    contract): pipeline → dq exits 0; a stage without --warehouse exits 2.
+    Runs in a subprocess because main() owns (and stops) its session."""
+    import json
+    import subprocess
+    import sys
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="jobspark_cli_wh_")
+    code = f"""
+import sys
+from job_etl_spark.pipeline.runner import main
+rc1 = main(["pipeline", "--warehouse", {wh!r}, "--num-jobs", "40"])
+rc2 = main(["dq", "--warehouse", {wh!r}])
+rc3 = main(["rank", "--warehouse", {wh!r}, "--all", "--dry-run"])
+rc4 = main(["normalize"])  # missing --warehouse
+print("RCS", rc1, rc2, rc3, rc4)
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=500,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rcs = [ln for ln in out.stdout.splitlines() if ln.startswith("RCS")][0].split()[1:]
+    assert rcs == ["0", "0", "0", "2"], (rcs, out.stderr[-500:])
