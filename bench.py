@@ -68,6 +68,7 @@ HEADLINE = [
     "q59_train_test_split",
     "q60_vocabulary",
     "q61_trailing_hour_window",
+    "q62_salted_aggregation",
 ]
 
 

@@ -1028,6 +1028,35 @@ GROUP BY cust_nation, supp_nation, l_year
 
 
 # ---------------------------------------------------------------------------
+# q62 — salted skew-mitigated aggregation: COUNT + exact SUM per event
+# type where the partial phase spreads each hot key over 16 salt buckets
+# before the final combine. The salt is internal — the RESULT is
+# identical to the plain groupBy (the oracle proves it), only the
+# shuffle distribution changes. DECIMAL partials keep the two-phase sum
+# bit-exact (decimal addition is associative; double is not).
+# ---------------------------------------------------------------------------
+def q62_salted_aggregation(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    salted = ev.withColumn("_salt", (F.rand(42) * 16).cast("int"))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("value").cast(DEC)).alias("_sum"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_n").alias("n_events"),
+        F.round(F.sum("_sum"), 2).cast("double").alias("total_value"),
+    )
+
+
+_Q62_SQL = f"""
+SELECT event_type,
+  COUNT(*) AS n_events,
+  {sql_dsum('value')} AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # q61 — RANGE window frames (time-based, not row-based): per user, the
 # count and exact sum of click values in the TRAILING HOUR of event time
 # — the "rate over sliding physical window" shape. The frame bound is an
@@ -1417,4 +1446,5 @@ QUERIES: dict[str, Query] = {
     "q56_order_count_histogram": Query(q56_order_count_histogram, _Q56_SQL),
     "q57_inactive_rich_customers": Query(q57_inactive_rich_customers, _Q57_SQL),
     "q61_trailing_hour_window": Query(q61_trailing_hour_window, _Q61_SQL),
+    "q62_salted_aggregation": Query(q62_salted_aggregation, _Q62_SQL),
 }
