@@ -59,10 +59,23 @@ def compact(
     import os
     import shutil
 
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    if not files:
+        subdirs = [
+            e.name
+            for e in os.scandir(path)
+            if e.is_dir() and not e.name.startswith("_")
+        ]
+        if subdirs:
+            # a hive-partitioned table has no top-level files; a naive
+            # rewrite here would silently flatten the partition layout
+            raise ValueError(
+                f"compact() supports unpartitioned tables; {path!r} has "
+                f"partition dirs ({subdirs[:3]}...) — compact each "
+                "partition dir, or rewrite via TableStore.overwrite_partitions"
+            )
     df = spark.read.parquet(path)
-    total = sum(
-        os.path.getsize(f) for f in glob.glob(os.path.join(path, "*.parquet"))
-    )
+    total = sum(os.path.getsize(f) for f in files)
     n = max(1, -(-total // target_bytes))
     tmp = path.rstrip("/") + "._compact_tmp"
     compacted = (

@@ -199,3 +199,17 @@ def test_tablestore_schema_evolution(spark):
     assert set(merged.columns) == {"id", "v", "score"}
     rows = {r["id"]: r["score"] for r in merged.collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+def test_compact_refuses_partitioned_table(spark, tmp_path):
+    """compact() must not silently flatten a hive-partitioned layout."""
+    import pytest as _pytest
+
+    from job_etl_spark.operators.layout import compact
+
+    path = str(tmp_path / "pt")
+    spark.createDataFrame([("a", 1), ("b", 2)], "src string, v int").write.partitionBy(
+        "src"
+    ).parquet(path)
+    with _pytest.raises(ValueError, match="partition dirs"):
+        compact(spark, path)
