@@ -65,6 +65,12 @@ def banded_range_join(
     )
     r_bucketed = right.withColumn("_bucket", F.floor(F.col(right_val) / band))
 
+    collisions = (set(left.columns) & set(right.columns)) - set(keys)
+    if collisions:
+        raise ValueError(
+            f"rename right-side columns {sorted(collisions)} before joining — "
+            "non-key name collisions would be dropped silently"
+        )
     taken = set(left.columns) | {"_bucket"}
     r_cols = [c for c in right.columns if c not in taken]
     cond = [l_exploded[k] == r_bucketed[k] for k in keys] + [
