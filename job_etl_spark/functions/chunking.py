@@ -25,8 +25,12 @@ CHUNK_SIZE = 32
 
 
 def tokens_expr(text: Column | str) -> Column:
+    # filter, don't trim: Spark trim() strips only 0x20, so "0\n" would
+    # leave a trailing empty token after the \s+ split (caught by the
+    # hypothesis cross-check); filtering empties handles every
+    # leading/trailing whitespace class identically to the Python twin
     t = F.col(text) if isinstance(text, str) else text
-    return F.split(F.lower(F.trim(t)), r"\s+")
+    return F.filter(F.split(F.lower(t), r"\s+"), lambda x: x != "")
 
 
 def chunks_expr(tokens: Column, size: int = CHUNK_SIZE) -> Column:
@@ -42,10 +46,8 @@ def chunks_expr(tokens: Column, size: int = CHUNK_SIZE) -> Column:
             F.concat_ws(" ", F.slice(tokens, w * size + 1, size)).alias("chunk_text"),
         ),
     )
-    # blank/whitespace-only text splits to [""] — treat as no chunks, like
-    # the UDTF twin; NULL text also falls through to the empty array
-    valid = (n > 0) & (F.element_at(tokens, 1) != "")
-    return F.when(valid, mk).otherwise(
+    # blank/NULL text → empty token array → no chunks, like the UDTF twin
+    return F.when(n > 0, mk).otherwise(
         F.array().cast("array<struct<chunk_idx:int,n_tokens:int,chunk_text:string>>")
     )
 
