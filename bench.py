@@ -69,6 +69,7 @@ HEADLINE = [
     "q60_vocabulary",
     "q61_trailing_hour_window",
     "q62_salted_aggregation",
+    "q63_funnel_detection",
 ]
 
 

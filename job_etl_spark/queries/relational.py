@@ -1028,6 +1028,86 @@ GROUP BY cust_nation, supp_nation, l_year
 
 
 # ---------------------------------------------------------------------------
+# q63 — funnel / sequence-pattern detection (CEP shape): users with a
+# view → click → purchase chain, in order, purchase within 1h of the
+# view. ONE shuffle: per-user sorted event array + a linear fold
+# carrying (latest view ts, best view-before-a-click ts, found) — the
+# greedy invariant "track the LATEST view before each click" dominates
+# every other witness, so the fold decides EXISTS(v<c<p, p−v≤1h)
+# exactly. The naive relational form is a triple self-join (the oracle);
+# this plan reads the fact once and never blows up on active users.
+# ---------------------------------------------------------------------------
+def q63_funnel_detection(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    hour_us = 3_600_000_000
+    # tie rank enforces the oracle's STRICT inequalities at equal
+    # timestamps: a purchase must not see a same-instant click (rank 0
+    # first), a click must not see a same-instant view (view last)
+    rank = (
+        F.when(F.col("event_type") == "purchase", 0)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(2)
+    )
+    per_user = (
+        ev.where(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("ts"),
+                        rank.alias("rk"),
+                        F.col("event_type").alias("et"),
+                    )
+                )
+            ).alias("evs")
+        )
+    )
+    res = per_user.select(
+        "user_id", funnel_found_expr(F.col("evs"), hour_us).alias("funnel")
+    )
+    return res.groupBy("funnel").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+def funnel_found_expr(evs, window_us: int):
+    """EXISTS(view < click < purchase, purchase−view ≤ window) over a
+    (ts, rk, et)-sorted event array, as a linear fold. State: latest view
+    ts, max view-ts preceding any click, found."""
+    neg = F.lit(-(1 << 62)).cast("bigint")
+    state0 = F.struct(neg.alias("v"), neg.alias("vc"), F.lit(False).alias("found"))
+
+    def step(acc, e):
+        v2 = F.when(e["et"] == "view", F.greatest(acc["v"], e["ts"])).otherwise(acc["v"])
+        vc2 = F.when(e["et"] == "click", F.greatest(acc["vc"], acc["v"])).otherwise(acc["vc"])
+        found2 = acc["found"] | (
+            (e["et"] == "purchase") & (acc["vc"] >= e["ts"] - window_us)
+        )
+        return F.struct(v2.alias("v"), vc2.alias("vc"), found2.alias("found"))
+
+    return F.aggregate(evs, state0, step).getField("found")
+
+
+_Q63_SQL = """
+WITH funnel_users AS (
+  SELECT DISTINCT v.user_id
+  FROM events v
+  JOIN events c ON c.user_id = v.user_id AND c.event_type = 'click'
+               AND epoch_us(c.ts) > epoch_us(v.ts)
+  JOIN events p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+               AND epoch_us(p.ts) > epoch_us(c.ts)
+               AND epoch_us(p.ts) - epoch_us(v.ts) <= 3600000000
+  WHERE v.event_type = 'view'
+), base AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+)
+SELECT b.user_id IN (SELECT user_id FROM funnel_users) AS funnel,
+       COUNT(*) AS n_users
+FROM base b GROUP BY funnel
+"""
+
+
+# ---------------------------------------------------------------------------
 # q62 — salted skew-mitigated aggregation: COUNT + exact SUM per event
 # type where the partial phase spreads each hot key over 16 salt buckets
 # before the final combine. The salt is internal — the RESULT is
@@ -1447,4 +1527,5 @@ QUERIES: dict[str, Query] = {
     "q57_inactive_rich_customers": Query(q57_inactive_rich_customers, _Q57_SQL),
     "q61_trailing_hour_window": Query(q61_trailing_hour_window, _Q61_SQL),
     "q62_salted_aggregation": Query(q62_salted_aggregation, _Q62_SQL),
+    "q63_funnel_detection": Query(q63_funnel_detection, _Q63_SQL),
 }

@@ -326,3 +326,39 @@ class TestMergeUpsert:
         assert k1["last_seen"] == 50               # bump
         assert out["k2"]["title"] == "Keep"        # untouched base
         assert out["k3"]["title"] == "Fresh"       # insert
+
+
+class TestFunnelFold:
+    def test_funnel_edge_cases(self, spark):
+        """The greedy fold decides EXISTS(v<c<p, p-v<=1h) exactly:
+        ordering violations, window overruns, and same-instant ties all
+        resolve like the strict-inequality triple join."""
+        from pyspark.sql import functions as F
+
+        from job_etl_spark.queries.relational import funnel_found_expr
+
+        m = 60_000_000  # one minute in µs
+        rank = {"purchase": 0, "click": 1, "view": 2}
+        cases = {
+            1: ([("view", 0), ("click", 30), ("purchase", 59)], True),
+            2: ([("view", 0), ("purchase", 30), ("click", 40)], False),  # order
+            3: ([("view", 0), ("click", 30), ("purchase", 61)], False),  # window
+            4: ([("click", 0), ("view", 10), ("click", 20), ("purchase", 50)], True),
+            5: ([("view", 0), ("click", 10), ("purchase", 10)], False),  # p ties c
+            6: ([("view", 0), ("click", 0), ("purchase", 30)], False),  # c ties v
+            7: ([("view", 0), ("view", 30), ("click", 50), ("purchase", 85)], True),
+        }
+        rows = [
+            (uid, ts * m, rank[et], et)
+            for uid, (evs, _) in cases.items()
+            for et, ts in evs
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts bigint, rk int, et string")
+        got = {
+            r["user_id"]: r["f"]
+            for r in df.groupBy("user_id")
+            .agg(F.array_sort(F.collect_list(F.struct("ts", "rk", "et"))).alias("evs"))
+            .select("user_id", funnel_found_expr(F.col("evs"), 3_600_000_000).alias("f"))
+            .collect()
+        }
+        assert got == {uid: want for uid, (_, want) in cases.items()}
