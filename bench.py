@@ -70,6 +70,7 @@ HEADLINE = [
     "q61_trailing_hour_window",
     "q62_salted_aggregation",
     "q63_funnel_detection",
+    "q64_asof_forward",
 ]
 
 

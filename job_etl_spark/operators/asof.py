@@ -29,11 +29,28 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: every left row + the value columns of the latest
-    right row with ``right_ts <= left_ts`` for the same ``key`` (ties at
-    equal timestamps match). ``value_cols`` are carried from the right
-    side, NULL when nothing precedes."""
+    """Left as-of join: every left row + the value columns of the
+    *nearest* right row for the same ``key`` — with ``direction``
+    ``"backward"`` (default) the latest right row with
+    ``right_ts <= left_ts``; with ``"forward"`` the earliest right row
+    with ``right_ts >= left_ts``. Ties at equal timestamps match in both
+    directions. ``value_cols`` carry from the right side, NULL when no
+    row qualifies.
+
+    Forward is implemented by running the backward plan on a negated
+    integral time axis (same single shuffle + window pass)."""
+    if direction == "forward":
+        nl = left.withColumn(left_ts, -F.col(left_ts))
+        nr = right.withColumn(right_ts, -F.col(right_ts))
+        out = asof_join(nl, nr, key, left_ts, right_ts, value_cols, how, "backward")
+        out = out.withColumn(left_ts, -F.col(left_ts))
+        if right_ts in value_cols:  # the carried copy was negated too
+            out = out.withColumn(right_ts, -F.col(right_ts))
+        return out
+    if direction != "backward":
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     l_tag = left.select(
         F.col(key),
         F.col(left_ts).alias("_ts"),

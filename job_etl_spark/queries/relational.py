@@ -1028,6 +1028,57 @@ GROUP BY cust_nation, supp_nation, l_year
 
 
 # ---------------------------------------------------------------------------
+# q64 — FORWARD as-of join: each purchase matched to the EARLIEST click
+# at-or-after it (the "next action" shape — follow-up attribution). The
+# operator reuses the backward single-shuffle union-tag plan on a
+# negated time axis; the DuckDB oracle applies the same negation trick
+# to its (backward-only) native ASOF JOIN.
+# ---------------------------------------------------------------------------
+def q64_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.operators.asof import asof_join
+
+    ev = table(spark, sf, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "event_type"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts_us"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts_us", F.col("ts_us").alias("next_click_us")
+    )
+    joined = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts_us", right_ts="ts_us",
+        value_cols=["next_click_us"], direction="forward",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        "ts_us",
+        "next_click_us",
+        (F.col("next_click_us") - F.col("ts_us")).alias("lead_us"),
+    )
+
+
+_Q64_SQL = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click'
+), np AS (
+  SELECT purchase_id, user_id, -ts_us AS nts FROM p
+), nc AS (
+  SELECT user_id, -click_us AS ncts FROM c
+)
+SELECT np.purchase_id, np.user_id, -np.nts AS ts_us,
+       -nc.ncts AS next_click_us,
+       (-nc.ncts) - (-np.nts) AS lead_us
+FROM np ASOF LEFT JOIN nc
+  ON np.user_id = nc.user_id AND np.nts >= nc.ncts
+"""
+
+
+# ---------------------------------------------------------------------------
 # q63 — funnel / sequence-pattern detection (CEP shape): users with a
 # view → click → purchase chain, in order, purchase within 1h of the
 # view. ONE shuffle: per-user sorted event array + a linear fold
@@ -1528,4 +1579,5 @@ QUERIES: dict[str, Query] = {
     "q61_trailing_hour_window": Query(q61_trailing_hour_window, _Q61_SQL),
     "q62_salted_aggregation": Query(q62_salted_aggregation, _Q62_SQL),
     "q63_funnel_detection": Query(q63_funnel_detection, _Q63_SQL),
+    "q64_asof_forward": Query(q64_asof_forward, _Q64_SQL),
 }

@@ -70,3 +70,30 @@ def test_asof_single_shuffle_plan(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_asof_forward_matches_naive(spark):
+    """Forward as-of == naive 'earliest right >= left' per key, ties
+    match, no-successor rows NULL."""
+    from pyspark.sql import functions as F
+
+    from job_etl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "a", 100), (2, "a", 250), (3, "b", 50), (4, "c", 10)],
+        "lid int, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("a", 100, 11), ("a", 200, 12), ("b", 40, 13), ("b", 60, 14)],
+        "k string, ts long, rv int",
+    )
+    out = {
+        r["lid"]: r["rv"]
+        for r in asof_join(
+            left, right, key="k", left_ts="ts", right_ts="ts",
+            value_cols=["rv"], direction="forward",
+        ).collect()
+    }
+    # lid 1: tie at 100 matches rv=11; lid 2: nothing >= 250 -> NULL;
+    # lid 3: earliest >= 50 is 60 -> 14; lid 4: key c absent -> NULL
+    assert out == {1: 11, 2: None, 3: 14, 4: None}
