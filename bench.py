@@ -71,6 +71,7 @@ HEADLINE = [
     "q62_salted_aggregation",
     "q63_funnel_detection",
     "q64_asof_forward",
+    "q65_retained_customers",
 ]
 
 

@@ -1028,6 +1028,44 @@ GROUP BY cust_nation, supp_nation, l_year
 
 
 # ---------------------------------------------------------------------------
+# q65 — INTERSECT set-op (closing the §2.7 family with q10's UNION and
+# q52's EXCEPT ALL): customers retained across consecutive years.
+# `intersect` plans as a distinct-aggregate + null-safe equi-join — one
+# shuffle per side on the compared columns, no NOT-IN null traps.
+# ---------------------------------------------------------------------------
+def q65_retained_customers(spark: SparkSession, sf: str) -> DataFrame:
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+
+    def keys_in(year: int):
+        return orders.where(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01"))
+        ).select("o_custkey")
+
+    kept = keys_in(1995).intersect(keys_in(1996))
+    return (
+        kept.join(F.broadcast(cust), kept.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+
+
+_Q65_SQL = """
+WITH kept AS (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+  INTERSECT
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+)
+SELECT c_mktsegment, COUNT(*) AS n_retained
+FROM kept JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
 # q64 — FORWARD as-of join: each purchase matched to the EARLIEST click
 # at-or-after it (the "next action" shape — follow-up attribution). The
 # operator reuses the backward single-shuffle union-tag plan on a
@@ -1580,4 +1618,5 @@ QUERIES: dict[str, Query] = {
     "q62_salted_aggregation": Query(q62_salted_aggregation, _Q62_SQL),
     "q63_funnel_detection": Query(q63_funnel_detection, _Q63_SQL),
     "q64_asof_forward": Query(q64_asof_forward, _Q64_SQL),
+    "q65_retained_customers": Query(q65_retained_customers, _Q65_SQL),
 }
