@@ -13,7 +13,16 @@ from pyspark.sql import functions as F
 
 from job_etl_spark.operators import distinct_on, merge_upsert, top_k
 from job_etl_spark.operators.watermark import high_watermark
-from job_etl_spark.queries._util import DEC, Query, davg, dsum, sql_davg, sql_dsum
+from job_etl_spark.queries._util import (
+    DEC,
+    Query,
+    davg,
+    dround,
+    dsum,
+    sql_davg,
+    sql_dround,
+    sql_dsum,
+)
 from job_etl_spark.tables import table
 
 
@@ -1573,6 +1582,190 @@ def q35_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q66 — TPC-H Q11 shape (important stock): per-part revenue filtered against
+# a FRACTION of the global total over the same restricted set. The global
+# scalar is re-aggregated from the per-part aggregate (no second scan of
+# lineitem) and broadcast as a 1-row cross join. Threshold compare is done
+# in IEEE double (`v * 2500 > tot`) after engine-exact DECIMAL sums — a
+# double multiply is bit-deterministic in both engines, decimal×int widths
+# are not. No partsupp table in the driver data, so the "stock value" is
+# revenue from suppliers of one nation (reference shape: dbt incremental
+# threshold scans, SURVEY §2.4 A5 generalized to a fraction).
+# ---------------------------------------------------------------------------
+def q66_important_parts(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    supp = table(spark, sf, "supplier")
+    nation = table(spark, sf, "nation")
+    nat_supp = F.broadcast(
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .where(F.col("n_name") == "NATION_7")
+        .select("s_suppkey")
+    )
+    per_part = (
+        li.join(nat_supp, li.l_suppkey == nat_supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("part_value"))
+    )
+    # Global total as a window over the per-part aggregate, NOT a second
+    # aggregation branch: Spark re-executes un-materialized subtrees per
+    # consumer, so the agg-then-cross-join form scans lineitem twice. The
+    # single-partition window only shuffles |parts| narrow rows.
+    total = (
+        F.round(F.sum(F.col("part_value").cast(DEC)).over(Window.partitionBy()), 2)
+        .cast("double")
+    )
+    return (
+        per_part.withColumn("total_value", total)
+        .where(F.col("part_value") * 2500 > F.col("total_value"))
+        .select("l_partkey", "part_value")
+    )
+
+
+_Q66_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         {sql_dsum('l_extendedprice*(1-l_discount)')} AS part_value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM per_part,
+     (SELECT CAST(ROUND(SUM(CAST(part_value AS DECIMAL(30,6))), 2) AS DOUBLE)
+        AS total_value FROM per_part) t
+WHERE part_value * 2500 > total_value
+"""
+
+
+# ---------------------------------------------------------------------------
+# q67 — TPC-H Q19 shape: disjunctive OR-of-ANDs join predicate mixing
+# columns from both sides. Catalyst extracts the common l_partkey=p_partkey
+# equi-key for the (broadcast) hash join and keeps the disjunction as a
+# join filter; the per-side conjuncts (brand/size on part) are pushed to
+# the scans via CNF conversion — at 100 TB the part scan prunes before the
+# join instead of filtering after.
+# ---------------------------------------------------------------------------
+def q67_disjunctive_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    part = table(spark, sf, "part")
+    qty, brand, size = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    disjunct = (
+        ((brand == "Brand#12") & size.between(1, 15) & qty.between(1, 11))
+        | ((brand == "Brand#19") & size.between(1, 25) & qty.between(10, 20))
+        | ((brand == "Brand#23") & size.between(1, 35) & qty.between(20, 30))
+    )
+    joined = li.join(F.broadcast(part), (li.l_partkey == part.p_partkey) & disjunct)
+    return joined.agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_Q67_SQL = f"""
+SELECT {sql_dsum('l_extendedprice*(1-l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+ AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30))
+"""
+
+
+# ---------------------------------------------------------------------------
+# q68 — TPC-H Q2 shape: per-group correlated MIN with join-back (cheapest
+# supplier per part). The correlated subquery decorrelates to ONE window
+# min over the (part,supplier) aggregate — no re-scan, no self-join; ties
+# (several suppliers at the exact min) are all emitted, matching the SQL.
+# Unit cost = min observed l_extendedprice/l_quantity — IEEE division, so
+# the min and the equality join-back are bit-exact in both engines.
+# ---------------------------------------------------------------------------
+def q68_cheapest_supplier(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    part = table(spark, sf, "part")
+    supp = table(spark, sf, "supplier")
+    std_parts = F.broadcast(
+        part.where((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)).select(
+            "p_partkey", "p_size"
+        )
+    )
+    supply = (
+        li.join(std_parts, li.l_partkey == std_parts.p_partkey)
+        .groupBy("p_partkey", "p_size", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    w = Window.partitionBy("p_partkey")
+    best = supply.withColumn("min_cost", F.min("unit_cost").over(w)).where(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    return (
+        best.join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_size",
+            "s_name",
+            dround(F.col("unit_cost"), 4).alias("unit_cost"),
+        )
+    )
+
+
+_Q68_SQL = f"""
+WITH supply AS (
+  SELECT p_partkey, p_size, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'STANDARD' AND p_size <= 10
+  GROUP BY p_partkey, p_size, l_suppkey
+)
+SELECT p_partkey, p_size, s_name,
+       {sql_dround('unit_cost', 4)} AS unit_cost
+FROM supply s
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE unit_cost = (SELECT MIN(unit_cost) FROM supply s2
+                   WHERE s2.p_partkey = s.p_partkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q69 — TPC-H Q16 shape: supplier-count per part attribute with a NOT-IN
+# exclusion subquery. The NOT IN becomes a broadcast LEFT ANTI join
+# (s_suppkey is non-null so the null-trap semantics coincide), then one
+# shuffle for the grouped COUNT(DISTINCT). Excluded set = suppliers in
+# deficit (s_acctbal < 0) — the Q16 "complaints" predicate over the
+# driver's schema.
+# ---------------------------------------------------------------------------
+def q69_supplier_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    part = table(spark, sf, "part")
+    supp = table(spark, sf, "supplier")
+    bad = F.broadcast(supp.where(F.col("s_acctbal") < 0).select("s_suppkey"))
+    sized = F.broadcast(
+        part.where(
+            (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        ).select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        li.join(sized, li.l_partkey == sized.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q69_SQL = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q01_pricing_summary": Query(q01_pricing_summary, _Q01_SQL),
     "q02_regional_revenue": Query(q02_regional_revenue, _Q02_SQL),
@@ -1619,4 +1812,8 @@ QUERIES: dict[str, Query] = {
     "q63_funnel_detection": Query(q63_funnel_detection, _Q63_SQL),
     "q64_asof_forward": Query(q64_asof_forward, _Q64_SQL),
     "q65_retained_customers": Query(q65_retained_customers, _Q65_SQL),
+    "q66_important_parts": Query(q66_important_parts, _Q66_SQL),
+    "q67_disjunctive_revenue": Query(q67_disjunctive_revenue, _Q67_SQL),
+    "q68_cheapest_supplier": Query(q68_cheapest_supplier, _Q68_SQL),
+    "q69_supplier_diversity": Query(q69_supplier_diversity, _Q69_SQL),
 }
