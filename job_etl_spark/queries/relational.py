@@ -1766,6 +1766,215 @@ GROUP BY p_brand, p_type, p_size
 """
 
 
+# ---------------------------------------------------------------------------
+# q70 — TPC-H Q4 shape: EXISTS-correlated priority count. The EXISTS
+# (some line shipped after the order date) becomes a LEFT SEMI join with an
+# equi-key plus a cross-side inequality — one shuffle on o_orderkey, the
+# quarter filter prunes the orders scan before it. At 100 TB the orders
+# side shrinks ~50× before the shuffle; lineitem carries only 2 columns.
+# ---------------------------------------------------------------------------
+def q70_priority_late_ship(spark: SparkSession, sf: str) -> DataFrame:
+    orders = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    quarter = orders.where(
+        (F.col("o_orderdate") >= F.lit("1997-07-01"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01"))
+    )
+    late = quarter.join(
+        li,
+        (quarter.o_orderkey == li.l_orderkey) & (li.l_shipdate > quarter.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+_Q70_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate <  TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# q71 — TPC-H Q9 shape (product-type profit): 5-table star join with THREE
+# broadcast dims (part filtered by name, supplier+nation pre-joined) and one
+# big-big shuffle join lineitem⋈orders on the orderkey — the classic
+# co-partition candidate (bucket both on orderkey at 100 TB and this plan
+# goes Exchange-free; see operators/bucketing.py). Profit uses retailprice
+# as the cost proxy (no partsupp table in the driver data).
+# ---------------------------------------------------------------------------
+def q71_nation_profit(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    orders = table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    gear = F.broadcast(
+        table(spark, sf, "part")
+        .where(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    nat_supp = F.broadcast(
+        table(spark, sf, "supplier")
+        .join(F.broadcast(table(spark, sf, "nation")), F.expr("s_nationkey = n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.5
+    return (
+        li.join(gear, li.l_partkey == gear.p_partkey)
+        .join(nat_supp, li.l_suppkey == nat_supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(profit).alias("profit"))
+    )
+
+
+_Q71_SQL = f"""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       {sql_dsum("l_extendedprice*(1-l_discount) - p_retailprice*l_quantity*0.5::DOUBLE")}
+         AS profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q72 — TPC-H Q10 shape (returned-item ranking): aggregate revenue per
+# custkey FIRST, join the customer/nation dims AFTER the agg — the shuffle
+# carries |customers| rows, not |lineitem|, and the dims broadcast. Top-20
+# is TakeOrderedAndProject with c_custkey as the deterministic tie-break.
+# ---------------------------------------------------------------------------
+def q72_returned_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    nation = table(spark, sf, "nation")
+    quarter = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(quarter, li.l_orderkey == quarter.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+    enriched = per_cust.join(
+        F.broadcast(cust), per_cust.o_custkey == cust.c_custkey
+    ).join(F.broadcast(nation), F.expr("c_nationkey = n_nationkey"))
+    return top_k(
+        enriched.select("c_custkey", "c_name", "n_name", "c_acctbal", "revenue"),
+        [F.desc("revenue"), F.asc("c_custkey")],
+        20,
+    )
+
+
+_Q72_SQL = f"""
+SELECT c_custkey, c_name, n_name, c_acctbal,
+       {sql_dsum('l_extendedprice*(1-l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# q73 — TPC-H Q12 shape: big-big join with conditional CASE counts per
+# group (high- vs low-priority lines per linestatus). Both CASE sums come
+# out of ONE partial+final hash agg — no second pass, no pivot shuffle.
+# ---------------------------------------------------------------------------
+def q73_priority_by_status(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    orders = table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    year = li.where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        year.join(orders, year.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+
+
+_Q73_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  AND l_shipdate <  TIMESTAMP '1999-01-01'
+GROUP BY l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q74 — TPC-H Q14 shape (promo revenue ratio): conditional numerator and
+# total denominator in one agg pass, ratio as IEEE double division of the
+# two engine-exact decimal sums (bit-deterministic), rounded via decimal.
+# ---------------------------------------------------------------------------
+def q74_promo_share(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    promo_parts = F.broadcast(table(spark, sf, "part").select("p_partkey", "p_type"))
+    month = li.where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        month.join(promo_parts, month.l_partkey == promo_parts.p_partkey)
+        .agg(
+            dsum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)).alias(
+                "promo_revenue"
+            ),
+            dsum(rev).alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        dround(100 * F.col("promo_revenue") / F.col("total_revenue"), 4).alias(
+            "promo_pct"
+        ),
+    )
+
+
+_Q74_SQL = f"""
+WITH agg AS (
+  SELECT {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0.0::DOUBLE END")}
+           AS promo_revenue,
+         {sql_dsum('l_extendedprice*(1-l_discount)')} AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+)
+SELECT promo_revenue, total_revenue,
+       {sql_dround('100 * promo_revenue / total_revenue', 4)} AS promo_pct
+FROM agg
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q01_pricing_summary": Query(q01_pricing_summary, _Q01_SQL),
     "q02_regional_revenue": Query(q02_regional_revenue, _Q02_SQL),
@@ -1816,4 +2025,9 @@ QUERIES: dict[str, Query] = {
     "q67_disjunctive_revenue": Query(q67_disjunctive_revenue, _Q67_SQL),
     "q68_cheapest_supplier": Query(q68_cheapest_supplier, _Q68_SQL),
     "q69_supplier_diversity": Query(q69_supplier_diversity, _Q69_SQL),
+    "q70_priority_late_ship": Query(q70_priority_late_ship, _Q70_SQL),
+    "q71_nation_profit": Query(q71_nation_profit, _Q71_SQL),
+    "q72_returned_revenue": Query(q72_returned_revenue, _Q72_SQL),
+    "q73_priority_by_status": Query(q73_priority_by_status, _Q73_SQL),
+    "q74_promo_share": Query(q74_promo_share, _Q74_SQL),
 }
