@@ -821,6 +821,182 @@ FROM labeled GROUP BY cluster_id
 )
 
 
+# ---------------------------------------------------------------------------
+# q76 — PII scrub (training-data compliance pass): detect + redact emails /
+# SSNs / phones / IPs with native regexp chains — map-only, codegen'd, no
+# shuffle, scales linearly with executors. The synthetic corpus has no PII,
+# so deterministic PII is injected per doc_id (different types appear on
+# different residues to exercise zero counts), then counted on the raw text
+# and redacted; the redacted text is emitted as a portable 60-bit md5 hash
+# so the oracle compares content, not just counts. Patterns live in
+# functions/pii.py (Java∩RE2 dialect — the same spec renders to both engines).
+# ---------------------------------------------------------------------------
+def q76_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.functions.pii import pii_counts, redact_pii
+
+    docs = parallel_scan(table(spark, sf, "documents"))
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(" call 555-010-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" ssn 123-45-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+    staged = docs.select("doc_id", injected.alias("t"))
+    counts = pii_counts(F.col("t"))
+    return staged.select(
+        "doc_id",
+        *[c.alias(name) for name, c in counts.items()],
+        _hexint(redact_pii(F.col("t"))).alias("redacted_hash"),
+    )
+
+
+def _q76_sql() -> str:
+    from job_etl_spark.functions.pii import sql_pii_counts, sql_redact_pii
+
+    injected = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+        " || CASE WHEN doc_id % 2 = 0 THEN ' call 555-010-' ||"
+        " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' from 10.0.' ||"
+        " CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-' ||"
+        " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    )
+    count_cols = ",\n       ".join(
+        f"{expr} AS {name}" for name, expr in sql_pii_counts("t").items()
+    )
+    redacted = sql_redact_pii("t")
+    hexint = _SQL_HEXINT.format(expr=redacted)
+    return f"""
+WITH staged AS (SELECT doc_id, {injected} AS t FROM documents)
+SELECT doc_id,
+       {count_cols},
+       {hexint} AS redacted_hash
+FROM staged
+"""
+
+
+# ---------------------------------------------------------------------------
+# q77 — greedy sequence packing (ml/packing.py): documents hash-sharded,
+# ordered by doc_id, greedily packed into 2000-char training windows. The
+# fold is ONE interpreted-HOF pass per shard (array accumulator); shards
+# pack independently across executors, so the only shuffle is groupBy(shard).
+# Oracle = per-shard recursive CTE carrying (packno, running fill) — the
+# same sequential recurrence, expressed relationally.
+# ---------------------------------------------------------------------------
+_Q77_CAPACITY = 2000
+_Q77_SHARDS = 8
+
+
+def q77_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.ml.packing import pack_greedy
+
+    docs = parallel_scan(table(spark, sf, "documents"))
+    packed = pack_greedy(
+        docs,
+        key_col="doc_id",
+        weight_col="n_chars",
+        shard_col=(F.col("doc_id") % _Q77_SHARDS).cast("bigint"),
+        order_col="doc_id",
+        capacity=_Q77_CAPACITY,
+    )
+    return packed.select("shard", "doc_id", "n_chars", "packno")
+
+
+_Q77_SQL = f"""
+WITH RECURSIVE ordered AS (
+  SELECT doc_id % {_Q77_SHARDS} AS shard, doc_id, n_chars,
+         row_number() OVER (PARTITION BY doc_id % {_Q77_SHARDS} ORDER BY doc_id) AS rn
+  FROM documents
+), packed AS (
+  SELECT shard, rn, doc_id, n_chars,
+         0::BIGINT AS packno, n_chars AS cur
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_chars,
+         CASE WHEN p.cur + o.n_chars <= {_Q77_CAPACITY} THEN p.packno ELSE p.packno + 1 END,
+         CASE WHEN p.cur + o.n_chars <= {_Q77_CAPACITY} THEN p.cur + o.n_chars ELSE o.n_chars END
+  FROM ordered o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT shard, doc_id, n_chars, packno FROM packed
+"""
+
+
+# ---------------------------------------------------------------------------
+# q78 — benchmark contamination check: flag training docs sharing 3-token
+# grams with a held-out benchmark set (doc_id % 97 == 0 stands in for the
+# eval set). Benchmark grams explode → distinct → BROADCAST (eval sets are
+# tiny next to a 100 TB corpus); doc grams explode and hash-join against
+# them — no pairwise doc×doc work, cost is |corpus grams| + |bench grams|.
+# Grams are 60-bit md5 ints (narrow shuffle, engine-portable).
+# ---------------------------------------------------------------------------
+def q78_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    docs = parallel_scan(table(spark, sf, "documents"))
+    tokens = F.split(F.lower("text"), " ")
+    n = F.size(tokens)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: _hexint(F.concat_ws(" ", F.slice(tokens, i, 3))),
+        )
+    )
+    g = docs.where(n >= 3).select("doc_id", grams.alias("grams"))
+    bench = F.broadcast(
+        g.where(F.col("doc_id") % 97 == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    hits = (
+        g.where(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram"))
+        .join(bench, "gram")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return hits.select(
+        "doc_id",
+        "n_hits",
+        dround(F.col("n_hits") / F.col("n_grams").cast("double"), 6).alias("contam_frac"),
+    )
+
+
+_Q78_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      list_distinct(list_transform(range(1, len(string_split(lower(text), ' ')) - 1),
+        i -> array_to_string((string_split(lower(text), ' '))[i:i+2], ' '))),
+      gr -> {_SQL_HEXINT.format(expr='gr')})) AS grams
+  FROM documents
+  WHERE len(string_split(lower(text), ' ')) >= 3
+), bench AS (
+  SELECT DISTINCT gram
+  FROM g, UNNEST(g.grams) AS t(gram)
+  WHERE doc_id % 97 = 0
+), exploded AS (
+  SELECT doc_id, len(grams) AS n_grams, gram
+  FROM g, UNNEST(g.grams) AS t(gram)
+  WHERE doc_id % 97 <> 0
+)
+SELECT e.doc_id, COUNT(*) AS n_hits,
+       {sql_dround('COUNT(*) / any_value(e.n_grams)::DOUBLE', 6)} AS contam_frac
+FROM exploded e JOIN bench b ON e.gram = b.gram
+GROUP BY e.doc_id
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q20_dedup_exact": Query(q20_dedup_exact, _Q20_SQL),
     "q21_token_stats": Query(q21_token_stats, _Q21_SQL),
@@ -840,4 +1016,7 @@ QUERIES: dict[str, Query] = {
     "q58_dedup_clusters": Query(q58_dedup_clusters, _Q58_SQL),
     "q59_train_test_split": Query(q59_train_test_split, _Q59_SQL),
     "q60_vocabulary": Query(q60_vocabulary, _Q60_SQL),
+    "q76_pii_scrub": Query(q76_pii_scrub, _q76_sql()),
+    "q77_pack_sequences": Query(q77_pack_sequences, _Q77_SQL),
+    "q78_contamination": Query(q78_contamination, _Q78_SQL),
 }

@@ -1,0 +1,149 @@
+"""Training-data pipeline operators: mergeable quantile sketch, greedy
+sequence packing, PII scrub — algebraic-property and invariant tests
+(the oracle-parity harness covers value equality; these pin the
+properties the operators exist for)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from job_etl_spark.functions.pii import PII_PATTERNS, pii_counts, redact_pii
+from job_etl_spark.ml.packing import pack_greedy, pack_stats
+from job_etl_spark.operators.sketch import (
+    histogram_sketch,
+    merge_sketches,
+    sketch_quantiles,
+)
+from job_etl_spark.tables import table
+from tests.conftest import SF_SMOKE
+
+ARGS = dict(lo=0.0, hi=500_000.0, nbins=1000)
+
+
+class TestHistogramSketch:
+    def test_merge_of_halves_equals_full(self, spark):
+        """The property approx_percentile hides: sketch(A∪B) == merge(sketch(A), sketch(B))."""
+        orders = table(spark, SF_SMOKE, "orders")
+        split = F.col("o_orderkey") % 2 == 0
+        full = histogram_sketch(orders, "o_totalprice", ["o_orderpriority"], **ARGS)
+        merged = merge_sketches(
+            ["o_orderpriority"],
+            histogram_sketch(orders.where(split), "o_totalprice", ["o_orderpriority"], **ARGS),
+            histogram_sketch(orders.where(~split), "o_totalprice", ["o_orderpriority"], **ARGS),
+        )
+        a = {tuple(r) for r in full.collect()}
+        b = {tuple(r) for r in merged.collect()}
+        assert a == b
+
+    def test_estimate_within_bin_width_of_exact(self, spark):
+        orders = table(spark, SF_SMOKE, "orders")
+        sk = histogram_sketch(orders, "o_totalprice", ["o_orderpriority"], **ARGS)
+        est = {
+            r["o_orderpriority"]: r["p50"]
+            for r in sketch_quantiles(sk, ["o_orderpriority"], {"p50": 0.5}, **ARGS).collect()
+        }
+        # rank-based exact (percentile_disc semantics — what the sketch
+        # quantizes): the ceil(q·n)-th order statistic lies in the bin whose
+        # upper edge the sketch reports, so 0 ≤ est − exact ≤ bin width.
+        import math
+
+        vals: dict[str, list[float]] = {}
+        for r in orders.select("o_orderpriority", "o_totalprice").collect():
+            vals.setdefault(r["o_orderpriority"], []).append(r["o_totalprice"])
+        width = (ARGS["hi"] - ARGS["lo"]) / ARGS["nbins"]
+        for k, vs in vals.items():
+            vs.sort()
+            v = vs[math.ceil(0.5 * len(vs)) - 1]
+            assert 0 <= est[k] - v <= width, (k, est[k], v)
+
+    def test_out_of_range_values_clamp(self, spark):
+        df = spark.createDataFrame(
+            [Row(g="a", v=-50.0), Row(g="a", v=9e9), Row(g="a", v=250.0)]
+        )
+        sk = histogram_sketch(df, "v", ["g"], lo=0.0, hi=1000.0, nbins=10)
+        rows = {r["bin"]: r["cnt"] for r in sk.collect()}
+        assert rows == {0: 1, 9: 1, 2: 1}
+
+
+class TestPackGreedy:
+    def _packed(self, spark):
+        docs = table(spark, SF_SMOKE, "documents")
+        return pack_greedy(
+            docs,
+            key_col="doc_id",
+            weight_col="n_chars",
+            shard_col=(F.col("doc_id") % 4).cast("bigint"),
+            order_col="doc_id",
+            capacity=2000,
+        )
+
+    def test_every_doc_assigned_exactly_once(self, spark):
+        docs = table(spark, SF_SMOKE, "documents")
+        packed = self._packed(spark)
+        assert packed.count() == docs.count()
+        assert packed.select("doc_id").distinct().count() == docs.count()
+
+    def test_no_multi_item_pack_exceeds_capacity(self, spark):
+        stats = pack_stats(self._packed(spark), "n_chars", 2000)
+        bad = stats.where((F.col("pack_weight") > 2000) & (F.col("n_items") > 1))
+        assert bad.count() == 0
+        # oversized singletons are allowed by policy (never split/dropped)
+
+    def test_deterministic_under_repartition(self, spark):
+        a = sorted(tuple(r) for r in self._packed(spark).collect())
+        docs = table(spark, SF_SMOKE, "documents").repartition(13)
+        b = sorted(
+            tuple(r)
+            for r in pack_greedy(
+                docs, "doc_id", "n_chars", (F.col("doc_id") % 4).cast("bigint"), "doc_id", 2000
+            ).collect()
+        )
+        assert a == b
+
+    def test_oversized_item_gets_own_pack(self, spark):
+        df = spark.createDataFrame(
+            [Row(k=1, w=50), Row(k=2, w=999), Row(k=3, w=60), Row(k=4, w=70)]
+        )
+        out = {
+            r["k"]: r["packno"]
+            for r in pack_greedy(
+                df, "k", "w", F.lit(0).cast("bigint"), "k", capacity=100
+            ).collect()
+        }
+        # 50 fills pack 0; 999 can't fit → own pack 1; 60 opens pack 2; 70 opens pack 3
+        assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+class TestPiiScrub:
+    CASES = [
+        ("mail me at jo.doe+x@corp.io thanks", {"n_email": 1}),
+        ("ssn 123-45-6789 on file", {"n_ssn": 1}),
+        ("call 555-123-4567 or 555 123 4567", {"n_phone": 2}),
+        ("host 192.168.0.1 responded", {"n_ip": 1}),
+        ("no pii here 12-34 1234-5678", {}),
+    ]
+
+    def test_counts_and_redaction(self, spark):
+        df = spark.createDataFrame([Row(i=i, t=t) for i, (t, _) in enumerate(self.CASES)])
+        counts = pii_counts(F.col("t"))
+        out = df.select(
+            "i", *[c.alias(n) for n, c in counts.items()], redact_pii(F.col("t")).alias("red")
+        ).collect()
+        for r in out:
+            text, expected = self.CASES[r["i"]]
+            for name, _, _ in PII_PATTERNS:
+                assert r[f"n_{name}"] == expected.get(f"n_{name}", 0), (text, name)
+            if expected:
+                for name, pat, repl in PII_PATTERNS:
+                    if expected.get(f"n_{name}", 0):
+                        assert repl in r["red"], (text, r["red"])
+            else:
+                assert r["red"] == text
+
+    def test_redaction_removes_all_matches(self, spark):
+        df = spark.createDataFrame(
+            [Row(t="a@b.co 1.2.3.4 111-22-3333 555-666-7777 end")]
+        )
+        red = df.select(redact_pii(F.col("t")).alias("r")).collect()[0]["r"]
+        assert red == "<EMAIL> <IP> <SSN> <PHONE> end"
