@@ -1975,6 +1975,143 @@ FROM agg
 """
 
 
+# ---------------------------------------------------------------------------
+# q75 — mergeable quantile sketch (approx_percentile's missing merge API):
+# equi-width histogram sketch per priority, built as TWO date-half sketches
+# then merged (union + re-sum — associative, the continuous-aggregate
+# property), quantiles read off the merged state. The merge shuffles ≤
+# nbins rows per group instead of re-scanning facts — the incremental
+# refresh path at 100 TB. Deterministic bin-edge estimates → exact oracle
+# parity (the single-pass SQL equals any merge tree). Error ≤ (hi-lo)/nbins.
+# ---------------------------------------------------------------------------
+_Q75_ARGS = dict(lo=0.0, hi=500_000.0, nbins=1000)
+_Q75_QS = {"p50_est": 0.5, "p90_est": 0.9}
+
+
+def q75_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.operators.sketch import (
+        histogram_sketch,
+        merge_sketches,
+        sketch_quantiles,
+    )
+
+    orders = table(spark, sf, "orders")
+    split = F.col("o_orderdate") < F.lit("1998-01-01")
+    halves = [
+        histogram_sketch(orders.where(cond), "o_totalprice", ["o_orderpriority"], **_Q75_ARGS)
+        for cond in (split, ~split)
+    ]
+    merged = merge_sketches(["o_orderpriority"], *halves)
+    return sketch_quantiles(merged, ["o_orderpriority"], _Q75_QS, **_Q75_ARGS)
+
+
+def _q75_sql() -> str:
+    from job_etl_spark.operators.sketch import sql_sketch_quantiles
+
+    return sql_sketch_quantiles(
+        "orders", "o_totalprice", ["o_orderpriority"], _Q75_QS, **_Q75_ARGS
+    )
+
+
+# ---------------------------------------------------------------------------
+# q79 — TPC-H Q5 shape (local supplier volume): 6-table star join where the
+# customer and the supplier must share a nation. Nations-in-region is a
+# tiny broadcast applied to BOTH customer and supplier BEFORE the fact
+# shuffles, so off-region rows never enter an Exchange; the c=s nation
+# equality is a post-join filter (it correlates the two broadcast-pruned
+# sides, so it can't prune earlier). Only two big-big shuffles survive:
+# lineitem⋈orders on orderkey, then ⋈customer on custkey. Completes the
+# TPC-H sweep — all 22 query shapes now have a oracle-paired twin.
+# ---------------------------------------------------------------------------
+def q79_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    supp = table(spark, sf, "supplier")
+    nation = table(spark, sf, "nation")
+    region = table(spark, sf, "region")
+
+    asia = F.broadcast(
+        nation.join(
+            region.where(F.col("r_name") == "ASIA"),
+            nation.n_regionkey == region.r_regionkey,
+        ).select("n_nationkey", "n_name")
+    )
+    cust_n = cust.join(asia, cust.c_nationkey == asia.n_nationkey).select(
+        "c_custkey", F.col("n_nationkey").alias("c_nkey")
+    )
+    supp_n = F.broadcast(
+        supp.join(asia, supp.s_nationkey == asia.n_nationkey).select(
+            "s_suppkey", F.col("n_nationkey").alias("s_nkey"), "n_name"
+        )
+    )
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(supp_n, li.l_suppkey == supp_n.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(cust_n, o.o_custkey == cust_n.c_custkey)
+        .where(F.col("c_nkey") == F.col("s_nkey"))
+        .groupBy("n_name")
+        .agg(dsum(rev).alias("revenue"))
+    )
+
+
+_Q79_SQL = f"""
+SELECT n_name, {sql_dsum('l_extendedprice*(1-l_discount)')} AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# q80 — TPC-H Q6 shape (forecast revenue change): the pure scan-side query —
+# every predicate pushes to the parquet reader (PushedFilters carries all
+# four), the scan reads 4 of 11 columns, and one partial+final agg returns
+# a single row. The 100 TB story is entirely in the scan: row-group stats
+# skip non-matching files, and the map-side partial leaves one double per
+# partition to shuffle.
+# ---------------------------------------------------------------------------
+def q80_forecast_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q80_SQL = f"""
+SELECT {sql_dsum('l_extendedprice*l_discount')} AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q01_pricing_summary": Query(q01_pricing_summary, _Q01_SQL),
     "q02_regional_revenue": Query(q02_regional_revenue, _Q02_SQL),
@@ -2030,4 +2167,7 @@ QUERIES: dict[str, Query] = {
     "q72_returned_revenue": Query(q72_returned_revenue, _Q72_SQL),
     "q73_priority_by_status": Query(q73_priority_by_status, _Q73_SQL),
     "q74_promo_share": Query(q74_promo_share, _Q74_SQL),
+    "q75_quantile_sketch": Query(q75_quantile_sketch, _q75_sql()),
+    "q79_local_supplier_volume": Query(q79_local_supplier_volume, _Q79_SQL),
+    "q80_forecast_revenue": Query(q80_forecast_revenue, _Q80_SQL),
 }
