@@ -72,6 +72,21 @@ HEADLINE = [
     "q63_funnel_detection",
     "q64_asof_forward",
     "q65_retained_customers",
+    "q66_important_parts",
+    "q67_disjunctive_revenue",
+    "q68_cheapest_supplier",
+    "q69_supplier_diversity",
+    "q70_priority_late_ship",
+    "q71_nation_profit",
+    "q72_returned_revenue",
+    "q73_priority_by_status",
+    "q74_promo_share",
+    "q75_quantile_sketch",
+    "q76_pii_scrub",
+    "q77_pack_sequences",
+    "q78_contamination",
+    "q79_local_supplier_volume",
+    "q80_forecast_revenue",
 ]
 
 

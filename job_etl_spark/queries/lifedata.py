@@ -952,15 +952,22 @@ def q78_contamination(spark: SparkSession, sf: str) -> DataFrame:
             lambda i: _hexint(F.concat_ws(" ", F.slice(tokens, i, 3))),
         )
     )
+    # explode_OUTER on purpose: plain explode lets Catalyst infer a
+    # size(grams)>0 pre-filter that evaluates the whole md5-gram transform
+    # BEFORE the parallelizing Exchange (single-threaded, and a second
+    # evaluation on top of the Project's). outer blocks that inference;
+    # the null gram rows it admits never match the inner join on gram.
     g = docs.where(n >= 3).select("doc_id", grams.alias("grams"))
     bench = F.broadcast(
         g.where(F.col("doc_id") % 97 == 0)
-        .select(F.explode("grams").alias("gram"))
+        .select(F.explode_outer("grams").alias("gram"))
         .distinct()
     )
     hits = (
         g.where(F.col("doc_id") % 97 != 0)
-        .select("doc_id", F.size("grams").alias("n_grams"), F.explode("grams").alias("gram"))
+        .select(
+            "doc_id", F.size("grams").alias("n_grams"), F.explode_outer("grams").alias("gram")
+        )
         .join(bench, "gram")
         .groupBy("doc_id", "n_grams")
         .agg(F.count(F.lit(1)).alias("n_hits"))
