@@ -87,6 +87,12 @@ HEADLINE = [
     "q78_contamination",
     "q79_local_supplier_volume",
     "q80_forecast_revenue",
+    "q81_grouping_sets",
+    "q82_gap_filled_hours",
+    "q83_trimmed_stats",
+    "q84_stratified_sample",
+    "q85_repetition_metrics",
+    "q86_distinctive_terms",
 ]
 
 

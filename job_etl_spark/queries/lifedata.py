@@ -1004,6 +1004,167 @@ GROUP BY e.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# q84 — deterministic stratified sampling: a fixed-rate (10%) sample drawn
+# independently inside every (lang, source) stratum via a salted md5 bucket
+# of the stable doc_id — run-, engine-, and partition-stable (no RNG), the
+# per-stratum guarantee q59's global split doesn't give. Map-only until the
+# tiny per-stratum count agg; at 100 TB the sample predicate pushes into
+# the scan's row-group filter when doc_id is clustered.
+# ---------------------------------------------------------------------------
+def q84_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    bucket = _hexint(F.concat(F.lit("strat|"), F.col("doc_id").cast("string"))) % 10
+    return (
+        docs.select("lang", "source", (bucket == 0).alias("sampled"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("sampled"), 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+        )
+        .withColumn(
+            "sample_frac", dround(F.col("n_sampled") / F.col("n_total").cast("double"), 6)
+        )
+    )
+
+
+_Q84_BUCKET = _SQL_HEXINT.format(expr="'strat|' || CAST(doc_id AS VARCHAR)")
+_Q84_SQL = f"""
+SELECT lang, source,
+  COUNT(*) AS n_total,
+  CAST(SUM(CASE WHEN {_Q84_BUCKET} % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+  {sql_dround('CAST(SUM(CASE WHEN ' + _Q84_BUCKET + ' % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) / COUNT(*)::DOUBLE', 6)} AS sample_frac
+FROM documents
+GROUP BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q85 — repetition quality metrics (Gopher-style filters): per document,
+# the share of word 2-grams claimed by the single most frequent 2-gram and
+# the share of word 3-grams that are duplicated occurrences — the two
+# standard signals for boilerplate/looped text in pre-training corpora.
+# Both gram sizes are generated in ONE explode (tagged structs), counted in
+# one hash agg keyed by (doc_id, n, gram), and folded to per-doc shares in
+# a second — two shuffles total, both keyed by doc_id prefixes, no
+# cross-document traffic at any point.
+# ---------------------------------------------------------------------------
+_WS = r"\s+"
+
+
+def q85_repetition_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    t = F.split(F.lower(F.col("text")), _WS)
+    tagged = F.concat(
+        F.expr(
+            "transform(sequence(1, size(t)-1), i -> "
+            "struct(CAST(2 AS INT) AS n, concat(element_at(t,i), ' ', element_at(t,i+1)) AS g))"
+        ),
+        F.expr(
+            "transform(sequence(1, size(t)-2), i -> "
+            "struct(CAST(3 AS INT) AS n, concat(element_at(t,i), ' ', element_at(t,i+1), "
+            "' ', element_at(t,i+2)) AS g))"
+        ),
+    )
+    grams = (
+        docs.select("doc_id", t.alias("t"))
+        .where(F.size("t") >= 3)
+        .select("doc_id", F.explode(tagged).alias("x"))
+        .select("doc_id", "x.n", "x.g")
+    )
+    cnt = grams.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    two, three = F.col("n") == 2, F.col("n") == 3
+    return cnt.groupBy("doc_id").agg(
+        dround(
+            F.max(F.when(two, F.col("c"))) / F.sum(F.when(two, F.col("c"))), 6
+        ).alias("top_bigram_share"),
+        dround(
+            F.coalesce(F.sum(F.when(three & (F.col("c") > 1), F.col("c"))), F.lit(0))
+            / F.sum(F.when(three, F.col("c"))),
+            6,
+        ).alias("dup_trigram_share"),
+    )
+
+
+_Q85_SQL = f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '{_WS}') AS t
+  FROM documents
+  WHERE len(regexp_split_to_array(lower(text), '{_WS}')) >= 3
+), b AS (
+  SELECT doc_id, 2 AS n, t[i] || ' ' || t[i+1] AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-1)) AS i FROM t)
+  UNION ALL
+  SELECT doc_id, 3 AS n, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t)-2)) AS i FROM t)
+), c AS (
+  SELECT doc_id, n, g, COUNT(*) AS c FROM b GROUP BY doc_id, n, g
+)
+SELECT doc_id,
+  {sql_dround('MAX(CASE WHEN n=2 THEN c END) / SUM(CASE WHEN n=2 THEN c END)', 6)} AS top_bigram_share,
+  {sql_dround('COALESCE(SUM(CASE WHEN n=3 AND c>1 THEN c END), 0) / SUM(CASE WHEN n=3 THEN c END)', 6)} AS dup_trigram_share
+FROM c GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# q86 — distinctive terms per document (TF-IDF-shaped, rational weights):
+# score(term, doc) = tf · N / df — the IDF kept as an exact integer ratio
+# instead of a log so the score is engine-exact (ln(double) is not
+# bit-specified across engines; the RANKING it induces is identical because
+# x ↦ ln(x) is monotone). Term frequencies and document frequencies come
+# from two stacked hash aggs; N is a 1-row broadcast; top-3 per doc via
+# row_number with a total order (score DESC, term ASC). The df join is
+# keyed on term — at 100 TB that's a real vocab-sized shuffle, mitigated by
+# the same hash-partitioning the tf agg already imposed.
+# ---------------------------------------------------------------------------
+def q86_distinctive_terms(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), _WS)).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            dround(F.col("tf") * F.col("n_docs") / F.col("df"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 3)
+    )
+
+
+_Q86_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '{_WS}')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), s AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+    {sql_dround('tf.tf * (SELECT COUNT(*) FROM documents) / df.df', 6)} AS score
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, score,
+       CAST(rk AS INT) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM s)
+WHERE rk <= 3
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q20_dedup_exact": Query(q20_dedup_exact, _Q20_SQL),
     "q21_token_stats": Query(q21_token_stats, _Q21_SQL),
@@ -1026,4 +1187,7 @@ QUERIES: dict[str, Query] = {
     "q76_pii_scrub": Query(q76_pii_scrub, _q76_sql()),
     "q77_pack_sequences": Query(q77_pack_sequences, _Q77_SQL),
     "q78_contamination": Query(q78_contamination, _Q78_SQL),
+    "q84_stratified_sample": Query(q84_stratified_sample, _Q84_SQL),
+    "q85_repetition_metrics": Query(q85_repetition_metrics, _Q85_SQL),
+    "q86_distinctive_terms": Query(q86_distinctive_terms, _Q86_SQL),
 }

@@ -2112,6 +2112,147 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+# ---------------------------------------------------------------------------
+# q81 — explicit GROUPING SETS (non-hierarchical subtotal selection, the
+# general form of q41's ROLLUP / q45's CUBE): (status, priority), (priority),
+# and grand total — note the (status)-only level is deliberately absent,
+# which neither ROLLUP nor CUBE can express. Spark expands the sets over one
+# scan and a single Expand+hash-agg (no per-set rescans); grouping flags
+# disambiguate NULL-as-subtotal from NULL data.
+# ---------------------------------------------------------------------------
+def q81_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    orders = table(spark, sf, "orders")
+    return (
+        orders.groupingSets(
+            [
+                [F.col("o_orderstatus"), F.col("o_orderpriority")],
+                [F.col("o_orderpriority")],
+                [],
+            ],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("sum_total"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+    )
+
+
+_Q81_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+  COUNT(*) AS n_orders,
+  {sql_dsum('o_totalprice')} AS sum_total,
+  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+"""
+
+
+# ---------------------------------------------------------------------------
+# q82 — gap-filled time series (calendar spine + forward fill): hourly
+# purchase aggregates joined onto a dense hour spine generated from the
+# observed [min, max] bucket range; missing hours get n_events=0 and carry
+# the last observed hourly average forward (last_value IGNORE NULLS).
+# Buckets are tz-free epoch-µs integers (q36's convention). The spine is
+# bounded (#hours, not #events), so the unpartitioned fill window is cheap;
+# at 100 TB the same fill runs partitioned per series key.
+# ---------------------------------------------------------------------------
+_HOUR_US = 3_600_000_000
+
+
+def q82_gap_filled_hours(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf, "events").where(F.col("event_type") == "purchase")
+    bucket = F.expr(f"unix_micros(ts) div {_HOUR_US} * {_HOUR_US}")
+    agg = ev.groupBy(bucket.alias("hour_us")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        davg(F.col("value")).alias("avg_value"),
+    )
+    spine = (
+        agg.agg(F.min("hour_us").alias("lo"), F.max("hour_us").alias("hi"))
+        .select(F.explode(F.sequence("lo", "hi", F.lit(_HOUR_US))).alias("hour_us"))
+    )
+    fill = Window.orderBy("hour_us").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(agg, "hour_us", "left")
+        .select(
+            "hour_us",
+            F.coalesce("n_events", F.lit(0).cast("bigint")).alias("n_events"),
+            F.last("avg_value", ignorenulls=True).over(fill).alias("avg_value_filled"),
+        )
+    )
+
+
+_Q82_SQL = f"""
+WITH agg AS (
+  SELECT (epoch_us(ts) // {_HOUR_US}) * {_HOUR_US} AS hour_us,
+         COUNT(*) AS n_events,
+         {sql_davg('value')} AS avg_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), spine AS (
+  SELECT unnest(generate_series((SELECT MIN(hour_us) FROM agg),
+                                (SELECT MAX(hour_us) FROM agg),
+                                {_HOUR_US})) AS hour_us
+)
+SELECT spine.hour_us,
+  COALESCE(n_events, 0) AS n_events,
+  last_value(avg_value IGNORE NULLS) OVER (
+    ORDER BY spine.hour_us ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS avg_value_filled
+FROM spine LEFT JOIN agg USING (hour_us)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q83 — percentile-trimmed aggregation (robust stats): per event_type,
+# compute exact p05/p95 bounds, keep only in-range rows, re-aggregate.
+# The bounds table is one row per group → broadcast back onto the fact, so
+# the fact scans twice but never shuffles wide (group-local partial aggs
+# both passes). Exact percentile interpolation is IEEE-identical across
+# engines (q43); at 100 TB the swap-in is approx_percentile bounds.
+# ---------------------------------------------------------------------------
+def q83_trimmed_stats(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        ev.join(F.broadcast(bounds), "event_type")
+        .where((F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi")))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            davg(F.col("value")).alias("trimmed_avg"),
+            F.min("value").alias("kept_min"),
+            F.max("value").alias("kept_max"),
+        )
+    )
+
+
+_Q83_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+  COUNT(*) AS n_kept,
+  {sql_davg('value')} AS trimmed_avg,
+  MIN(value) AS kept_min,
+  MAX(value) AS kept_max
+FROM events e JOIN b USING (event_type)
+WHERE value >= lo AND value <= hi
+GROUP BY e.event_type
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q01_pricing_summary": Query(q01_pricing_summary, _Q01_SQL),
     "q02_regional_revenue": Query(q02_regional_revenue, _Q02_SQL),
@@ -2170,4 +2311,7 @@ QUERIES: dict[str, Query] = {
     "q75_quantile_sketch": Query(q75_quantile_sketch, _q75_sql()),
     "q79_local_supplier_volume": Query(q79_local_supplier_volume, _Q79_SQL),
     "q80_forecast_revenue": Query(q80_forecast_revenue, _Q80_SQL),
+    "q81_grouping_sets": Query(q81_grouping_sets, _Q81_SQL),
+    "q82_gap_filled_hours": Query(q82_gap_filled_hours, _Q82_SQL),
+    "q83_trimmed_stats": Query(q83_trimmed_stats, _Q83_SQL),
 }
