@@ -294,17 +294,17 @@ FROM base b FULL OUTER JOIN updates u ON b.doc_id = u.doc_id
 # q09 — high-watermark incremental scan (A5/P4)
 # ---------------------------------------------------------------------------
 def q09_watermark_incremental(spark: SparkSession, sf: str) -> DataFrame:
-    from job_etl_spark.tables import ts_ns_strictly_after
+    from job_etl_spark.tables import ts_strictly_after
 
     ev = table(spark, sf, "events")
     wm = high_watermark(ev, "ts")  # scalar agg → literal (reference A5)
     import datetime as dt
 
     cutoff = wm - dt.timedelta(days=7)
-    # predicate on the raw ns column → reaches the parquet scan
+    # predicate on the raw scan column → reaches the parquet scan
     # (PushedFilters); exact µs-domain equivalence of ts > cutoff
     return (
-        ev.where(ts_ns_strictly_after(cutoff))
+        ev.where(ts_strictly_after(ev, cutoff))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

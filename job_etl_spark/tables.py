@@ -29,35 +29,71 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-        # parquet reader rejects; read nanos as long and truncate to micros
-        # (matching every engine that reads ns at microsecond precision).
-        # The raw long survives as _ts_ns: filters on the DERIVED ts can't
-        # reach the parquet scan, but filters on _ts_ns push down — use
-        # ts_ns_predicate() for incremental scans.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("_ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        return _events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def ts_ns_strictly_after(cutoff) -> "F.Column":
-    """Pushdown-friendly strict ``ts > cutoff`` for the events table:
-    ``ts_µs > X  ⇔  _ts_ns ≥ (X+1)·1000`` — exact equivalence under the
-    ns→µs truncation, expressed on the RAW parquet column so the
-    predicate reaches the scan (PushedFilters + row-group skipping)."""
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table has shipped in two physical layouts:
+
+    - ``ts`` as TIMESTAMP(NANOS) — Spark's vectorized reader rejects it, so
+      read nanos as long and truncate to micros;
+    - ``ts`` as TIMESTAMP(MICROS) (isAdjustedToUTC=false → TIMESTAMP_NTZ).
+
+    Either way callers see ``ts`` as a session-TZ (UTC) TimestampType —
+    the µs-instant domain every downstream ``unix_micros`` / window /
+    session op assumes. Because the public ``ts`` is a DERIVED column,
+    filters on it can't always reach the parquet scan; the untouched scan
+    column survives as ``_ts_raw`` (or ``_ts_ns`` for the nanos layout) and
+    ``ts_strictly_after()`` renders watermark predicates against it so they
+    push down (PushedFilters + row-group skipping) — load-bearing when the
+    incremental scan touches a 100 TB table to read one day of data.
+    """
+    import pyarrow.parquet as _pq
+    import pyarrow.types as _pat
+
+    path = f"{sf_dir}/events.parquet"
+    arrow_ts = _pq.read_schema(path).field("ts").type
+    if _pat.is_integer(arrow_ts):
+        # legacy nanos-as-long layout
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("_ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    df = spark.read.parquet(path)
+    df = df.withColumn("_ts_raw", F.col("ts"))
+    if dict(df.dtypes)["ts"] == "timestamp_ntz":
+        # NTZ wall time reinterpreted as a UTC instant (session tz is UTC)
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def ts_strictly_after(df: DataFrame, cutoff) -> "F.Column":
+    """Pushdown-friendly strict ``ts > cutoff`` for the events table,
+    expressed on the RAW parquet column (``_ts_ns`` / ``_ts_raw``) so the
+    predicate reaches the scan (PushedFilters + row-group skipping).
+
+    For the nanos-long layout: ``ts_µs > X ⇔ _ts_ns ≥ (X+1)·1000`` —
+    exact equivalence under the ns→µs truncation. For the native
+    timestamp layout a plain ``>`` is exact (data is µs-native); the
+    literal is cast to the scan column's own type so no cast lands on
+    the column side of the comparison."""
     import datetime as _dt
 
-    if isinstance(cutoff, _dt.datetime):
-        import calendar
+    if "_ts_ns" in df.columns:
+        if isinstance(cutoff, _dt.datetime):
+            import calendar
 
-        # integer µs arithmetic — float .timestamp() loses sub-µs precision
-        micros = calendar.timegm(cutoff.utctimetuple()) * 1_000_000 + cutoff.microsecond
-    else:
-        micros = int(cutoff)
-    return F.col("_ts_ns") >= (micros + 1) * 1000
+            # integer µs arithmetic — float .timestamp() loses sub-µs precision
+            micros = (
+                calendar.timegm(cutoff.utctimetuple()) * 1_000_000 + cutoff.microsecond
+            )
+        else:
+            micros = int(cutoff)
+        return F.col("_ts_ns") >= (micros + 1) * 1000
+    raw_type = df.schema["_ts_raw"].dataType.simpleString()
+    return F.col("_ts_raw") > F.lit(cutoff).cast(raw_type)
 
 
 def parallel_scan(df: DataFrame) -> DataFrame:
