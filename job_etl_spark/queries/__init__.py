@@ -16,8 +16,34 @@ query here follows the parity rules in ``queries._util``:
 
 from __future__ import annotations
 
+import json
+import re
+from pathlib import Path
+
 from job_etl_spark.queries._util import Query
 from job_etl_spark.queries import relational, domain, lifedata
+
+
+def _last_verified_round() -> dict[str, int]:
+    """Map query name -> latest round whose CORRECTNESS_r*.json contains it.
+
+    The driver verifies only the first 50 registry entries per round, so the
+    registry is ordered never-verified-first, then stalest-first — every query
+    rotates through the verification window within two rounds without manual
+    reordering.
+    """
+    root = Path(__file__).resolve().parents[2]
+    last_seen: dict[str, int] = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.name)
+        rnd = int(m.group(1)) if m else 0
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        for name in data:
+            last_seen[name] = max(last_seen.get(name, 0), rnd)
+    return last_seen
 
 
 def registry() -> dict[str, Query]:
@@ -27,4 +53,7 @@ def registry() -> dict[str, Query]:
             if name in reg:
                 raise ValueError(f"duplicate query name {name}")
             reg[name] = q
-    return reg
+    last = _last_verified_round()
+    base = {name: i for i, name in enumerate(reg)}
+    order = sorted(reg, key=lambda n: (last.get(n, -1), base[n]))
+    return {n: reg[n] for n in order}

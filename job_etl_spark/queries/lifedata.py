@@ -1113,7 +1113,9 @@ FROM c GROUP BY doc_id
 # instead of a log so the score is engine-exact (ln(double) is not
 # bit-specified across engines; the RANKING it induces is identical because
 # x ↦ ln(x) is monotone). Term frequencies and document frequencies come
-# from two stacked hash aggs; N is a 1-row broadcast; top-3 per doc via
+# from two stacked hash aggs; N is a bounded one-row scalar aggregate
+# (the A5 high-watermark pattern — same as q09) folded in as a literal,
+# so no nested-loop join appears in the plan; top-3 per doc via
 # row_number with a total order (score DESC, term ASC). The df join is
 # keyed on term — at 100 TB that's a real vocab-sized shuffle, mitigated by
 # the same hash-partitioning the tf agg already imposed.
@@ -1127,15 +1129,14 @@ def q86_distinctive_terms(spark: SparkSession, sf: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_docs = int(docs.agg(F.count(F.lit(1))).first()[0])
     scored = (
         tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
             "term",
             "tf",
-            dround(F.col("tf") * F.col("n_docs") / F.col("df"), 6).alias("score"),
+            dround(F.col("tf") * F.lit(n_docs) / F.col("df"), 6).alias("score"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
