@@ -54,8 +54,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = f"{sf_dir}/events.parquet"
     arrow_ts = _pq.read_schema(path).field("ts").type
-    if _pat.is_integer(arrow_ts):
-        # legacy nanos-as-long layout
+    if _pat.is_integer(arrow_ts) or (
+        _pat.is_timestamp(arrow_ts) and arrow_ts.unit == "ns"
+    ):
+        # legacy nanos layout — pyarrow reports parquet TIMESTAMP(NANOS) as
+        # timestamp[ns], not an integer type; with nanosAsLong set Spark
+        # reads the annotated column as long either way
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         return df.withColumn("_ts_ns", F.col("ts")).withColumn(
@@ -64,8 +68,16 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(path)
     df = df.withColumn("_ts_raw", F.col("ts"))
     if dict(df.dtypes)["ts"] == "timestamp_ntz":
-        # NTZ wall time reinterpreted as a UTC instant (session tz is UTC)
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # NTZ wall time IS the UTC instant. Re-render the wall clock into the
+        # session tz before the cast so the resulting TimestampType lands on
+        # the same instant under ANY session tz (a bare cast interprets the
+        # wall in session tz and shifts the instant by the tz offset).
+        df = df.withColumn(
+            "ts",
+            F.convert_timezone(
+                F.lit("UTC"), F.current_timezone(), F.col("ts")
+            ).cast("timestamp"),
+        )
     return df
 
 
@@ -79,21 +91,27 @@ def ts_strictly_after(df: DataFrame, cutoff) -> "F.Column":
     timestamp layout a plain ``>`` is exact (data is µs-native); the
     literal is cast to the scan column's own type so no cast lands on
     the column side of the comparison."""
+    import calendar
     import datetime as _dt
 
+    if isinstance(cutoff, _dt.datetime):
+        # naive datetime cutoffs are UTC wall clocks; integer µs arithmetic —
+        # float .timestamp() loses sub-µs precision
+        micros = calendar.timegm(cutoff.utctimetuple()) * 1_000_000 + cutoff.microsecond
+    else:
+        # integer cutoffs are epoch-MICROS (a bare cast-from-long would read
+        # the long as SECONDS)
+        micros = int(cutoff)
     if "_ts_ns" in df.columns:
-        if isinstance(cutoff, _dt.datetime):
-            import calendar
-
-            # integer µs arithmetic — float .timestamp() loses sub-µs precision
-            micros = (
-                calendar.timegm(cutoff.utctimetuple()) * 1_000_000 + cutoff.microsecond
-            )
-        else:
-            micros = int(cutoff)
         return F.col("_ts_ns") >= (micros + 1) * 1000
     raw_type = df.schema["_ts_raw"].dataType.simpleString()
-    return F.col("_ts_raw") > F.lit(cutoff).cast(raw_type)
+    if raw_type == "timestamp_ntz":
+        # string→NTZ parse is session-tz-free; a python-datetime literal is not
+        wall = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=micros)
+        lit = F.lit(wall.strftime("%Y-%m-%d %H:%M:%S.%f")).cast("timestamp_ntz")
+    else:
+        lit = F.timestamp_micros(F.lit(micros))
+    return F.col("_ts_raw") > lit
 
 
 def parallel_scan(df: DataFrame) -> DataFrame:

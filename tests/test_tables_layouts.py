@@ -1,0 +1,82 @@
+"""Regression tests for the two physical layouts of events.ts
+(``tables._events`` / ``tables.ts_strictly_after``).
+
+The driver testdata has shipped ``ts`` both as parquet TIMESTAMP(NANOS)
+and TIMESTAMP(MICROS); both must come out as a µs TimestampType with
+pushdown-friendly watermark predicates, and an integer cutoff must mean
+epoch-MICROS on both layouts (ADVICE r01: the native branch used to cast
+a long as SECONDS).
+"""
+
+from __future__ import annotations
+
+import calendar
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from job_etl_spark.tables import table, ts_strictly_after
+
+pytestmark = pytest.mark.smoke
+
+_TS = [
+    dt.datetime(2024, 1, 1, 0, 0, 0, 100),
+    dt.datetime(2024, 1, 1, 0, 0, 1, 0),
+    dt.datetime(2024, 1, 1, 0, 0, 1, 999_999),
+    dt.datetime(2024, 1, 2, 12, 30, 0, 500_000),
+]
+
+
+def _micros(d: dt.datetime) -> int:
+    return calendar.timegm(d.utctimetuple()) * 1_000_000 + d.microsecond
+
+
+def _write_events(path, unit: str) -> None:
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(_TS)), pa.int64()),
+            "ts": pa.array(_TS, pa.timestamp(unit)),
+            "user_id": pa.array([1] * len(_TS), pa.int64()),
+            "event_type": pa.array(["click"] * len(_TS)),
+            "value": pa.array([1.0] * len(_TS)),
+            "props": pa.array(["{}"] * len(_TS)),
+        }
+    )
+    pq.write_table(tbl, str(path), version="2.6")
+
+
+@pytest.mark.parametrize("unit", ["ns", "us"])
+def test_events_layouts_read_and_watermark(spark, tmp_path, unit):
+    d = tmp_path / unit
+    d.mkdir()
+    _write_events(d / "events.parquet", unit)
+    ev = table(spark, str(d), name="events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    got = sorted(r.ts for r in ev.select("ts").collect())
+    assert got == sorted(_TS)
+
+    # strict > semantics, datetime and integer-µs cutoffs agree on both layouts
+    cut = _TS[1]  # exactly equal to one row — strictness matters
+    n_dt = ev.where(ts_strictly_after(ev, cut)).count()
+    n_us = ev.where(ts_strictly_after(ev, _micros(cut))).count()
+    n_ref = ev.where(F.col("ts") > F.lit(cut)).count()
+    assert n_dt == n_us == n_ref == 2
+
+
+@pytest.mark.parametrize("unit", ["ns", "us"])
+def test_events_watermark_pushes_down(spark, tmp_path, unit):
+    d = tmp_path / unit
+    d.mkdir()
+    _write_events(d / "events.parquet", unit)
+    ev = table(spark, str(d), name="events")
+    plan = (
+        ev.where(ts_strictly_after(ev, _micros(_TS[1])))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "PushedFilters: []" not in pushed[0]
