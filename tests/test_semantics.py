@@ -132,39 +132,46 @@ class TestTimestampParsing:
 # U4 seniority cascade (fixture list from FIXTURES.md §6)
 # ---------------------------------------------------------------------------
 class TestSeniorityCascade:
-    @pytest.mark.parametrize(
-        "title,expected",
-        [
-            ("Engineer III", "senior"),
-            ("Engineer II", "intermediate"),
-            ("Level I", "junior"),
-            ("L5 Engineer", "senior"),
-            ("L4", "intermediate"),
-            ("Chief Data Officer", "senior"),
-            ("VP, Lead Data", "senior"),
-            ("Head of Data", "senior"),
-            ("Engineering Manager", "senior"),
-            ("Software Intern", "junior"),
-            ("Sr. Developer", "senior"),
-            ("Lead Software Engineer", "senior"),
-            ("Principal Engineer", "senior"),
-            ("Staff Engineer", "senior"),
-            ("Solutions Architect", "senior"),
-            ("Architecture Specialist", "unknown"),  # word boundary!
-            ("Mid-Level Developer", "intermediate"),
-            ("Junior Analyst", "junior"),
-            ("Jr Analyst", "junior"),
-            ("Associate Engineer", "junior"),
-            ("Entry Level Role", "junior"),
-            ("Data Engineer", "unknown"),
-            ("", "unknown"),
-            (None, "unknown"),
-            ("Senior Intermediate Engineer", "senior"),  # order: senior first
-        ],
-    )
-    def test_cascade(self, spark, title, expected):
-        df = spark.createDataFrame([(title,)], "t string")
-        assert df.select(seniority_level_expr("t").alias("o")).first()["o"] == expected
+    # all 25 reference cases evaluated in ONE Spark action — a
+    # parametrized per-case action pays ~0.85 s each and blows the
+    # smoke-tier budget
+    CASES = [
+        ("Engineer III", "senior"),
+        ("Engineer II", "intermediate"),
+        ("Level I", "junior"),
+        ("L5 Engineer", "senior"),
+        ("L4", "intermediate"),
+        ("Chief Data Officer", "senior"),
+        ("VP, Lead Data", "senior"),
+        ("Head of Data", "senior"),
+        ("Engineering Manager", "senior"),
+        ("Software Intern", "junior"),
+        ("Sr. Developer", "senior"),
+        ("Lead Software Engineer", "senior"),
+        ("Principal Engineer", "senior"),
+        ("Staff Engineer", "senior"),
+        ("Solutions Architect", "senior"),
+        ("Architecture Specialist", "unknown"),  # word boundary!
+        ("Mid-Level Developer", "intermediate"),
+        ("Junior Analyst", "junior"),
+        ("Jr Analyst", "junior"),
+        ("Associate Engineer", "junior"),
+        ("Entry Level Role", "junior"),
+        ("Data Engineer", "unknown"),
+        ("", "unknown"),
+        (None, "unknown"),
+        ("Senior Intermediate Engineer", "senior"),  # order: senior first
+    ]
+
+    def test_cascade(self, spark):
+        rows = [(i, t) for i, (t, _) in enumerate(self.CASES)]
+        df = spark.createDataFrame(rows, "i int, t string")
+        got = {
+            r["i"]: r["o"]
+            for r in df.select("i", seniority_level_expr("t").alias("o")).collect()
+        }
+        for i, (title, expected) in enumerate(self.CASES):
+            assert got[i] == expected, (title, got[i], expected)
 
 
 # ---------------------------------------------------------------------------
