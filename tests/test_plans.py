@@ -39,6 +39,21 @@ def test_no_unbounded_join_strategies(spark, name):
         )
 
 
+def test_neardup_blocks_are_bounded(spark):
+    """Near-dup candidate joins must be keyed on a bounded block — a
+    length band (q25) or an LSH band bucket (q27) — not only on
+    unbounded categorical keys like (lang, source) or (label)."""
+    # at test scale AQE may pick a broadcast build; what matters is that the
+    # band is part of the hash-join EQUI key (bounded blocks), not a filter
+    p25 = _plan(_REG["q25_ngram_jaccard"].fn(spark, SF_SMOKE))
+    join_keys_25 = [ln for ln in p25.splitlines() if "HashJoin" in ln or "SortMergeJoin" in ln]
+    assert join_keys_25 and "band" in join_keys_25[0], p25[:2000]
+
+    p27 = _plan(_REG["q27_embedding_neardup"].fn(spark, SF_SMOKE))
+    join_keys_27 = [ln for ln in p27.splitlines() if "HashJoin" in ln or "SortMergeJoin" in ln]
+    assert join_keys_27 and "bucket" in join_keys_27[0] and "band_id" in join_keys_27[0], p27[:2000]
+
+
 def test_watermark_scan_pushes_filters(spark):
     """The incremental-scan shape must push its predicate into the
     parquet scan (PushedFilters on the raw ns column)."""
