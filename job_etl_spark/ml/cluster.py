@@ -40,9 +40,31 @@ def connected_components(
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
+    # Materialize the edge list ONCE — every iteration references it, and
+    # without a checkpoint the (possibly expensive) upstream candidate
+    # generation would re-execute per job. The count that materializes it
+    # also sizes the iteration shuffles: CC runs on the near-dup ACTIVE SET,
+    # typically orders of magnitude smaller than the corpus, so the
+    # corpus-sized shuffle width wastes per-task overhead (measured 2× on
+    # the q58 bench). Width scales with edge count and never exceeds the
+    # session's configured width.
+    sym = sym.localCheckpoint(eager=False)
+    n_edges = sym.count()
+    spark = edges.sparkSession
+    session_width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    width = max(1, min(session_width, -(-n_edges // 250_000)))
+    old_width = spark.conf.get("spark.sql.shuffle.partitions")
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(width))
+        return _propagate(sym, labels, max_iter)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_width)
+
+
+def _propagate(sym: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
     for _ in range(max_iter):
         # min label among each node's neighbors
         neighbor_min = (
@@ -50,10 +72,13 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry the previous label through so the convergence flag is a
+        # plain column — no extra join against the old frame
         propagated = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
@@ -75,20 +100,22 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
                 ).alias("label"),
+                (
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+                    )
+                    != F.col("old_label")
+                ).alias("changed"),
             )
         )
-        # localCheckpoint FIRST (truncates the growing lineage — the
-        # classic iterative-plan blow-up; checkpoint() to HDFS at cluster
-        # scale), then run the fixpoint check against the materialized
-        # frame so each iteration evaluates the propagation exactly once
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        # LAZY localCheckpoint (truncates the growing lineage — the classic
+        # iterative-plan blow-up; checkpoint() to HDFS at cluster scale):
+        # the convergence count below is the action that materializes it,
+        # so each iteration runs exactly ONE job instead of
+        # checkpoint-then-recount's two.
+        new_labels = new_labels.localCheckpoint(eager=False)
+        changed = new_labels.where("changed").count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
