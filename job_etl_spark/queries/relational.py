@@ -1571,15 +1571,36 @@ GROUP BY event_type
 
 # ---------------------------------------------------------------------------
 # q35 — approx distinct (A6 at scale: HLL sketch instead of exact shuffle).
-# No oracle: HLL implementations differ across engines; the estimate is
-# asserted within ±5% of exact in tests, and the driver records rows-only.
+# HLL estimates differ across engines, so the sketch itself can't be
+# hash-matched; instead the query EMITS ITS OWN ACCURACY CLAIM — a boolean
+# "within ±5% of exact" per group — alongside the exact count, and the
+# oracle asserts the claim is always TRUE. A drifting HLL flips the flag
+# and fails the hash match, so the driver row is a real check, not
+# rows-only. (tests/test_approx.py additionally asserts the numeric gap.)
 # ---------------------------------------------------------------------------
 def q35_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     ev = table(spark, sf, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (err <= 0.05).alias("approx_within_5pct"),
+    )
+
+
+_Q35_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       COUNT(*) AS n_events,
+       TRUE AS approx_within_5pct
+FROM events GROUP BY event_type
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2271,8 +2292,8 @@ QUERIES: dict[str, Query] = {
     "q34_sessionize": Query(q34_sessionize, _Q34_SQL),
     "q35_approx_distinct": Query(
         q35_approx_distinct,
-        None,
-        note="HLL sketches differ across engines — rows-only check by design",
+        _Q35_SQL,
+        note="HLL estimate is hash-checked via its own ±5% accuracy claim",
     ),
     "q36_hourly_rollup": Query(q36_hourly_rollup, _Q36_SQL),
     "q37_asof_join": Query(q37_asof_join, _Q37_SQL),
