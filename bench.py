@@ -16,8 +16,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# headline set: one per operator family; the heavy pairwise near-dup ops
-# (q25/q27) are correctness-gated but not headline timings
+# headline set: one per operator family (near-dup pairwise ops included —
+# their candidate joins are band-bounded)
 HEADLINE = [
     "q01_pricing_summary",
     "q02_regional_revenue",
@@ -37,6 +37,7 @@ HEADLINE = [
     "q24_fingerprint",
     "q25_ngram_jaccard",
     "q26_ann_cosine_topk",
+    "q27_embedding_neardup",
     "q29_minhash_lsh",
     "q31_simhash_neardup",
     "q32_ann_lsh_bucketed",
@@ -121,18 +122,49 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "jobspark headline suite wall-clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "jobspark headline suite wall-clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(result))
+    _append_history(result, runs)
     spark.stop()
+
+
+def _append_history(result: dict, runs: int) -> None:
+    """Persist every bench run to BENCH_HISTORY.jsonl (with timestamp and
+    git rev) so rounds can be diffed query-by-query; stdout stays a single
+    JSON line for the driver."""
+    import datetime
+    import subprocess
+
+    rec = dict(result)
+    rec["ts"] = datetime.datetime.now(datetime.timezone.utc).isoformat(
+        timespec="seconds"
+    )
+    rec["runs"] = runs
+    try:
+        rec["rev"] = (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                timeout=10,
+            ).stdout.strip()
+            or None
+        )
+    except OSError:
+        rec["rev"] = None
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
