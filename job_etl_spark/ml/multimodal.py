@@ -6,11 +6,12 @@ steps run as Arrow-batched ``mapInPandas`` — the correct 100 TB shape:
 bytes never leave the executor, batches stream through pandas, output is
 a typed DataFrame.
 
-The actual codec work is STUBBED (no image/audio libs in this container):
-``decode_stub`` produces deterministic pseudo-features from the bytes;
-``decode_real`` raises NotImplementedError with the intended dependency.
-The Spark-side plumbing — schema, batching, partitioning — is real and
-tested.
+Decode is REAL (``ml/codecs.py``): pure-stdlib PNG (zlib inflate + all
+five scanline filters) and WAV-PCM16 parsing, with Pillow preferred when
+importable. ``codec="real"`` decodes pixels/samples; ``codec="stub"``
+keeps the deterministic byte-histogram path for payloads that are not
+media (e.g. q28's correctness gate runs over document text bytes).
+Video frame decode still needs PyAV and stays gated.
 """
 
 from __future__ import annotations
@@ -66,12 +67,30 @@ def as_media(df: DataFrame, id_col: str, payload_col: str, media_type: str) -> D
     )
 
 
-def decode_real(payload: bytes, media_type: str):  # pragma: no cover
-    """Real decode path — requires PIL/librosa/av, not present here."""
-    raise NotImplementedError(
-        "media decode requires Pillow (image) / librosa (audio) / PyAV (video); "
-        "install and swap decode_stub for the real codec call"
-    )
+def decode_real(payload: bytes, media_type: str) -> dict:
+    """Real decode: sniffs the payload and runs the stdlib codec
+    (ml/codecs.py). -> {width, height, n_frames, feature}. Raises
+    MediaDecodeError for formats the pure-python path can't handle
+    (video needs PyAV)."""
+    from job_etl_spark.ml import codecs
+
+    kind = codecs.sniff(payload)
+    if kind == "png":
+        w, h, feat = codecs.image_features(payload)
+        return {"width": w, "height": h, "n_frames": 1, "feature": feat}
+    if kind == "wav":
+        rate, duration, feat = codecs.audio_features(payload)
+        return {
+            "width": None,
+            "height": None,
+            # a frame per second of audio — the sampling granularity the
+            # frame-explode path uses
+            "n_frames": max(1, int(duration)),
+            "feature": feat,
+        }
+    if media_type == "video":
+        raise codecs.MediaDecodeError("video decode requires PyAV")
+    raise codecs.MediaDecodeError(f"unrecognized media payload ({media_type})")
 
 
 def _pseudo_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -85,24 +104,62 @@ def _pseudo_feature(payload: bytes, dim: int = 8) -> list[float]:
     return [round(c / n, 6) for c in buckets]
 
 
-def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+def extract_features(media: DataFrame, codec: str = "stub") -> DataFrame:
     """Arrow-batched decode/feature pipeline over binary payloads.
 
-    Deterministic stub semantics: width/height derived from byte length,
-    n_frames from the first byte, feature = byte histogram. Swap the body
-    for real codecs without touching the Spark plumbing.
+    ``codec="real"`` runs the actual decoders (PNG pixels / WAV samples,
+    ml/codecs.py) and NULLs the decode columns for undecodable payloads;
+    ``codec="stub"`` keeps deterministic pseudo-features (width/height
+    from byte length, feature = byte histogram) for non-media payloads.
+    Either way the Spark plumbing — schema, batching, partitioning — is
+    identical.
     """
+    if codec not in ("stub", "real"):
+        raise ValueError(f"codec must be 'stub' or 'real', got {codec!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from job_etl_spark.ml.codecs import MediaDecodeError
+
         for pdf in batches:
             out = pd.DataFrame()
             out["media_id"] = pdf["media_id"]
             payloads = pdf["payload"].map(lambda b: bytes(b) if b is not None else b"")
             out["n_bytes"] = payloads.map(len).astype("int64")
-            out["width"] = (out["n_bytes"] % 640).astype("int32")
-            out["height"] = (out["n_bytes"] % 480).astype("int32")
-            out["n_frames"] = payloads.map(lambda b: (b[0] % 30) + 1 if b else 0).astype("int32")
-            out["feature"] = payloads.map(_pseudo_feature)
+            if codec == "stub":
+                out["width"] = (out["n_bytes"] % 640).astype("int32")
+                out["height"] = (out["n_bytes"] % 480).astype("int32")
+                out["n_frames"] = payloads.map(
+                    lambda b: (b[0] % 30) + 1 if b else 0
+                ).astype("int32")
+                out["feature"] = payloads.map(_pseudo_feature)
+            else:
+                mtypes = pdf["media_type"] if "media_type" in pdf else None
+
+                def dec(i: int, b: bytes) -> dict:
+                    mt = mtypes.iloc[i] if mtypes is not None else "unknown"
+                    try:
+                        return decode_real(b, mt)
+                    except MediaDecodeError:
+                        return {
+                            "width": None,
+                            "height": None,
+                            "n_frames": None,
+                            "feature": None,
+                        }
+
+                decoded = [dec(i, b) for i, b in enumerate(payloads)]
+                out["width"] = pd.array(
+                    [d["width"] for d in decoded], dtype="Int32"
+                )
+                out["height"] = pd.array(
+                    [d["height"] for d in decoded], dtype="Int32"
+                )
+                out["n_frames"] = pd.array(
+                    [d["n_frames"] for d in decoded], dtype="Int32"
+                )
+                out["feature"] = pd.Series(
+                    [d["feature"] for d in decoded], dtype="object"
+                )
             yield out
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
@@ -118,25 +175,41 @@ RESIZED_SCHEMA = StructType(
 )
 
 
-def resize_images(media: DataFrame, max_side: int = 224) -> DataFrame:
-    """Resize plumbing (mapInPandas, same batch shape as the real codec
-    path): scale stub dimensions so the longer side equals ``max_side``
-    (aspect preserved, never upscaled), payload re-emitted per batch. The
-    real implementation swaps the body for PIL ``Image.thumbnail`` —
-    schema, batching, and partitioning stay identical."""
+def resize_images(media: DataFrame, max_side: int = 224, codec: str = "stub") -> DataFrame:
+    """Resize over Arrow batches. ``codec="real"`` decodes PNG pixels,
+    nearest-neighbor thumbnails them (aspect preserved, never upscaled)
+    and re-encodes — a true pixel transform (Pillow's ``thumbnail`` when
+    importable, stdlib codec otherwise); undecodable payloads pass
+    through with NULL dimensions. ``codec="stub"`` scales byte-derived
+    dimensions with the same batch shape."""
+    if codec not in ("stub", "real"):
+        raise ValueError(f"codec must be 'stub' or 'real', got {codec!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from job_etl_spark.ml.codecs import MediaDecodeError, png_resize
+
         for pdf in batches:
             payloads = pdf["payload"].map(lambda b: bytes(b) if b is not None else b"")
-            n_bytes = payloads.map(len).astype("int64")
-            w = (n_bytes % 640).astype("int64").clip(lower=1)
-            h = (n_bytes % 480).astype("int64").clip(lower=1)
-            scale = (max_side / w.combine(h, max)).clip(upper=1.0)
             out = pd.DataFrame()
             out["media_id"] = pdf["media_id"]
-            out["width"] = (w * scale).round().clip(lower=1).astype("int32")
-            out["height"] = (h * scale).round().clip(lower=1).astype("int32")
-            out["payload"] = pdf["payload"]
+            if codec == "stub":
+                n_bytes = payloads.map(len).astype("int64")
+                w = (n_bytes % 640).astype("int64").clip(lower=1)
+                h = (n_bytes % 480).astype("int64").clip(lower=1)
+                scale = (max_side / w.combine(h, max)).clip(upper=1.0)
+                out["width"] = (w * scale).round().clip(lower=1).astype("int32")
+                out["height"] = (h * scale).round().clip(lower=1).astype("int32")
+                out["payload"] = pdf["payload"]
+            else:
+                resized = []
+                for b in payloads:
+                    try:
+                        resized.append(png_resize(b, max_side))
+                    except MediaDecodeError:
+                        resized.append((None, None, b))
+                out["width"] = pd.array([r[0] for r in resized], dtype="Int32")
+                out["height"] = pd.array([r[1] for r in resized], dtype="Int32")
+                out["payload"] = pd.Series([r[2] for r in resized], dtype="object")
             yield out
 
     return media.mapInPandas(run, schema=RESIZED_SCHEMA)

@@ -1,14 +1,33 @@
-"""Multimodal binary plumbing: schema, Arrow batching, deterministic stub
-features, frame-sample explode shape."""
+"""Multimodal binary plumbing: schema, Arrow batching, REAL PNG/WAV
+decode (pure-stdlib codecs), deterministic stub features, frame-sample
+explode shape."""
 
 from __future__ import annotations
+
+import math
 
 import pytest
 from pyspark.sql import functions as F
 
+from job_etl_spark.ml import codecs
 from job_etl_spark.ml.multimodal import as_media, decode_real, extract_features, sample_frames
 from job_etl_spark.tables import table
 from tests.conftest import SF_SMOKE
+
+
+def _gradient_png(w: int = 64, h: int = 48) -> bytes:
+    """RGB gradient fixture: R ramps left→right, G top→bottom, B constant."""
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            px += bytes((x * 255 // max(1, w - 1), y * 255 // max(1, h - 1), 17))
+    return codecs.png_encode(w, h, 3, bytes(px))
+
+
+def _sine_wav(rate: int = 8000, seconds: float = 2.0, freq: float = 440.0) -> bytes:
+    n = int(rate * seconds)
+    samples = [int(30000 * math.sin(2 * math.pi * freq * i / rate)) for i in range(n)]
+    return codecs.wav_encode(rate, samples)
 
 
 def test_extract_features_over_binary(spark):
@@ -36,9 +55,78 @@ def test_sample_frames_shape(spark):
     assert all(row["frame_idx"] <= max(row["n_frames"] - 1, 0) for row in pdf)
 
 
-def test_real_decode_is_explicitly_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_real(b"bytes", "image")
+def test_png_roundtrip_all_filters():
+    """Decoder handles every PNG filter type: re-encode with filter 0 and
+    compare pixels after decoding a synthetically filtered image."""
+    w, h, ch = 32, 16, 3
+    src = bytes((x * 7 + y * 13 + c * 29) % 256 for y in range(h) for x in range(w) for c in range(ch))
+    payload = codecs.png_encode(w, h, ch, src)
+    w2, h2, ch2, px = codecs.png_decode(payload)
+    assert (w2, h2, ch2) == (w, h, ch)
+    assert bytes(px) == src
+
+
+def test_real_decode_png():
+    d = decode_real(_gradient_png(), "image")
+    assert (d["width"], d["height"], d["n_frames"]) == (64, 48, 1)
+    # channel means: R and G ramp 0..255 → mean ≈ 0.5; B constant 17/255
+    assert abs(d["feature"][0] - 0.5) < 0.02
+    assert abs(d["feature"][1] - 0.5) < 0.02
+    assert abs(d["feature"][2] - 17 / 255) < 0.005
+
+
+def test_real_decode_wav():
+    d = decode_real(_sine_wav(), "audio")
+    assert d["width"] is None and d["n_frames"] == 2  # 2 s of audio
+    rms, peak, zcr, dur = d["feature"][:4]
+    # 440 Hz full-scale-ish sine: rms ≈ amp/√2, peak ≈ amp, zcr ≈ 2f/rate
+    assert abs(rms - (30000 / 32768) / math.sqrt(2)) < 0.01
+    assert abs(peak - 30000 / 32768) < 0.01
+    assert abs(zcr - 2 * 440 / 8000) < 0.005
+    assert abs(dur - 2 / 60) < 0.001
+
+
+def test_real_decode_rejects_garbage():
+    with pytest.raises(codecs.MediaDecodeError):
+        decode_real(b"not media bytes", "image")
+
+
+def test_extract_features_real_codec_in_spark(spark):
+    """End-to-end: binary PNG/WAV payloads through Arrow-batched
+    mapInPandas with the REAL codec; garbage rows yield NULLs."""
+    rows = [
+        (1, "image", _gradient_png()),
+        (2, "audio", _sine_wav()),
+        (3, "image", b"garbage payload"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, media_type string, payload binary"
+    )
+    out = {r["media_id"]: r for r in extract_features(media, codec="real").collect()}
+    assert (out[1]["width"], out[1]["height"]) == (64, 48)
+    assert abs(out[1]["feature"][2] - 17 / 255) < 0.005
+    assert out[2]["width"] is None and out[2]["n_frames"] == 2
+    assert out[2]["feature"][1] == pytest.approx(30000 / 32768, abs=0.01)
+    assert out[3]["width"] is None and out[3]["feature"] is None
+
+
+def test_resize_images_real_codec_in_spark(spark):
+    """Real pixel resize: 64x48 → longer side 32, gradient preserved."""
+    from job_etl_spark.ml.multimodal import resize_images
+
+    media = spark.createDataFrame(
+        [(1, "image", _gradient_png()), (2, "image", b"garbage")],
+        "media_id long, media_type string, payload binary",
+    )
+    out = {r["media_id"]: r for r in resize_images(media, max_side=32, codec="real").collect()}
+    assert (out[1]["width"], out[1]["height"]) == (32, 24)
+    w, h, ch, px = codecs.png_decode(bytes(out[1]["payload"]))
+    assert (w, h, ch) == (32, 24, 3)
+    # corners of the gradient survive the nearest-neighbor resize
+    assert px[0] == 0 and px[2] == 17  # top-left: R=0, B=17
+    right = (w - 1) * ch
+    assert px[right] > 200  # top-right: R near 255
+    assert out[2]["width"] is None and bytes(out[2]["payload"]) == b"garbage"
 
 
 def test_resize_images_plumbing(spark):
