@@ -60,18 +60,18 @@ def render_digest(stats: dict, top_jobs: list) -> tuple[str, str]:
     return text, html_body
 
 
-def send_digest(
+def send_message(
     subject: str,
-    stats: dict,
-    top_jobs: list,
+    text: str,
+    html_body: str | None = None,
     config: SmtpConfig | None = None,
     dry_run: bool = True,
 ) -> dict:
-    """Render + (optionally) send. Returns {'sent': bool, 'error': ...};
-    errors are captured, never raised (reference: email failure does not
-    fail the task)."""
-    text, html_body = render_digest(stats, top_jobs)
-    result = {"sent": False, "subject": subject, "n_top": len(top_jobs), "error": None}
+    """Generic text(+HTML) send — the reference's standalone notifier CLI
+    surface (``services/notifier/main.py:32-55``). Returns {'sent': bool,
+    'error': ...}; errors are captured, never raised (email failure does
+    not fail the task)."""
+    result = {"sent": False, "subject": subject, "error": None}
     if dry_run or config is None or not config.recipients:
         result["rendered_text"] = text
         return result
@@ -81,7 +81,8 @@ def send_digest(
         msg["From"] = config.sender
         msg["To"] = ", ".join(config.recipients)
         msg.attach(MIMEText(text, "plain"))
-        msg.attach(MIMEText(html_body, "html"))
+        if html_body is not None:
+            msg.attach(MIMEText(html_body, "html"))
         with smtplib.SMTP(config.host, config.port, timeout=30) as smtp:
             if config.use_tls:
                 smtp.starttls()
@@ -91,4 +92,18 @@ def send_digest(
         result["sent"] = True
     except Exception as e:  # swallow like the reference
         result["error"] = str(e)
+    return result
+
+
+def send_digest(
+    subject: str,
+    stats: dict,
+    top_jobs: list,
+    config: SmtpConfig | None = None,
+    dry_run: bool = True,
+) -> dict:
+    """Render the daily digest + send via ``send_message``."""
+    text, html_body = render_digest(stats, top_jobs)
+    result = send_message(subject, text, html_body, config=config, dry_run=dry_run)
+    result["n_top"] = len(top_jobs)
     return result

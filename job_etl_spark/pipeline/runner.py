@@ -442,9 +442,38 @@ def run_pipeline(
     return stats
 
 
+def run_publish(store: TableStore, out_dir: str) -> dict:
+    """S11 stage: capped export of both mart tables
+    (reference CLI surface ``services/publisher_hyper/main.py:18-22``)."""
+    from job_etl_spark.pipeline import report as report_mod
+
+    fact = store.read("fact_jobs")
+    dim = store.read("dim_companies")
+    return report_mod.export_tables(fact, dim, out_dir)
+
+
+def run_notify(
+    subject: str, text: str, html: str | None = None, metadata: str | None = None,
+    dry_run: bool = True,
+) -> dict:
+    """S12 stage: standalone message send (reference CLI surface
+    ``services/notifier/main.py:32-55`` — --subject --text [--html
+    --metadata]); metadata is appended to the text body."""
+    from job_etl_spark.pipeline.notifier import send_message
+
+    body = text
+    if metadata:
+        meta = json.loads(metadata)
+        body += "\n\n" + "\n".join(f"- {k}: {v}" for k, v in meta.items())
+    return send_message(subject, body, html, dry_run=dry_run)
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="jobspark", description="jobspark pipeline CLI")
-    parser.add_argument("stage", choices=["pipeline", "normalize", "enrich", "rank", "dq"])
+    parser.add_argument(
+        "stage",
+        choices=["pipeline", "normalize", "enrich", "rank", "dq", "publish", "notify"],
+    )
     parser.add_argument("--warehouse", default=None)
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--num-jobs", type=int, default=100)
@@ -455,7 +484,27 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--include-existing", action="store_true")
     parser.add_argument("--dry-run", action="store_true")
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument("--output-dir", default=None, help="publish export dir")
+    parser.add_argument("--subject", default=None, help="notify subject")
+    parser.add_argument("--text", default=None, help="notify text body")
+    parser.add_argument("--html", default=None, help="notify html body")
+    parser.add_argument("--metadata", default=None, help="notify metadata JSON")
     args = parser.parse_args(argv)
+
+    if args.stage == "notify":
+        # driver-side only — no SparkSession needed
+        if not args.subject or args.text is None:
+            print(json.dumps({"error": "--subject and --text required"}), file=sys.stderr)
+            return 2
+        try:
+            stats = run_notify(
+                args.subject, args.text, args.html, args.metadata,
+                dry_run=True,  # no SMTP in this environment; flag-gated later
+            )
+        except KeyboardInterrupt:
+            return 130
+        print(json.dumps(stats, default=str))
+        return 0
 
     from job_etl_spark.session import get_spark
 
@@ -486,6 +535,11 @@ def main(argv: list[str] | None = None) -> int:
                 cfg = RankingConfig.load(args.config) if args.config else RankingConfig()
                 stats = run_rank(store, cfg, rank_all=args.all, limit=args.limit,
                                  dry_run=args.dry_run)
+            elif args.stage == "publish":
+                if not args.output_dir:
+                    print(json.dumps({"error": "--output-dir required"}), file=sys.stderr)
+                    return 2
+                stats = run_publish(store, args.output_dir)
             else:
                 results = run_dq(store)
                 stats = {r.name: r.violations for r in results}
@@ -497,6 +551,9 @@ def main(argv: list[str] | None = None) -> int:
     except FileNotFoundError as e:
         print(json.dumps({"error": f"missing table: {e}"}), file=sys.stderr)
         return 2
+    except KeyboardInterrupt:
+        # SIGINT exit contract (reference: services/normalizer/main.py:289-354)
+        return 130
     finally:
         spark.stop()
 

@@ -129,3 +129,54 @@ print("RCS", rc1, rc2, rc3, rc4)
     assert out.returncode == 0, out.stderr[-2000:]
     rcs = [ln for ln in out.stdout.splitlines() if ln.startswith("RCS")][0].split()[1:]
     assert rcs == ["0", "0", "0", "2"], (rcs, out.stderr[-500:])
+
+    # publish + notify stages against the same warehouse (S11/S12 CLI
+    # surface: publisher_hyper/main.py, notifier/main.py)
+    exp = tempfile.mkdtemp(prefix="jobspark_cli_exp_")
+    code2 = f"""
+import json, sys
+from job_etl_spark.pipeline.runner import main
+rc5 = main(["publish", "--warehouse", {wh!r}, "--output-dir", {exp!r}])
+rc6 = main(["publish", "--warehouse", {wh!r}])  # missing --output-dir
+rc7 = main(["notify", "--subject", "digest", "--text", "body",
+            "--metadata", json.dumps({{"runs": 3}})])
+rc8 = main(["notify"])  # missing --subject/--text
+print("RCS2", rc5, rc6, rc7, rc8)
+"""
+    out2 = subprocess.run(
+        [sys.executable, "-c", code2],
+        capture_output=True, text=True, cwd="/root/repo", timeout=500,
+    )
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    rcs2 = [ln for ln in out2.stdout.splitlines() if ln.startswith("RCS2")][0].split()[1:]
+    assert rcs2 == ["0", "2", "0", "2"], (rcs2, out2.stderr[-500:])
+    import glob as _glob
+
+    assert _glob.glob(f"{exp}/fact_jobs/*.parquet")
+    assert _glob.glob(f"{exp}/dim_companies/*.parquet")
+    notify_line = [ln for ln in out2.stdout.splitlines() if "rendered_text" in ln][0]
+    payload = json.loads(notify_line)
+    assert "runs: 3" in payload["rendered_text"]
+
+
+def test_cli_sigint_exits_130():
+    """KeyboardInterrupt → exit 130 (reference exit contract,
+    services/normalizer/main.py:289-354)."""
+    import subprocess
+    import sys
+
+    code = """
+import builtins, sys
+import job_etl_spark.pipeline.runner as runner
+
+def boom(*a, **k):
+    raise KeyboardInterrupt()
+
+runner.run_pipeline = boom
+sys.exit(runner.main(["pipeline", "--num-jobs", "5"]))
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, cwd="/root/repo", timeout=500,
+    )
+    assert out.returncode == 130, (out.returncode, out.stderr[-1000:])
