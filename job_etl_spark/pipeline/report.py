@@ -87,13 +87,45 @@ def daily_digest(
     return {"unique_jobs": n_unique, "top_jobs": top.collect()}
 
 
+_HYPER_NUMERIC_PREFIXES = (
+    "tinyint", "smallint", "int", "bigint", "float", "double", "decimal",
+)
+
+
+def hyper_schema(df: DataFrame) -> dict[str, str]:
+    """S11 column-type inference for the Hyper extract
+    (``services/publisher_hyper/exporter.py:30-41``: int/float → double,
+    everything else → text). The reference sniffs the first ROW because
+    psycopg2 hands it untyped tuples; Spark's schema is static, so the
+    same rule evaluates on the column TYPE — deterministic and
+    NULL-first-row-proof."""
+    return {
+        name: "double"
+        if dtype.split("(")[0] in _HYPER_NUMERIC_PREFIXES
+        else "text"
+        for name, dtype in df.dtypes
+    }
+
+
 def export_tables(fact: DataFrame, dim: DataFrame, out_dir: str) -> dict:
     """S11 re-expressed: capped export of both mart tables to parquet,
-    plus a Tableau .hyper file when pantab is installed (it is not in this
-    container — the parquet export is the portable artifact)."""
+    with the inferred Hyper column types written as a sidecar (and the
+    actual .hyper file when pantab is installed — it is not in this
+    container; the parquet export is the portable artifact)."""
+    import json as _json
+    import os as _os
+
     fact.limit(EXPORT_ROW_CAP).write.mode("overwrite").parquet(f"{out_dir}/fact_jobs")
     dim.limit(EXPORT_ROW_CAP).write.mode("overwrite").parquet(f"{out_dir}/dim_companies")
-    result = {"out_dir": out_dir, "cap": EXPORT_ROW_CAP, "hyper_file": None}
+    schema = {"fact_jobs": hyper_schema(fact), "dim_companies": hyper_schema(dim)}
+    with open(_os.path.join(out_dir, "hyper_schema.json"), "w") as f:
+        _json.dump(schema, f, indent=2, sort_keys=True)
+    result = {
+        "out_dir": out_dir,
+        "cap": EXPORT_ROW_CAP,
+        "hyper_file": None,
+        "hyper_schema": schema,
+    }
     try:  # pragma: no cover - optional dependency
         import pantab
 

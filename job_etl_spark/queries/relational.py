@@ -84,15 +84,26 @@ def q02_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
             F.broadcast(region), nation.n_regionkey == region.r_regionkey
         )
     ).select("c_custkey", "n_name", "r_name")
-    return (
+    # two-level aggregation instead of groupBy + 2×countDistinct: the
+    # single-pass form EXPANDs every joined row ×3 (one replica per
+    # distinct-agg) before the shuffle; pre-aggregating per (region,
+    # nation, order) shuffles each row once with map-side combine, makes
+    # n_orders a plain count (an order has exactly one nation), and keeps
+    # the decimal sum exact under re-aggregation (decimal + is associative)
+    per_order = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(geo, orders.o_custkey == geo.c_custkey)
-        .groupBy("r_name")
+        .groupBy("r_name", "n_name", "o_orderkey")
         .agg(
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
-            F.countDistinct("n_name").alias("n_nations"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+            ).alias("_rev")
         )
+    )
+    return per_order.groupBy("r_name").agg(
+        F.round(F.sum("_rev"), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("n_name").alias("n_nations"),
     )
 
 
