@@ -157,8 +157,8 @@ def _append_history(result: dict, runs: int) -> None:
             ).stdout.strip()
             or None
         )
-    except OSError:
-        rec["rev"] = None
+    except Exception:  # noqa: BLE001 - history is best-effort; the result
+        rec["rev"] = None  # line already printed and must win
     try:
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_HISTORY.jsonl")
         with open(path, "a") as f:

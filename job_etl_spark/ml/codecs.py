@@ -35,6 +35,26 @@ class MediaDecodeError(ValueError):
     """Unsupported or corrupt media payload."""
 
 
+def _decode_errors(fn):
+    """Normalize every decode-path failure (zlib.error on corrupt IDAT,
+    struct.error on truncated headers, ZeroDivisionError on degenerate
+    dimensions/rates, slicing errors) to MediaDecodeError — callers like
+    ``extract_features(codec='real')`` NULL the row on MediaDecodeError;
+    anything else would abort the whole Spark task."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except MediaDecodeError:
+            raise
+        except Exception as exc:  # noqa: BLE001 - contract: corrupt → MediaDecodeError
+            raise MediaDecodeError(f"{fn.__name__}: {exc}") from exc
+
+    return wrapped
+
+
 def sniff(payload: bytes) -> str:
     if payload[:8] == PNG_MAGIC:
         return "png"
@@ -54,6 +74,7 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+@_decode_errors
 def png_decode(payload: bytes) -> tuple[int, int, int, bytearray]:
     """-> (width, height, channels, pixels) with pixels row-major
     interleaved 8-bit samples. Supports bit depth 8, no interlace."""
@@ -116,6 +137,7 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytearray]:
     return width, height, channels, pixels
 
 
+@_decode_errors
 def png_encode(width: int, height: int, channels: int, pixels: bytes) -> bytes:
     """Minimal valid PNG writer (filter 0 rows, one IDAT)."""
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
@@ -138,6 +160,7 @@ def png_encode(width: int, height: int, channels: int, pixels: bytes) -> bytes:
     )
 
 
+@_decode_errors
 def png_resize(payload: bytes, max_side: int) -> tuple[int, int, bytes]:
     """Nearest-neighbor thumbnail: longer side becomes ``max_side``
     (aspect preserved, never upscaled). -> (new_w, new_h, png_bytes)."""
@@ -165,6 +188,7 @@ def png_resize(payload: bytes, max_side: int) -> tuple[int, int, bytes]:
     return nw, nh, png_encode(nw, nh, ch, bytes(out))
 
 
+@_decode_errors
 def image_features(payload: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
     """-> (width, height, feature): per-channel pixel means (0..1) padded
     to ``dim``, then overall pixel std in the next slot."""
@@ -186,6 +210,7 @@ def image_features(payload: bytes, dim: int = 8) -> tuple[int, int, list[float]]
 # ---------------------------------------------------------------------------
 # WAV (PCM16)
 # ---------------------------------------------------------------------------
+@_decode_errors
 def wav_decode(payload: bytes) -> tuple[int, int, list[int]]:
     """-> (sample_rate, n_channels, samples) for PCM16 RIFF/WAVE."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -200,8 +225,10 @@ def wav_decode(payload: bytes) -> tuple[int, int, list[int]]:
         pos += 8 + length + (length & 1)
         if cid == b"fmt ":
             fmt, nch, rate, _, _, bits = struct.unpack("<HHIIHH", data[:16])
-            if fmt != 1 or bits != 16:
-                raise MediaDecodeError(f"unsupported WAV (fmt={fmt}, bits={bits})")
+            if fmt != 1 or bits != 16 or nch < 1 or rate < 1:
+                raise MediaDecodeError(
+                    f"unsupported WAV (fmt={fmt}, bits={bits}, nch={nch}, rate={rate})"
+                )
         elif cid == b"data":
             samples = list(struct.unpack(f"<{len(data) // 2}h", data[: len(data) & ~1]))
     if rate is None or not samples:
@@ -209,6 +236,7 @@ def wav_decode(payload: bytes) -> tuple[int, int, list[int]]:
     return rate, nch, samples
 
 
+@_decode_errors
 def wav_encode(rate: int, samples: list[int], n_channels: int = 1) -> bytes:
     data = struct.pack(f"<{len(samples)}h", *samples)
     fmt = struct.pack("<HHIIHH", 1, n_channels, rate, rate * n_channels * 2, n_channels * 2, 16)
@@ -225,6 +253,7 @@ def wav_encode(rate: int, samples: list[int], n_channels: int = 1) -> bytes:
     )
 
 
+@_decode_errors
 def audio_features(payload: bytes, dim: int = 8) -> tuple[int, float, list[float]]:
     """-> (sample_rate, duration_s, feature): [rms, peak, zero-cross rate,
     duration/60] normalized, padded to ``dim``."""
@@ -233,11 +262,13 @@ def audio_features(payload: bytes, dim: int = 8) -> tuple[int, float, list[float
     duration = n / nch / rate
     rms = (sum(s * s for s in samples) / n) ** 0.5 / 32768.0
     peak = max(abs(s) for s in samples) / 32768.0
-    zc = sum(1 for i in range(1, n) if (samples[i - 1] < 0) != (samples[i] < 0))
+    ch0 = samples[::nch]  # zero-crossings on one channel — interleaved
+    # samples would compare L against R
+    zc = sum(1 for i in range(1, len(ch0)) if (ch0[i - 1] < 0) != (ch0[i] < 0))
     feat = [
         round(rms, 6),
         round(peak, 6),
-        round(zc / max(1, n - 1), 6),
+        round(zc / max(1, len(ch0) - 1), 6),
         round(min(1.0, duration / 60.0), 6),
     ]
     feat.extend([0.0] * (dim - len(feat)))

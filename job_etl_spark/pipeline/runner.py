@@ -464,6 +464,8 @@ def run_notify(
     body = text
     if metadata:
         meta = json.loads(metadata)
+        if not isinstance(meta, dict):
+            raise ValueError("--metadata must be a JSON object")
         body += "\n\n" + "\n".join(f"- {k}: {v}" for k, v in meta.items())
     return send_message(subject, body, html, dry_run=dry_run)
 
@@ -503,6 +505,9 @@ def main(argv: list[str] | None = None) -> int:
             )
         except KeyboardInterrupt:
             return 130
+        except ValueError as e:
+            print(json.dumps({"error": f"bad --metadata: {e}"}), file=sys.stderr)
+            return 2
         print(json.dumps(stats, default=str))
         return 0
 

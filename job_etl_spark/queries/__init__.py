@@ -25,15 +25,17 @@ from job_etl_spark.queries import relational, domain, lifedata
 
 
 def _last_verified_round() -> dict[str, int]:
-    """Map query name -> latest round whose CORRECTNESS_r*.json contains it.
+    """Map query name -> rotation key from the CORRECTNESS_r*.json history.
 
-    The driver verifies only the first 50 registry entries per round, so the
-    registry is ordered never-verified-first, then stalest-first — every query
-    rotates through the verification window within two rounds without manual
-    reordering.
+    The driver verifies only the first 50 registry entries per round, so
+    the registry is ordered: never-verified first (key −1), then queries
+    whose LATEST check was not green (key 0 — a failing query must re-enter
+    the window immediately, not wait out the rotation), then green queries
+    stalest-first (key = round of last green row). Every query cycles
+    through the window within two rounds without manual reordering.
     """
     root = Path(__file__).resolve().parents[2]
-    last_seen: dict[str, int] = {}
+    latest: dict[str, tuple[int, bool]] = {}
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", path.name)
         rnd = int(m.group(1)) if m else 0
@@ -41,9 +43,16 @@ def _last_verified_round() -> dict[str, int]:
             data = json.loads(path.read_text())
         except (OSError, ValueError):
             continue
-        for name in data:
-            last_seen[name] = max(last_seen.get(name, 0), rnd)
-    return last_seen
+        for name, row in data.items():
+            green = isinstance(row, dict) and (
+                row.get("hash_match") is True
+                or (row.get("hash_match") is None and row.get("rows_match") is True)
+            )
+            if name not in latest or rnd >= latest[name][0]:
+                latest[name] = (rnd, green)
+    return {
+        name: (rnd if green else 0) for name, (rnd, green) in latest.items()
+    }
 
 
 def registry() -> dict[str, Query]:

@@ -350,7 +350,7 @@ FROM ranked WHERE rn <= 5
 # q27 — embedding-cosine near-dup via banded hyperplane LSH.
 #
 # A bare (label) block is unbounded — one hot label goes quadratic at
-# corpus scale — so candidates come from 6 bands of 6 hyperplane sign-bits
+# corpus scale — so candidates come from 8 bands of 4 hyperplane sign-bits
 # (ml/ann.py plane_matrix: md5-seeded, engine-reproducible): a pair is a
 # candidate iff it shares (label, band_id, band_bucket) for ANY band, then
 # exact cosine ≥ θ filters inside the 16-way buckets. Deterministic, so

@@ -1597,11 +1597,18 @@ def q35_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
     )
     err = F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")
+    # all-NULL user_ids → exact = 0; the claim is then approx == 0 (a bare
+    # division would yield NULL and hash-mismatch the oracle's TRUE).
+    # The gate-mode query computes BOTH counts to verify the sketch; the
+    # production A6 path (report.daily_digest approx=True) runs HLL only.
+    claim = F.when(
+        F.col("exact_users") == 0, F.col("approx_users") == 0
+    ).otherwise(err <= 0.05)
     return agg.select(
         "event_type",
         "exact_users",
         "n_events",
-        (err <= 0.05).alias("approx_within_5pct"),
+        claim.alias("approx_within_5pct"),
     )
 
 

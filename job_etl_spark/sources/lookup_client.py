@@ -98,7 +98,9 @@ class CompanyLookupClient:
         self.retries = retries
         self.delay = delay
 
-    def search_company(self, query: str, limit: int = DEFAULT_LIMIT) -> list[dict]:
+    def search_company(
+        self, query: str, limit: int = DEFAULT_LIMIT, raise_transport: bool = False
+    ) -> list[dict]:
         url = f"{self.base_url}/company-search"
         headers = {"x-api-key": self.api_key, "Content-Type": "application/json"}
         params = {"query": query, "limit": min(max(1, int(limit)), 100)}
@@ -111,7 +113,12 @@ class CompanyLookupClient:
                 _call, retries=self.retries, delay=self.delay
             )
         except LookupTransportError:
-            return []  # network failures degrade; reruns retry via the cache
+            if raise_transport:
+                # batch_lookup needs to tell "network down" apart from "API
+                # answered empty" — caching the former as no_candidates
+                # would permanently suppress the lookup
+                raise
+            return []  # reference contract: network failures degrade to []
         if status == 401:
             raise LookupAuthError("invalid API key for company lookup")
         if status == 429:
@@ -141,17 +148,21 @@ def batch_lookup(
     name not already in the cache table.
 
     Returns a CANDIDATE_SCHEMA DataFrame: ≥1 row per looked-up name
-    (``lookup_status`` = 'ok' with candidate fields, or 'no_candidates'
-    with NULLs — the row that makes the cache append idempotent). Union
-    it with ``cache`` for matching; persist it so reruns skip the API.
+    (``lookup_status`` = 'ok' with candidate fields, 'no_candidates' with
+    NULLs — the row that makes the cache append idempotent — or
+    'transport_error' when the network failed after retries). Union it
+    with ``cache`` for matching; persist it so reruns skip the API.
+    Transport-error rows are EXCLUDED from the skip set, so those names
+    are re-fetched on the next run instead of being silently lost.
     """
     names = pending.select(
         F.trim(F.col(name_col)).alias("search_name")
     ).where(F.col("search_name").isNotNull() & (F.col("search_name") != ""))
     names = names.distinct()
     if cache is not None:
+        done = cache.where(F.col("lookup_status") != "transport_error")
         names = names.join(
-            cache.select("search_name").distinct(), "search_name", "left_anti"
+            done.select("search_name").distinct(), "search_name", "left_anti"
         )
 
     def fetch(batches: Iterator) -> Iterator:
@@ -161,7 +172,11 @@ def batch_lookup(
         for pdf in batches:
             out: list[tuple] = []
             for q in pdf["search_name"]:
-                cands = client.search_company(q, limit=limit)
+                try:
+                    cands = client.search_company(q, limit=limit, raise_transport=True)
+                except LookupTransportError:
+                    out.append((q, None, None, None, None, "transport_error"))
+                    continue
                 if not cands:
                     out.append((q, None, None, None, None, "no_candidates"))
                     continue

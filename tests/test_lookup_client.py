@@ -162,6 +162,33 @@ def test_batch_lookup_fans_out_and_caches(spark):
     assert out2 == []
 
 
+def test_transport_errors_are_not_cached_as_no_candidates(spark):
+    """A network failure must be recorded as transport_error and re-fetched
+    on the next run — caching it as no_candidates would permanently
+    suppress the lookup."""
+
+    def make_failing_factory():
+        def transport(url, headers, params, timeout):
+            raise LookupTransportError("network down")
+
+        def factory():
+            from job_etl_spark.sources.lookup_client import CompanyLookupClient as C
+
+            return C(api_key="k", transport=transport, retries=0, delay=0.0)
+
+        return factory
+
+    pending = spark.createDataFrame([("c1", "Acme")], "company_id string, name string")
+    out = batch_lookup(pending, make_failing_factory()).collect()
+    assert len(out) == 1 and out[0]["lookup_status"] == "transport_error"
+
+    # rerun with the error row in the cache + a healthy transport: the name
+    # IS retried (anti-join skips only ok/no_candidates rows)
+    cache = spark.createDataFrame(out, CANDIDATE_SCHEMA)
+    out2 = batch_lookup(pending, _make_stub_factory(), cache=cache).collect()
+    assert {r["lookup_status"] for r in out2} == {"ok"}
+
+
 def test_batch_lookup_feeds_matcher(spark):
     from job_etl_spark.pipeline.company_match import match_companies
 

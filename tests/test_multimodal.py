@@ -91,6 +91,48 @@ def test_real_decode_rejects_garbage():
         decode_real(b"not media bytes", "image")
 
 
+def test_corrupt_media_raises_decode_error_not_crash():
+    """Every decode-path failure must surface as MediaDecodeError (the
+    mapInPandas NULL-row contract) — not zlib/struct/ZeroDivision errors
+    that would abort the Spark task."""
+    import struct as _struct
+
+    # PNG magic + non-zlib IDAT
+    bad_idat = codecs.PNG_MAGIC + _struct.pack(">I", 13) + b"IHDR" + _struct.pack(
+        ">IIBBBBB", 2, 2, 8, 2, 0, 0, 0
+    ) + b"\x00" * 4 + _struct.pack(">I", 5) + b"IDAT" + b"junk!" + b"\x00" * 4
+    with pytest.raises(codecs.MediaDecodeError):
+        codecs.png_decode(bad_idat)
+    # truncated IHDR
+    trunc = codecs.PNG_MAGIC + _struct.pack(">I", 13) + b"IHDR" + b"\x00\x01"
+    with pytest.raises(codecs.MediaDecodeError):
+        codecs.png_decode(trunc)
+    # WAV with zero channels / zero rate
+    fmt = _struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+    wav = (
+        b"RIFF" + _struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    with pytest.raises(codecs.MediaDecodeError):
+        codecs.wav_decode(wav)
+
+
+def test_stereo_zcr_uses_one_channel():
+    """Interleaved stereo with L=+sine, R=-sine: zcr must reflect the
+    per-channel rate (2f/rate), not the L-vs-R sign flips."""
+    rate, f = 8000, 440
+    n = rate  # 1 s
+    inter = []
+    for i in range(n):
+        s = int(30000 * math.sin(2 * math.pi * f * i / rate))
+        inter.extend([s, -s])
+    payload = codecs.wav_encode(rate, inter, n_channels=2)
+    _, duration, feat = codecs.audio_features(payload)
+    assert abs(duration - 1.0) < 0.001
+    assert abs(feat[2] - 2 * f / rate) < 0.005
+
+
 def test_extract_features_real_codec_in_spark(spark):
     """End-to-end: binary PNG/WAV payloads through Arrow-batched
     mapInPandas with the REAL codec; garbage rows yield NULLs."""
