@@ -215,9 +215,12 @@ def resize_images(media: DataFrame, max_side: int = 224, codec: str = "stub") ->
     return media.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Frame-sampling plumbing: one output row per sampled frame index —
-    the explode shape a video pipeline needs; frame bytes are stubbed."""
-    feats = extract_features(media)
+def sample_frames(media: DataFrame, every_n: int = 10, codec: str = "stub") -> DataFrame:
+    """Frame sampling: one output row per sampled frame index — the
+    explode shape a video pipeline needs. ``codec="real"`` takes n_frames
+    from the actual decode (1 per image, per-second for audio; video
+    frame extraction still needs PyAV); frame BYTES are not materialized
+    either way."""
+    feats = extract_features(media, codec=codec)
     idx = F.explode(F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n)))
     return feats.select("media_id", "n_frames", idx.alias("frame_idx"))

@@ -83,6 +83,88 @@ class TestEnumValidation:
         assert out == expected
 
 
+class TestRequiredFieldValidation:
+    """P6 reject split — twin of the reference's per-field required-field
+    cases (test_normalizer.py:234-258: missing/empty/None job_title,
+    company, location each raise NormalizationError; the Spark engine
+    routes those rows to the reject side-channel instead). All cases in
+    one action."""
+
+    CASES = [
+        # (job_title, company, location, expect_rejected, reason_field)
+        ("Data Engineer", "Acme", "Montreal", False, None),
+        ("", "Acme", "Montreal", True, "job_title"),
+        ("   ", "Acme", "Montreal", True, "job_title"),
+        (None, "Acme", "Montreal", True, "job_title"),
+        ("Data Engineer", "", "Montreal", True, "company"),
+        ("Data Engineer", None, "Montreal", True, "company"),
+        ("Data Engineer", "Acme", "", True, "location"),
+        ("Data Engineer", "Acme", None, True, "location"),
+    ]
+
+    def test_reject_split(self, spark):
+        from job_etl_spark.pipeline.normalize import normalize_common
+        from job_etl_spark.schema import COMMON_SCHEMA
+
+        rows = []
+        for i, (t, c, l, _, _) in enumerate(self.CASES):
+            d = {f.name: None for f in COMMON_SCHEMA.fields}
+            d.update(
+                provider_job_id=str(i), job_title=t, company=c, location=l,
+                source="test",
+            )
+            rows.append(tuple(d[f.name] for f in COMMON_SCHEMA.fields))
+        common = spark.createDataFrame(rows, COMMON_SCHEMA)
+        res = normalize_common(common, dt.datetime(2026, 1, 1))
+        ok_ids = {r["provider_job_id"] for r in res.normalized.collect()}
+        rej = {r["provider_job_id"]: r["reject_reason"] for r in res.rejected.collect()}
+        for i, (t, c, l, expect_rej, reason_field) in enumerate(self.CASES):
+            if expect_rej:
+                assert str(i) in rej and str(i) not in ok_ids, (i, t, c, l)
+                assert reason_field in rej[str(i)], (i, rej[str(i)])
+            else:
+                assert str(i) in ok_ids and str(i) not in rej
+
+
+class TestEnumSweeps:
+    """Every valid enum value passes through lowercased; invalid/empty/
+    non-member default to 'unknown' — the reference's accepted-values
+    sweeps (test_normalizer.py:283-362) in one action per enum."""
+
+    @pytest.mark.parametrize(
+        "domain",
+        [
+            ["remote", "hybrid", "onsite", "unknown"],
+            ["full_time", "part_time", "contract", "intern", "temp", "unknown"],
+            ["1-10", "11-50", "51-200", "201-500", "501-1000", "1001-5000", "5001+", "unknown"],
+        ],
+        ids=["remote_type", "contract_type", "company_size"],
+    )
+    def test_valid_values_and_defaults(self, spark, domain):
+        from job_etl_spark.schema import (
+            VALID_COMPANY_SIZES,
+            VALID_CONTRACT_TYPES,
+            VALID_REMOTE_TYPES,
+        )
+
+        assert domain in (VALID_REMOTE_TYPES, VALID_CONTRACT_TYPES, VALID_COMPANY_SIZES)
+        cases = [(v, v) for v in domain]
+        cases += [(v.upper(), v) for v in domain]  # case-insensitive
+        cases += [(f"  {domain[0]}  ", domain[0])]  # trimmed
+        cases += [("bogus", "unknown"), ("", "unknown"), (None, "unknown")]
+        df = spark.createDataFrame(
+            [(i, raw) for i, (raw, _) in enumerate(cases)], "i int, v string"
+        )
+        got = {
+            r["i"]: r["o"]
+            for r in df.select(
+                "i", validate_enum_expr("v", domain, "unknown").alias("o")
+            ).collect()
+        }
+        for i, (raw, want) in enumerate(cases):
+            assert got[i] == want, (raw, got[i], want)
+
+
 class TestSalaryNormalization:
     def test_swap_when_inverted(self, spark):
         lo, hi = salary_bounds_exprs("a", "b")
