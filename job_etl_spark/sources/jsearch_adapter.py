@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from job_etl_spark.sources.base import JobPostingRaw, SourceAdapter
 
 DEFAULT_MAX_JOBS = 20  # jsearch_adapter.py:25
+DEFAULT_COUNTRY = "us"
 
 CONTRACT_TYPE_MAP = {
     "FULLTIME": "full_time",
@@ -25,6 +26,32 @@ CONTRACT_TYPE_MAP = {
     "INTERN": "intern",
     "TEMPORARY": "temp",
 }
+
+# supported country names → ISO alpha-2 (jsearch_adapter.py:30-36)
+COUNTRY_CODE_MAP = {
+    "canada": "ca",
+    "united states": "us",
+    "usa": "us",
+    "united kingdom": "uk",
+    "great britain": "uk",
+}
+
+
+def canonicalize_country_code(country: str | None) -> str | None:
+    """ISO-alpha-2 passthrough (lowercased) or name-map lookup; None when
+    unrecognized (jsearch_adapter.py:272-285)."""
+    if not country:
+        return None
+    normalized = country.strip().lower()
+    if not normalized:
+        return None
+    if len(normalized) == 2 and normalized.isalpha():
+        return normalized
+    return COUNTRY_CODE_MAP.get(normalized)
+
+
+class SourceHTTPError(RuntimeError):
+    """4xx/5xx API response (401/429 carry the reference's messages)."""
 
 
 def retry_with_backoff(fn, retries: int = 3, delay: float = 1.0, factor: float = 2.0):
@@ -41,52 +68,93 @@ def retry_with_backoff(fn, retries: int = 3, delay: float = 1.0, factor: float =
 
 
 class JSearchAdapter(SourceAdapter):
+    """S1 surface parity (jsearch_adapter.py:50-269): query/country/
+    date_posted search config, country canonicalization with fallback to
+    the default, page-number tokens, cumulative max_jobs stop, api-call
+    counting, 401/429 error taxonomy. ``transport(url, headers, params,
+    timeout) -> (status_code, json_dict)`` is injectable so contract
+    tests run offline (the reference mocks requests.get the same way)."""
+
     def __init__(
         self,
         api_key: str | None = None,
         query: str = "data engineer",
         max_jobs: int = DEFAULT_MAX_JOBS,
-        base_url: str = "https://jsearch.example/search",
+        base_url: str = "https://jsearch.example",
+        country: str = DEFAULT_COUNTRY,
+        date_posted: str = "all",
+        transport=None,
+        retries: int = 3,
+        delay: float = 1.0,
     ):
         super().__init__(source_name="jsearch")
         self.api_key = api_key
         self.query = query
         self.max_jobs = max_jobs
-        self.base_url = base_url
-        self._fetched = 0
+        self.base_url = base_url.rstrip("/")
+        self.country = country
+        self.country_code = canonicalize_country_code(country) or DEFAULT_COUNTRY
+        self.date_posted = date_posted
+        self.transport = transport
+        self.retries = retries
+        self.delay = delay
+        self.api_call_count = 0
+        self.total_jobs_fetched = 0
 
-    def fetch(self, page_token: str | None = None):
-        """Page-number token; stops at max_jobs (jsearch_adapter.py:186-269)."""
+    def _default_transport(self, url, headers, params, timeout):
         try:
             import requests  # gated: not guaranteed in this container
         except ImportError as e:  # pragma: no cover
             raise RuntimeError(
                 "jsearch live fetch requires 'requests'; use MockAdapter offline"
             ) from e
+        resp = requests.get(url, headers=headers, params=params, timeout=timeout)
+        return resp.status_code, resp.json()
 
-        page = 1 if page_token is None else int(page_token)
+    def _api_call(self, params: dict) -> dict:
+        url = f"{self.base_url}/search"
+        headers = {"X-API-Key": self.api_key or "", "Content-Type": "application/json"}
+        transport = self.transport or self._default_transport
 
         def _call():
-            resp = requests.get(
-                self.base_url,
-                params={"query": self.query, "page": page, "num_pages": 1},
-                headers={"X-RapidAPI-Key": self.api_key or ""},
-                timeout=30,
-            )
-            resp.raise_for_status()
-            return resp.json()
+            self.api_call_count += 1  # counts every attempt incl. retries
+            return transport(url, headers, params, 30)
 
-        data = retry_with_backoff(_call)
+        status, data = retry_with_backoff(_call, retries=self.retries, delay=self.delay)
+        if status == 401:
+            raise SourceHTTPError("Invalid API key - check JSEARCH_API_KEY")
+        if status == 429:
+            raise SourceHTTPError("Rate limit exceeded - too many API calls")
+        if status >= 400:
+            raise SourceHTTPError(f"API error {status}")
+        return data if isinstance(data, dict) else {}
+
+    def fetch(self, page_token: str | None = None):
+        """Page-number token; stops at cumulative max_jobs
+        (jsearch_adapter.py:186-269)."""
+        page = 1 if page_token is None else int(page_token)
+        data = self._api_call(
+            {
+                "query": self.query,
+                "country": self.country_code,
+                "page": page,
+                "num_pages": 1,
+                "date_posted": self.date_posted,
+            }
+        )
+        items = data.get("data", [])
+        if not isinstance(items, list) or not items:
+            return [], None
         jobs = [
             JobPostingRaw(
                 source=self.source_name,
                 payload=item,
                 provider_job_id=item.get("job_id"),
             )
-            for item in data.get("data", [])
+            for item in items
         ]
-        self._fetched += len(jobs)
-        has_more = bool(jobs) and self._fetched < self.max_jobs
+        self.total_jobs_fetched += len(jobs)
+        has_more = self.total_jobs_fetched < self.max_jobs
         return jobs, (str(page + 1) if has_more else None)
 
     def map_to_common_exprs(self, payload: Column) -> dict[str, Column]:
