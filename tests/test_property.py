@@ -258,3 +258,44 @@ def test_banded_range_join_matches_naive_property(spark, lrows, rrows, band):
     )
     got = banded_range_join(left, right, ["k"], "lv", "rv", lo, hi, band=band)
     assert sorted((r["lid"], r["rid"]) for r in got.collect()) == expect
+
+
+# ---------------------------------------------------------------------------
+# pure-stdlib PNG codec: encode → decode round-trips any 8-bit image
+# exactly (all channel counts), and resize preserves dimensions contract
+# ---------------------------------------------------------------------------
+@settings(max_examples=20, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.sampled_from([1, 2, 3, 4]),
+    st.randoms(use_true_random=False),
+)
+def test_png_roundtrip_property(w, h, ch, rnd):
+    from job_etl_spark.ml import codecs
+
+    px = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+    out = codecs.png_decode(codecs.png_encode(w, h, ch, px))
+    assert out[:3] == (w, h, ch)
+    assert bytes(out[3]) == px
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=16),
+)
+def test_png_resize_dimension_contract(w, h, max_side):
+    from job_etl_spark.ml import codecs
+
+    px = bytes((i * 37) % 256 for i in range(w * h * 3))
+    nw, nh, payload = codecs.png_resize(codecs.png_encode(w, h, 3, px), max_side)
+    # never upscaled; longer side hits the target when downscaling
+    assert nw <= max(w, max_side) and nh <= max(h, max_side)
+    if max(w, h) > max_side:
+        assert max(nw, nh) == max_side
+    else:
+        assert (nw, nh) == (w, h)
+    w2, h2, ch2, _ = codecs.png_decode(payload)
+    assert (w2, h2, ch2) == (nw, nh, 3)
