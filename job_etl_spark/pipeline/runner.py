@@ -474,7 +474,10 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="jobspark", description="jobspark pipeline CLI")
     parser.add_argument(
         "stage",
-        choices=["pipeline", "normalize", "enrich", "rank", "dq", "publish", "notify"],
+        choices=[
+            "pipeline", "extract", "normalize", "enrich", "marts", "rank",
+            "dq", "publish", "notify",
+        ],
     )
     parser.add_argument("--warehouse", default=None)
     parser.add_argument("--limit", type=int, default=None)
@@ -524,7 +527,11 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps({"error": "--warehouse required"}), file=sys.stderr)
                 return 2
             store = TableStore(spark, args.warehouse)
-            if args.stage == "normalize":
+            if args.stage == "extract":
+                stats = run_extract(store, MockAdapter(num_jobs=args.num_jobs))
+            elif args.stage == "marts":
+                stats = run_marts(store)
+            elif args.stage == "normalize":
                 stats = run_normalize(
                     store, MockAdapter(), limit=args.limit, dry_run=args.dry_run
                 )

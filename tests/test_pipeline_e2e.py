@@ -117,7 +117,10 @@ rc1 = main(["pipeline", "--warehouse", {wh!r}, "--num-jobs", "40"])
 rc2 = main(["dq", "--warehouse", {wh!r}])
 rc3 = main(["rank", "--warehouse", {wh!r}, "--all", "--dry-run"])
 rc4 = main(["normalize"])  # missing --warehouse
-print("RCS", rc1, rc2, rc3, rc4)
+rc5 = main(["extract", "--warehouse", {wh!r}, "--num-jobs", "10"])
+rc6 = main(["normalize", "--warehouse", {wh!r}])
+rc7 = main(["marts", "--warehouse", {wh!r}])
+print("RCS", rc1, rc2, rc3, rc4, rc5, rc6, rc7)
 """
     out = subprocess.run(
         [sys.executable, "-c", code],
@@ -128,7 +131,7 @@ print("RCS", rc1, rc2, rc3, rc4)
     )
     assert out.returncode == 0, out.stderr[-2000:]
     rcs = [ln for ln in out.stdout.splitlines() if ln.startswith("RCS")][0].split()[1:]
-    assert rcs == ["0", "0", "0", "2"], (rcs, out.stderr[-500:])
+    assert rcs == ["0", "0", "0", "2", "0", "0", "0"], (rcs, out.stderr[-500:])
 
     # publish + notify stages against the same warehouse (S11/S12 CLI
     # surface: publisher_hyper/main.py, notifier/main.py)
