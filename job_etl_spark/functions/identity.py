@@ -25,14 +25,19 @@ def strip_ws(col: Column | str) -> Column:
     semantics. Spark's ``trim`` strips only spaces (0x20), but the
     reference's authoritative hash path is Python ``.strip()``
     (``hash_generator.py``), which strips tabs/newlines too; a
-    hypothesis counterexample ('\\n' location) caught the difference."""
+    hypothesis counterexample ('\\n' location) caught the difference.
+    ``(?U)`` makes Java's ``\\s`` match Unicode White_Space (NBSP, thin
+    space, …) like Python's — a bare ``\\s`` is ASCII-only in Java and
+    would give NBSP-padded names a different hash than the reference.
+    (Python alone also strips \\x1c-\\x1f, which are not Unicode
+    White_Space; that corner is accepted.)"""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(c, r"(^\s+)|(\s+$)", "")
+    return F.regexp_replace(c, r"(?U)(^\s+)|(\s+$)", "")
 
 
 def ws_normalize(col: Column | str) -> Column:
     """Strip + collapse internal whitespace runs to a single space."""
-    return F.regexp_replace(strip_ws(col), r"\s+", " ")
+    return F.regexp_replace(strip_ws(col), r"(?U)\s+", " ")
 
 
 def hash_key_expr(company: Column | str, title: Column | str, location: Column | str) -> Column:

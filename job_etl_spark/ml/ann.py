@@ -87,6 +87,8 @@ def assign_centroid(
         )
         for cid, cvec in centroids
     ]
+    if len(entries) == 1:  # greatest() requires >= 2 columns
+        return F.lit(centroids[0][0]).cast("int")
     return (-F.greatest(*entries).getField("n")).cast("int")
 
 
@@ -110,12 +112,17 @@ def ivf_topk(
 
     Recall/cost tunes with (n_centroids, nprobe); nprobe == n_centroids
     degenerates to the exact brute force."""
+    # the n_centroids smallest-id vectors (TakeOrdered — bounded collect);
+    # a `id < n` predicate would break on sparse / non-zero-based id spaces
     cents = [
         (r["_cid"], r["_cvec"])
-        for r in corpus.where(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
+        for r in corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
+        .orderBy("_cid")
+        .limit(n_centroids)
         .collect()
     ]
+    if not cents:
+        raise ValueError("ivf_topk: empty corpus — no codebook")
     assigned = corpus.withColumn(
         "centroid_id", assign_centroid(F.col(vec_col), cents)
     )

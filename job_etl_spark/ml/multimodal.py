@@ -223,4 +223,8 @@ def sample_frames(media: DataFrame, every_n: int = 10, codec: str = "stub") -> D
     either way."""
     feats = extract_features(media, codec=codec)
     idx = F.explode(F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n)))
-    return feats.select("media_id", "n_frames", idx.alias("frame_idx"))
+    # zero-frame (or undecodable) media yields no rows — the greatest()
+    # floor otherwise emits a phantom frame_idx=0
+    return feats.where(F.col("n_frames") > 0).select(
+        "media_id", "n_frames", idx.alias("frame_idx")
+    )

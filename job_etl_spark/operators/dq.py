@@ -27,7 +27,9 @@ def check_not_null(df: DataFrame, col: str) -> DataFrame:
 
 
 def check_accepted_values(df: DataFrame, col: str, values: Sequence[str]) -> DataFrame:
-    return df.where(~F.col(col).isin(list(values)) | F.col(col).isNull())
+    """dbt accepted_values semantics: NULL is NOT a violation (nullability
+    is the separate not_null test) — only non-NULL out-of-domain values."""
+    return df.where(F.col(col).isNotNull() & ~F.col(col).isin(list(values)))
 
 
 def check_relationships(child: DataFrame, child_key: str, parent: DataFrame, parent_key: str) -> DataFrame:

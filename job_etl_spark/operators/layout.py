@@ -84,8 +84,15 @@ def compact(
         else df.repartition(n)
     )
     compacted.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    # two renames instead of rmtree-then-rename: a crash leaves either the
+    # old or the new table fully intact (the only loss window is between
+    # the renames, where the path is briefly absent — single-writer op)
+    old = path.rstrip("/") + "._compact_old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return len(glob.glob(os.path.join(path, "*.parquet")))
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -76,7 +76,27 @@ def merge_upsert(
 
 def insert_if_absent(base: DataFrame, new_rows: DataFrame, keys: Sequence[str]) -> DataFrame:
     """``INSERT … ON CONFLICT DO NOTHING`` (J4): anti-join then append.
-    The anti-join broadcasts whichever side is small; at scale this is a
-    shuffle-free append when both are bucketed on the key."""
-    fresh = new_rows.join(base.select(*keys).distinct(), on=list(keys), how="left_anti")
+    Intra-batch duplicates are also suppressed (the reference's per-row
+    inserts conflict against rows earlier in the same batch) — one
+    deterministic winner per key via min-struct ordering over the
+    remaining columns. The anti-join broadcasts whichever side is small;
+    at scale this is a shuffle-free append when both are bucketed on the
+    key."""
+    keys = list(keys)
+    # maps are not orderable; any remaining orderable column set gives a
+    # deterministic winner
+    dtypes = dict(new_rows.dtypes)
+    others = [
+        c for c in new_rows.columns if c not in keys and not dtypes[c].startswith("map")
+    ]
+    if others:
+        w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc_nulls_last() for c in others])
+        new_rows = (
+            new_rows.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        new_rows = new_rows.distinct()
+    fresh = new_rows.join(base.select(*keys).distinct(), on=keys, how="left_anti")
     return base.unionByName(fresh.select(*base.columns))

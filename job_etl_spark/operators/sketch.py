@@ -37,7 +37,10 @@ def histogram_sketch(
     """Long-format sketch: one row per (group, non-empty bin).
 
     Out-of-range values clamp into the edge bins, so merging sketches
-    built with the same (lo, hi, nbins) is always sound.
+    built with the same (lo, hi, nbins) is always sound. NULL values are
+    excluded (greatest() would otherwise clamp them into bin 0 and skew
+    every quantile low — approx_percentile, the thing this replaces,
+    ignores NULLs too).
     """
     width = (hi - lo) / nbins
     bin_ = (
@@ -46,8 +49,10 @@ def histogram_sketch(
             F.greatest(F.lit(0).cast("long"), F.floor((F.col(value_col) - lo) / width)),
         )
     ).cast("int")
-    return df.groupBy(*group_cols, bin_.alias("bin")).agg(
-        F.count(F.lit(1)).alias("cnt")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 

@@ -44,7 +44,17 @@ def salted_join(
     """Equi-join where ``skewed`` has hot keys and ``other`` is too big to
     broadcast: salt the skewed side, replicate the other side per salt,
     join on (keys + salt), drop the salt. Row multiplicity is preserved —
-    each skewed row joins exactly the same matches as the plain join."""
+    each skewed row joins exactly the same matches as the plain join.
+
+    Only skewed-side-preserving join types are supported: with
+    right/full_outer, every unmatched ``other`` replica would emit its
+    own null-padded row (×salt_buckets multiplicity)."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}; "
+            "right/full joins would multiply unmatched other-side rows "
+            "by salt_buckets"
+        )
     keys = list(keys)
     s = skewed.withColumn("_salt", (F.rand(42) * salt_buckets).cast("int"))
     o = other.withColumn(

@@ -28,7 +28,7 @@ def high_watermark(df: DataFrame, col: str, floor: _dt.datetime = EPOCH_FLOOR):
     return wm if wm is not None else floor
 
 
-def incremental_filter(df: DataFrame, col: str, watermark, strict: bool = True) -> Column:
+def incremental_filter(df: DataFrame, col: str, watermark, strict: bool = True) -> DataFrame:
     """Filter rows newer than the watermark (``>`` per the reference's
     ``first_seen_at > MAX(ingested_at)``; ``>=`` for the margin-based scans)."""
     c = F.col(col)

@@ -17,8 +17,12 @@ from job_etl_spark.operators import top_k
 from job_etl_spark.queries._util import Query, dround, sql_dround
 from job_etl_spark.tables import table
 
-_WS = r"'\s+'"  # duckdb regex literal (no backslash escape processing)
-_TRIM = r"'(^\s+)|(\s+$)'"  # python-strip semantics (trim() is space-only)
+# Unicode-whitespace class for RE2 (DuckDB): ASCII \s is not enough — the
+# Spark side uses (?U)\s = Unicode White_Space for Python-strip parity.
+# [\t\n\x0b\f\r\x85 + all separator categories] == White_Space.
+_WS_CLASS = r"[\t\n\x0b\f\r\x85\p{Z}]"
+_WS = f"'{_WS_CLASS}+'"  # duckdb regex literal (no backslash escape processing)
+_TRIM = f"'(^{_WS_CLASS}+)|({_WS_CLASS}+$)'"  # python-strip semantics
 
 
 def _sql_norm(x: str) -> str:

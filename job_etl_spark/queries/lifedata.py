@@ -577,7 +577,7 @@ _Q48_SQL = f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings
 ), c AS (
-  SELECT vec_id AS c_id, vec AS c_vec FROM e WHERE vec_id < 16
+  SELECT vec_id AS c_id, vec AS c_vec FROM e ORDER BY vec_id LIMIT 16
 ), asg AS (
   SELECT vec_id, vec, c_id AS centroid_id FROM (
     SELECT e.vec_id, e.vec, c.c_id,

@@ -7,6 +7,7 @@ vs DuckDB's native ASOF JOIN in test_oracle_parity.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from job_etl_spark.operators.asof import asof_join
@@ -75,10 +76,6 @@ def test_asof_single_shuffle_plan(spark):
 def test_asof_forward_matches_naive(spark):
     """Forward as-of == naive 'earliest right >= left' per key, ties
     match, no-successor rows NULL."""
-    from pyspark.sql import functions as F
-
-    from job_etl_spark.operators.asof import asof_join
-
     left = spark.createDataFrame(
         [(1, "a", 100), (2, "a", 250), (3, "b", 50), (4, "c", 10)],
         "lid int, k string, ts long",
@@ -97,3 +94,40 @@ def test_asof_forward_matches_naive(spark):
     # lid 1: tie at 100 matches rv=11; lid 2: nothing >= 250 -> NULL;
     # lid 3: earliest >= 50 is 60 -> 14; lid 4: key c absent -> NULL
     assert out == {1: 11, 2: None, 3: 14, 4: None}
+
+
+def test_asof_values_come_from_one_row(spark):
+    """A matched right row with NULLs must NOT resurrect older values:
+    all carried columns come from the same (nearest) right row."""
+    from job_etl_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 1, 5.0, None), (1, 2, None, 7.0)],
+        "k int, ts int, a double, b double",
+    )
+    left = spark.createDataFrame([(1, 3)], "k int, ts int")
+    out = asof_join(
+        left, right.withColumnRenamed("ts", "rts"), "k", "ts", "rts", ["a", "b"]
+    ).first()
+    # nearest right row is (ts=2, a=NULL, b=7): a must be NULL, not 5
+    assert out["a"] is None and out["b"] == 7.0
+
+
+def test_asof_inner_keeps_null_valued_match(spark):
+    """inner drops only unmatched left rows — a matched right row whose
+    value columns are NULL still counts as a match."""
+    from job_etl_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame([(1, 1, None)], "k int, rts int, price double")
+    left = spark.createDataFrame([(1, 2), (2, 2)], "k int, ts int")
+    rows = asof_join(left, right, "k", "ts", "rts", ["price"], how="inner").collect()
+    assert len(rows) == 1 and rows[0]["k"] == 1 and rows[0]["price"] is None
+
+
+def test_asof_rejects_colliding_value_cols(spark):
+    from job_etl_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame([(1, 1, 2.0)], "k int, rts int, price double")
+    left = spark.createDataFrame([(1, 2, 9.0)], "k int, ts int, price double")
+    with pytest.raises(ValueError, match="price"):
+        asof_join(left, right, "k", "ts", "rts", ["price"])
