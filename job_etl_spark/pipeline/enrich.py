@@ -121,8 +121,14 @@ def skills_expr(
         phrase_hits = F.regexp_extract_all(lowered, F.lit(pattern), 0)
     else:  # pragma: no cover
         phrase_hits = F.array().cast("array<string>")
-    # single-token pass: split on non-word-ish separators like a tokenizer
-    tokens = F.split(lowered, r"[^a-z0-9+#.]+")
+    # single-token pass: split on non-word-ish separators like a tokenizer.
+    # '.' stays inside tokens (node.js), so strip TRAILING dots afterwards —
+    # a sentence-final "…with dbt." must still match alias 'dbt' (the
+    # reference's spaCy tokenizer separates the period)
+    tokens = F.transform(
+        F.split(lowered, r"[^a-z0-9+#.]+"),
+        lambda t: F.regexp_replace(t, r"\.+$", ""),
+    )
     sw = set(dictionary.singleword_aliases)
     sw_arr = F.array(*[F.lit(s) for s in sorted(sw)])
     token_hits = F.array_intersect(tokens, sw_arr)

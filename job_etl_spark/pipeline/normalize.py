@@ -64,11 +64,18 @@ def normalize_common(common: DataFrame, run_ts) -> NormalizeResult:
         safe_double_expr("salary_min"), safe_double_expr("salary_max")
     )
     ts = F.lit(run_ts)
-    # deterministic within-batch ordering: the reference upserts rows in
-    # fetch order, later rows winning; raw_id carries that identity
-    order_col = (
-        F.col("raw_id") if "raw_id" in common.columns else F.monotonically_increasing_id()
-    )
+    # deterministic ordering: the reference upserts rows in fetch order,
+    # later rows winning. raw_id carries the within-batch fetch order as a
+    # fixed-width prefix (land_raw/datasource); across landing batches the
+    # later collected_at wins first.
+    if "raw_id" in common.columns:
+        order_col = (
+            F.struct(F.col("collected_at"), F.col("raw_id"))
+            if "collected_at" in common.columns
+            else F.col("raw_id")
+        )
+    else:
+        order_col = F.monotonically_increasing_id()
     normalized = ok.withColumn("_ord", order_col).select(
         F.col("_ord"),
         hash_key_expr("company", "job_title", "location").alias("hash_key"),
@@ -117,13 +124,24 @@ def normalize_common(common: DataFrame, run_ts) -> NormalizeResult:
 
 def merge_into_staging(staging: DataFrame, normalized: DataFrame) -> DataFrame:
     """J3: the workhorse upsert — keep first_seen_at, bump last_seen_at,
-    overwrite identity columns, COALESCE the 11 nullable payload columns
-    (``db_operations.py:427-460``)."""
+    overwrite identity columns, COALESCE the nullable payload columns
+    (``db_operations.py:427-460``).
+
+    The enricher-owned columns (seniority_level, the enrichment status)
+    are KEEP-FIRST, not coalesce: normalize emits their non-null insert
+    defaults ('unknown'/'not_tried'), so coalesce(update, base) would
+    reset every previously-enriched row on re-normalize and re-run the
+    whole enrichment state machine. The reference never clobbers them
+    because its normalizer dict simply lacks the fields; keep-first is
+    the set-oriented equivalent (matched rows keep the enriched value,
+    inserts take the default)."""
+    coalesce = [c for c in STAGING_COALESCE_COLS if c != "seniority_level"]
     return merge_upsert(
         staging,
         normalized,
         keys=["hash_key"],
         overwrite_cols=STAGING_OVERWRITE_COLS,
-        coalesce_cols=STAGING_COALESCE_COLS + ["seniority_enrichment_status"],
-        keep_first_cols=STAGING_KEEP_FIRST_COLS,
+        coalesce_cols=coalesce,
+        keep_first_cols=STAGING_KEEP_FIRST_COLS
+        + ["seniority_level", "seniority_enrichment_status"],
     )

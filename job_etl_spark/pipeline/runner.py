@@ -122,28 +122,39 @@ class TableStore:
             conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         self.spark.catalog.refreshByPath(self.path(name))
 
+    def _swap_in(self, name: str, tmp: str) -> None:
+        """Promote a fully-written temp dir via rename-rename: a crash
+        leaves either the old or the new table fully intact (overwrite
+        would delete the destination before committing — the non-atomic
+        window compact() was fixed for). Local-FS renames; an object-store
+        deployment swaps this seam for a commit protocol / Delta."""
+        import os
+        import shutil
+
+        path = self.path(name)
+        old = path + "._old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        self.spark.catalog.refreshByPath(path)
+
     def rewrite(self, name: str, df: DataFrame) -> None:
         """Safe read-modify-write: materialize to a temp dir first (the
-        plan reads the files being replaced), then swap. refreshByPath
-        invalidates Spark's cached file listing of the overwritten dir —
-        without it later scans chase deleted part files."""
+        plan reads the files being replaced), then swap by rename.
+        refreshByPath invalidates Spark's cached file listing — without it
+        later scans chase deleted part files."""
         tmp = self.path(f"__tmp_{name}")
         df.write.mode("overwrite").parquet(tmp)
         self.spark.catalog.refreshByPath(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(self.path(name))
-        self.spark.catalog.refreshByPath(self.path(name))
-        # temp cleanup is best-effort
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
+        self._swap_in(name, tmp)
 
     def rewrite_many(self, updates: dict[str, DataFrame]) -> None:
         """Two-phase multi-table rewrite: materialize every plan to a temp
         dir FIRST, then swap — required when one table's new plan reads
         another table being replaced in the same stage."""
-        import shutil
-
         tmps = {}
         for name, df in updates.items():
             tmp = self.path(f"__tmp_{name}")
@@ -151,9 +162,7 @@ class TableStore:
             self.spark.catalog.refreshByPath(tmp)
             tmps[name] = tmp
         for name, tmp in tmps.items():
-            self.spark.read.parquet(tmp).write.mode("overwrite").parquet(self.path(name))
-            self.spark.catalog.refreshByPath(self.path(name))
-            shutil.rmtree(tmp, ignore_errors=True)
+            self._swap_in(name, tmp)
 
     # -- snapshot versioning (Delta-lite time travel) ----------------------
     # Each write lands in an immutable {table}/_v/{N}/ dir; a one-line
@@ -489,6 +498,11 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--include-existing", action="store_true")
     parser.add_argument("--dry-run", action="store_true")
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument(
+        "--min-collected-at",
+        default=None,
+        help="normalize watermark (ISO timestamp): only raw rows collected at/after",
+    )
     parser.add_argument("--output-dir", default=None, help="publish export dir")
     parser.add_argument("--subject", default=None, help="notify subject")
     parser.add_argument("--text", default=None, help="notify text body")
@@ -532,8 +546,16 @@ def main(argv: list[str] | None = None) -> int:
             elif args.stage == "marts":
                 stats = run_marts(store)
             elif args.stage == "normalize":
+                import datetime as _dt
+
+                wm = (
+                    _dt.datetime.fromisoformat(args.min_collected_at)
+                    if args.min_collected_at
+                    else None
+                )
                 stats = run_normalize(
-                    store, MockAdapter(), limit=args.limit, dry_run=args.dry_run
+                    store, MockAdapter(), limit=args.limit, dry_run=args.dry_run,
+                    min_collected_at=wm,
                 )
             elif args.stage == "enrich":
                 stats = run_enrich(

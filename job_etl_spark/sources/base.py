@@ -49,6 +49,13 @@ class SourceAdapter(abc.ABC):
     def fetch(self, page_token: str | None = None) -> tuple[list[JobPostingRaw], str | None]:
         ...
 
+    def page_token(self, idx: int) -> str | None:
+        """Token addressing the 0-based page ``idx`` — lets a partitioned
+        reader fetch pages independently of the sequential next_token
+        chain. Default: 0-based integer tokens (mock convention);
+        1-based providers override."""
+        return None if idx == 0 else str(idx)
+
     @abc.abstractmethod
     def map_to_common_exprs(self, payload: Column) -> dict[str, Column]:
         """Given the raw JSON payload column, return the 16 common-format
@@ -73,10 +80,19 @@ def land_raw(
     spark: SparkSession, jobs: list[JobPostingRaw], collected_at
 ) -> DataFrame:
     """Bronze landing (S4): raw records → typed DataFrame matching
-    RAW_SCHEMA; append-ready (``df.write.mode('append')`` to the raw table)."""
+    RAW_SCHEMA; append-ready (``df.write.mode('append')`` to the raw
+    table). raw_id carries the fetch order as a fixed-width prefix —
+    the within-batch last-row-wins dedup (the reference's row-at-a-time
+    later-insert-wins) orders by raw_id, and a bare uuid4 would make the
+    winner among duplicate hash_keys a coin flip."""
     rows = [
-        (j.raw_id, j.source, json.dumps(j.payload, sort_keys=True), collected_at)
-        for j in jobs
+        (
+            f"{seq:014d}-{j.raw_id.replace('-', '')[:16]}",
+            j.source,
+            json.dumps(j.payload, sort_keys=True),
+            collected_at,
+        )
+        for seq, j in enumerate(jobs)
     ]
     return spark.createDataFrame(rows, RAW_SCHEMA)
 

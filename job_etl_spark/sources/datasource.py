@@ -7,12 +7,22 @@ bottleneck at scale. SURVEY.md §2.1/S1 names the scale path: a custom
 Python DataSource (``spark.dataSource.register``) so page ranges fan out
 across executors.
 
-Page-number tokens make pages independently addressable, so the planner
-splits ``[0, num_pages)`` into contiguous page-range partitions; each
-executor instantiates the adapter locally and drains only its range. The
-driver never touches a payload, ingest parallelism scales with the
-cluster, and per-partition retry (the adapter's backoff, U8) localizes
+Pages are independently addressable via ``SourceAdapter.page_token(idx)``
+(0-based indices; 1-based providers translate), so the planner splits
+``[0, num_pages)`` into contiguous page-range partitions and each
+executor fetches ONLY its indices — never following the sequential
+next_token chain, whose adapter-local bookkeeping (e.g. jsearch's
+cumulative max_jobs gate) resets per partition. The driver never touches
+a payload; per-partition retry (the adapter's backoff, U8) localizes
 provider hiccups to one task.
+
+Determinism: ``collected_at`` resolves ONCE on the driver (a per-task
+``now()`` would stamp each partition/retry differently and split one
+logical load across watermarks), and raw_id is an order-carrying
+deterministic id — fixed-width ``page·10⁶+seq`` prefix (so lexicographic
+raw_id order == fetch order; the within-batch last-row-wins dedup relies
+on it) + a uuid5 of (source, provider_job_id) (so replayed partitions
+land identical rows and the hash-key merge stays idempotent).
 
 Usage:
     spark.dataSource.register(JobsRestDataSource)
@@ -52,17 +62,56 @@ def _build_adapter(opts: dict):
     if kind == "jsearch":
         from job_etl_spark.sources.jsearch_adapter import JSearchAdapter
 
+        # the page-range planner (num_jobs) bounds the work; the adapter's
+        # own cumulative gate is per-instance and would re-arm per
+        # partition, so it must not bite here
         return JSearchAdapter(
             api_key=opts.get("api_key", ""),
             query=opts.get("query", "data engineer"),
-            max_jobs=int(opts.get("max_jobs", 20)),
+            max_jobs=1 << 31,
         )
     raise ValueError(f"unknown adapter {kind!r}")
+
+
+def _resolve_collected_at(opts: dict) -> str:
+    """ISO string; called on the DRIVER exactly once per reader."""
+    return opts.get("collected_at") or dt.datetime.now(dt.timezone.utc).replace(
+        tzinfo=None
+    ).isoformat()
+
+
+def _row_id(page_idx: int, seq: int, source: str, provider_job_id) -> str:
+    det = uuid.uuid5(uuid.NAMESPACE_URL, f"{source}/{provider_job_id}").hex[:16]
+    return f"{page_idx * 1_000_000 + seq:014d}-{det}"
+
+
+def _fetch_range(opts: dict, collected_at_iso: str, start_page: int, end_page: int):
+    """Yield raw rows for pages [start_page, end_page); stops early when
+    the provider drains (an empty page). Returns the number of pages
+    actually consumed via StopIteration value — callers that need it use
+    the generator protocol; plain iteration just gets the rows."""
+    adapter = _build_adapter(opts)
+    collected_at = dt.datetime.fromisoformat(collected_at_iso)
+    consumed = 0
+    for idx in range(start_page, end_page):
+        jobs, _ = adapter.fetch(adapter.page_token(idx))
+        if not jobs:
+            break
+        consumed += 1
+        for seq, j in enumerate(jobs):
+            yield (
+                _row_id(idx, seq, j.source, j.provider_job_id),
+                j.source,
+                json.dumps(j.payload, sort_keys=True),
+                collected_at,
+            )
+    return consumed
 
 
 class JobsRestReader(DataSourceReader):
     def __init__(self, options: dict):
         self.options = dict(options)
+        self._collected_at = _resolve_collected_at(self.options)
         jobs_per_page = int(self.options.get("jobs_per_page", 20))
         total = int(self.options.get("num_jobs", 100))
         pages = max(1, -(-total // jobs_per_page))
@@ -75,74 +124,47 @@ class JobsRestReader(DataSourceReader):
         return self._ranges
 
     def read(self, partition: PageRange):
-        adapter = _build_adapter(self.options)
-        collected_at = dt.datetime.fromisoformat(
-            self.options.get("collected_at") or dt.datetime.now().isoformat()
+        yield from _fetch_range(
+            self.options, self._collected_at, partition.start_page, partition.end_page
         )
-        page = partition.start_page
-        while page < partition.end_page:
-            jobs, next_token = adapter.fetch(str(page) if page else None)
-            for j in jobs:
-                # deterministic raw_id: replayed partitions land identical
-                # rows, so the downstream hash-key merge stays idempotent
-                rid = str(
-                    uuid.uuid5(
-                        uuid.NAMESPACE_URL, f"{j.source}/{j.provider_job_id}"
-                    )
-                )
-                yield (
-                    rid,
-                    j.source,
-                    json.dumps(j.payload, sort_keys=True),
-                    collected_at,
-                )
-            if next_token is None:
-                break
-            page = int(next_token)
 
 
 class JobsRestStreamReader:
     """SimpleDataSourceStreamReader: continuous REST ingest. The offset is
     the next unread page number, so micro-batches are contiguous page
     ranges — restart-safe (offsets live in the checkpoint log) and
-    replayable (``readBetweenOffsets`` re-fetches the exact range).
-    Pages that don't exist yet simply yield an empty batch; the query
-    keeps polling — the streaming twin of the batch page-range reader."""
+    replayable (``readBetweenOffsets`` re-fetches the exact range). The
+    committed offset advances only over pages ACTUALLY consumed: when the
+    source drains mid-range the remaining indices stay unread, so pages
+    published later are still ingested (page-level granularity — a page
+    must be complete when first read)."""
 
     def __init__(self, options: dict):
         self.options = dict(options)
         self._pages_per_batch = max(1, int(self.options.get("pages_per_batch", 2)))
+        self._collected_at = _resolve_collected_at(self.options)
 
     def initialOffset(self) -> dict:
         return {"page": 0}
 
-    def _rows_for(self, start_page: int, end_page: int):
-        adapter = _build_adapter(self.options)
-        collected_at = dt.datetime.fromisoformat(
-            self.options.get("collected_at") or dt.datetime.now().isoformat()
-        )
-        page = start_page
-        while page < end_page:
-            jobs, next_token = adapter.fetch(str(page) if page else None)
-            for j in jobs:
-                rid = str(
-                    uuid.uuid5(uuid.NAMESPACE_URL, f"{j.source}/{j.provider_job_id}")
-                )
-                yield (rid, j.source, json.dumps(j.payload, sort_keys=True), collected_at)
-            if next_token is None:
-                return
-            page = int(next_token)
-
     def read(self, start: dict):
         start_page = start["page"]
-        end_page = start_page + self._pages_per_batch
-        rows = list(self._rows_for(start_page, end_page))
+        gen = _fetch_range(
+            self.options, self._collected_at, start_page, start_page + self._pages_per_batch
+        )
+        rows = []
+        while True:
+            try:
+                rows.append(next(gen))
+            except StopIteration as stop:
+                consumed = stop.value or 0
+                break
         if not rows:
             return iter(()), start  # source drained: offset unchanged
-        return iter(rows), {"page": end_page}
+        return iter(rows), {"page": start_page + consumed}
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        return self._rows_for(start["page"], end["page"])
+        return _fetch_range(self.options, self._collected_at, start["page"], end["page"])
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up: pages are immutable on the provider

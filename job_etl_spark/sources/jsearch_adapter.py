@@ -129,6 +129,10 @@ class JSearchAdapter(SourceAdapter):
             raise SourceHTTPError(f"API error {status}")
         return data if isinstance(data, dict) else {}
 
+    def page_token(self, idx: int) -> str | None:
+        """JSearch pages are 1-based: 0-based index ``idx`` → page idx+1."""
+        return None if idx == 0 else str(idx + 1)
+
     def fetch(self, page_token: str | None = None):
         """Page-number token; stops at cumulative max_jobs
         (jsearch_adapter.py:186-269)."""

@@ -181,15 +181,24 @@ def batch_lookup(
                     out.append((q, None, None, None, None, "no_candidates"))
                     continue
                 for c in cands:
-                    rating = c.get("rating")
-                    reviews = c.get("review_count")
+                    # provider fields are untrusted: a non-numeric rating
+                    # must degrade to NULL, not abort the Spark task
+                    try:
+                        rating = float(c.get("rating"))
+                    except (TypeError, ValueError):
+                        rating = None
+                    try:
+                        reviews = int(c.get("review_count"))
+                    except (TypeError, ValueError):
+                        reviews = None
+                    name_val = c.get("name")
                     out.append(
                         (
                             q,
                             str(c.get("company_id")) if c.get("company_id") is not None else None,
-                            c.get("name"),
-                            float(rating) if rating is not None else None,
-                            int(reviews) if reviews is not None else None,
+                            str(name_val) if name_val is not None else None,
+                            rating,
+                            reviews,
                             "ok",
                         )
                     )

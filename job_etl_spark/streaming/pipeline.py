@@ -100,10 +100,39 @@ def foreach_batch_merge(
 ):
     """Returns a foreachBatch(fn) that merge-upserts each micro-batch into
     a ``TableStore`` table with J3 semantics. Replayed batches are
-    idempotent: merging the same rows twice is a no-op."""
+    idempotent: merging the same rows twice is a no-op.
+
+    Duplicate keys WITHIN one micro-batch (two files landing in one
+    trigger) are collapsed first — merge_upsert's full-outer join
+    requires unique update keys, and the raw batch would otherwise be
+    written verbatim as the initial table. Winner per key: greatest
+    struct over the non-key orderable columns (deterministic across
+    retries; pass a monotonic column in ``overwrite_cols`` like
+    last_seen_at to make it time-correct)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     from job_etl_spark.operators.merge import merge_upsert
 
+    def _dedup(batch_df: DataFrame) -> DataFrame:
+        dtypes = dict(batch_df.dtypes)
+        order = [
+            c for c in batch_df.columns
+            if c not in keys and not dtypes[c].startswith("map")
+        ]
+        if not order:
+            return batch_df.dropDuplicates(list(keys))
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc_nulls_last() for c in order]
+        )
+        return (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = _dedup(batch_df)
         base = store.read(table, schema) if (store.exists(table) or schema) else None
         if base is None:
             store.write(table, batch_df)

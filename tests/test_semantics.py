@@ -274,6 +274,18 @@ class TestSkillsExtraction:
         # python (token), kubernetes (unknown provider passthrough, lowered)
         assert got == ["kubernetes", "python", "spark", "sql"]
 
+    def test_sentence_final_period_still_matches(self, spark):
+        """'…with dbt.' must match alias 'dbt' — trailing dots are stripped
+        from tokens (spaCy separates the period); interior dots survive
+        so dotted aliases still work."""
+        d = SkillsDictionary.load(None)
+        df = spark.createDataFrame(
+            [("Experience with dbt. Also Python...", None)],
+            "description string, skills_raw array<string>",
+        )
+        got = df.select(skills_expr("description", "skills_raw", d).alias("s")).first()["s"]
+        assert "dbt" in got and "python" in got
+
     def test_ml_alias_maps_to_machine_learning(self, spark):
         d = SkillsDictionary.load(None)
         df = spark.createDataFrame(
@@ -451,3 +463,38 @@ class TestFunnelFold:
             .collect()
         }
         assert got == {uid: want for uid, (_, want) in cases.items()}
+
+
+def test_renormalize_preserves_enrichment(spark):
+    """Re-running normalize over already-enriched staging rows must NOT
+    reset the enricher-owned columns (seniority_level / enrichment
+    status) to their insert defaults."""
+    from job_etl_spark.pipeline.normalize import merge_into_staging
+    from job_etl_spark.schema import STAGING_SCHEMA
+
+    def stage_row(seniority, status, skills):
+        d = {f.name: None for f in STAGING_SCHEMA.fields}
+        d.update(
+            hash_key="h1", job_title="DE", company="Acme", location="MTL",
+            source="mock", company_size="unknown", remote_type="unknown",
+            contract_type="unknown", seniority_level=seniority,
+            seniority_enrichment_status=status, skills_raw=skills,
+            first_seen_at=dt.datetime(2026, 1, 1),
+            last_seen_at=dt.datetime(2026, 1, 1),
+        )
+        return tuple(d[f.name] for f in STAGING_SCHEMA.fields)
+
+    enriched = spark.createDataFrame([stage_row("senior", "upgraded", ["python"])], STAGING_SCHEMA)
+    renorm = spark.createDataFrame(
+        [stage_row("unknown", "not_tried", None)], STAGING_SCHEMA
+    ).withColumn("last_seen_at", F.lit(dt.datetime(2026, 1, 2)))
+    out = merge_into_staging(enriched, renorm).first()
+    assert out["seniority_level"] == "senior"
+    assert out["seniority_enrichment_status"] == "upgraded"
+    assert out["skills_raw"] == ["python"]          # coalesce keeps enrichment
+    assert out["last_seen_at"] == dt.datetime(2026, 1, 2)  # bump still happens
+    # a brand-new row still gets the insert defaults
+    fresh = renorm.withColumn("hash_key", F.lit("h2"))
+    out2 = {r["hash_key"]: r for r in merge_into_staging(enriched, fresh).collect()}
+    assert out2["h2"]["seniority_level"] == "unknown"
+    assert out2["h2"]["seniority_enrichment_status"] == "not_tried"
