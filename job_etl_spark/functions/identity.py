@@ -43,10 +43,13 @@ def ws_normalize(col: Column | str) -> Column:
 def hash_key_expr(company: Column | str, title: Column | str, location: Column | str) -> Column:
     """32-hex-char MD5 identity of (company, title, location), case- and
     whitespace-insensitive. Inputs are required non-null upstream
-    (normalize validation); ``concat_ws`` treats NULL as empty, matching
-    the reference's coalesce-to-'' behavior in the plpgsql twin.
-    """
-    parts = [F.lower(ws_normalize(c)) for c in (company, title, location)]
+    (normalize validation); a NULL part coalesces to '' EXPLICITLY —
+    bare ``concat_ws`` would drop the NULL part's separator too
+    ('b|c', not '|b|c'), silently colliding ('', b, c) with (b, c, '')."""
+    parts = [
+        F.lower(ws_normalize(F.coalesce(F.col(c) if isinstance(c, str) else c, F.lit(""))))
+        for c in (company, title, location)
+    ]
     return F.md5(F.concat_ws("|", *parts))
 
 

@@ -26,7 +26,12 @@ _TRIM = f"'(^{_WS_CLASS}+)|({_WS_CLASS}+$)'"  # python-strip semantics
 
 
 def _sql_norm(x: str) -> str:
-    return f"lower(regexp_replace(regexp_replace({x}, {_TRIM}, '', 'g'), {_WS}, ' ', 'g'))"
+    # coalesce-to-'' mirrors hash_key_expr's explicit NULL handling (|| in
+    # DuckDB would propagate NULL through the whole hash)
+    return (
+        "lower(regexp_replace(regexp_replace("
+        f"coalesce({x}, ''), {_TRIM}, '', 'g'), {_WS}, ' ', 'g'))"
+    )
 
 
 def _sql_hash3(a: str, b: str, c: str) -> str:

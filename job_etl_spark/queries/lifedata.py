@@ -18,9 +18,7 @@ from job_etl_spark.queries._util import Query, dround, sql_dround
 from job_etl_spark.tables import parallel_scan, table
 
 
-def _hexint(c):
-    """First 15 hex chars of md5 → bigint (60 bits, portable across engines)."""
-    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+from job_etl_spark.ml.dedup import hexint as _hexint  # single 60-bit md5→bigint impl
 
 
 _SQL_HEXINT = "(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
@@ -483,10 +481,25 @@ def q28_multimodal_bytes(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def decode_batch(batches):
+        import pandas as pd
+
         for pdf in batches:
             out = pdf[["doc_id"]].copy()
-            out["n_bytes"] = pdf["payload"].map(len).astype("int64")
-            out["first_byte"] = pdf["payload"].map(lambda b: b[0] if len(b) else -1).astype("int32")
+            # NULL payloads yield NULL decode columns (oracle parity), and
+            # first_byte is the first UTF-8 BYTE — byte-level semantics,
+            # matching the hex-substring oracle (DuckDB ascii() would be
+            # the code POINT and diverge on non-ASCII text)
+            out["n_bytes"] = pd.array(
+                [len(b) if b is not None else None for b in pdf["payload"]],
+                dtype="Int64",
+            )
+            out["first_byte"] = pd.array(
+                [
+                    (b[0] if len(b) else -1) if b is not None else None
+                    for b in pdf["payload"]
+                ],
+                dtype="Int32",
+            )
             yield out
 
     return docs.mapInPandas(decode_batch, schema=_MM_SCHEMA)
@@ -495,7 +508,10 @@ def q28_multimodal_bytes(spark: SparkSession, sf: str) -> DataFrame:
 _Q28_SQL = """
 SELECT doc_id,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-  CAST(CASE WHEN length(text) > 0 THEN ascii(text) ELSE -1 END AS INT) AS first_byte
+  CAST(CASE WHEN length(text) > 0
+            THEN ('0x' || substr(hex(encode(text)), 1, 2))::INT
+            WHEN text IS NULL THEN NULL
+            ELSE -1 END AS INT) AS first_byte
 FROM documents
 """
 
@@ -880,8 +896,7 @@ def q58_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _Q58_SQL = (
-    _Q31_SQL.replace('"""', "")
-    .replace("WITH tok AS (", "WITH RECURSIVE tok AS (", 1)
+    _Q31_SQL.replace("WITH tok AS (", "WITH RECURSIVE tok AS (", 1)
     .replace(
         "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,",
         ", pairs AS (\nSELECT a.doc_id AS doc_a, b.doc_id AS doc_b,",

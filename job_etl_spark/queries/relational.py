@@ -1872,7 +1872,7 @@ def q71_nation_profit(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _Q71_SQL = f"""
-SELECT n_name AS nation, year(o_orderdate) AS o_year,
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
        {sql_dsum("l_extendedprice*(1-l_discount) - p_retailprice*l_quantity*0.5::DOUBLE")}
          AS profit
 FROM lineitem

@@ -62,8 +62,13 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # reads the annotated column as long either way
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
+        # FLOOR division (ns → µs): `div` truncates toward zero, which
+        # rounds pre-1970 instants the wrong way (-1500 ns → -1 µs, not -2)
         return df.withColumn("_ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            "ts",
+            F.timestamp_micros(
+                F.expr("(ts - ((ts % 1000) + 1000) % 1000) div 1000")
+            ),
         )
     df = spark.read.parquet(path)
     df = df.withColumn("_ts_raw", F.col("ts"))
@@ -93,11 +98,23 @@ def ts_strictly_after(df: DataFrame, cutoff) -> "F.Column":
     the column side of the comparison."""
     import calendar
     import datetime as _dt
+    import time as _time
 
     if isinstance(cutoff, _dt.datetime):
-        # naive datetime cutoffs are UTC wall clocks; integer µs arithmetic —
-        # float .timestamp() loses sub-µs precision
-        micros = calendar.timegm(cutoff.utctimetuple()) * 1_000_000 + cutoff.microsecond
+        if cutoff.tzinfo is not None:
+            micros = (
+                calendar.timegm(cutoff.utctimetuple()) * 1_000_000 + cutoff.microsecond
+            )
+        else:
+            # naive cutoffs are OS-LOCAL wall clocks — the exact inverse of
+            # PySpark's collect() conversion (fromtimestamp, OS tz), which
+            # is where watermark scalars come from (high_watermark →
+            # .first()). Treating them as UTC would shift the predicate by
+            # the OS offset on any non-UTC driver. Integer arithmetic —
+            # float .timestamp() loses sub-µs precision.
+            micros = (
+                int(_time.mktime(cutoff.timetuple())) * 1_000_000 + cutoff.microsecond
+            )
     else:
         # integer cutoffs are epoch-MICROS (a bare cast-from-long would read
         # the long as SECONDS)

@@ -36,7 +36,7 @@ def _norm(v):
     if isinstance(v, bytearray):
         return bytes(v)
     if isinstance(v, float) and math.isnan(v):
-        return "NaN"
+        return ("__nan__",)  # sentinel tuple: cannot collide with a real varchar
     # exact float equality is intentional — parity rules make both engines
     # produce identical doubles
     return v
