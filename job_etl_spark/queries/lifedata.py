@@ -389,9 +389,14 @@ def q27_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
             for i, band in enumerate(_q27_band_planes())
         ]
     )
+    # The banded self-join shuffles each row once per band (8×). Carry only
+    # (vec_id, label) through it — shipping the 64-dim vector would multiply
+    # shuffle bytes ~20×; the vectors are re-attached AFTER pair-dedup, when
+    # each survives exactly once. At 100 TB this is the difference between
+    # shuffling ids and shuffling the embedding corpus eight times over.
     banded = emb.select(
-        "vec_id", "label", "vec", F.explode(bands).alias("bk")
-    ).select("vec_id", "label", "vec", "bk.band_id", "bk.bucket")
+        "vec_id", "label", F.explode(bands).alias("bk")
+    ).select("vec_id", "label", "bk.band_id", "bk.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -406,13 +411,14 @@ def q27_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.label").alias("label"),
-            F.col("a.vec").alias("va"),
-            F.col("b.vec").alias("vb"),
         )
         # a pair sharing several bands appears once per band — dedup on the
-        # pair key before the (expensive) exact cosine
+        # pair key before fetching vectors / the (expensive) exact cosine
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    cand = cand.join(va, "vec_a").join(vb, "vec_b")
     sim = _cosine(F.col("va"), F.col("vb"))
     return (
         cand.withColumn("sim", sim)
