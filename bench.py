@@ -94,6 +94,14 @@ HEADLINE = [
     "q84_stratified_sample",
     "q85_repetition_metrics",
     "q86_distinctive_terms",
+    "q87_embedding_covariance",
+    "q88_dedup_keep_canonical",
+    "q89_scd2_history",
+    "q90_source_mixture",
+    "q91_chunk_dedup",
+    "q92_bloom_prejoin",
+    "q93_token_budget_shards",
+    "q94_snapshot_diff",
 ]
 
 
