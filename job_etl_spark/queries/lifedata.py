@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 from job_etl_spark.queries._util import Query, dround, sql_dround
-from job_etl_spark.tables import parallel_scan, table
+from job_etl_spark.tables import parallel_scan, parallel_table, table
 
 
 from job_etl_spark.ml.dedup import hexint as _hexint  # single 60-bit md5→bigint impl
@@ -188,7 +188,7 @@ FROM s
 # q24 — document fingerprinting (content hash + min-shingle winnow hash)
 # ---------------------------------------------------------------------------
 def q24_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
-    docs = parallel_scan(table(spark, sf, "documents"))
+    docs = parallel_table(spark, sf, "documents")
     norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
     tokens = F.split(norm, " ")
     n = F.size(tokens)
@@ -226,7 +226,7 @@ FROM tok
 # q25 — n-gram Jaccard near-dup (blocked candidate join, no cartesian)
 # ---------------------------------------------------------------------------
 def q25_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    docs = parallel_scan(table(spark, sf, "documents"))
+    docs = parallel_table(spark, sf, "documents")
     tokens = F.split(F.lower("text"), " ")
     n = F.size(tokens)
     grams = F.array_distinct(
@@ -307,7 +307,7 @@ def _cosine(a, b):
 def q26_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = parallel_scan(table(spark, sf, "embeddings")).select(
+    emb = parallel_table(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
     )
     queries = emb.where(F.col("vec_id") < 10).select(
@@ -377,7 +377,7 @@ def _q27_band_planes():
 def q27_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     from job_etl_spark.ml.ann import bucket_expr
 
-    emb = parallel_scan(table(spark, sf, "embeddings")).select(
+    emb = parallel_table(spark, sf, "embeddings").select(
         "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
     )
     bands = F.array(
@@ -528,7 +528,7 @@ FROM documents
 def q32_ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     from job_etl_spark.ml.ann import lsh_bucketed_topk
 
-    emb = parallel_scan(table(spark, sf, "embeddings")).select(
+    emb = parallel_table(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
     )
     out = lsh_bucketed_topk(emb, F.col("vec_id") < 10, k=3)
@@ -579,7 +579,7 @@ FROM ranked WHERE rn <= 3
 def q48_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     from job_etl_spark.ml.ann import ivf_topk
 
-    emb = parallel_scan(table(spark, sf, "embeddings")).select(
+    emb = parallel_table(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
     )
     out = ivf_topk(
@@ -641,7 +641,7 @@ FROM ranked WHERE rn <= 5
 def q54_chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
     from job_etl_spark.functions.chunking import chunks_expr, tokens_expr
 
-    docs = parallel_scan(table(spark, sf, "documents"))
+    docs = parallel_table(spark, sf, "documents")
     ch = docs.select(
         "doc_id", F.explode(chunks_expr(tokens_expr("text"))).alias("c")
     )
@@ -676,7 +676,7 @@ WHERE len(toks) > 0
 def q29_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     from job_etl_spark.ml.dedup import minhash_lsh_candidates
 
-    docs = parallel_scan(table(spark, sf, "documents"))
+    docs = parallel_table(spark, sf, "documents")
     return minhash_lsh_candidates(docs, "doc_id", "text").orderBy("doc_a", "doc_b")
 
 
@@ -723,7 +723,7 @@ _Q29_SQL = _q29_sql()
 def q30_simhash(spark: SparkSession, sf: str) -> DataFrame:
     from job_etl_spark.ml.dedup import with_simhash
 
-    docs = parallel_scan(table(spark, sf, "documents"))
+    docs = parallel_table(spark, sf, "documents")
     return with_simhash(docs, "text", "simhash").select("doc_id", "simhash")
 
 
@@ -756,7 +756,7 @@ def q31_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     # 3.5× faster than the self-join at sf0.1, identical pair multiset.
     from job_etl_spark.ml.dedup import with_simhash
 
-    docs = parallel_scan(table(spark, sf, "documents"))
+    docs = parallel_table(spark, sf, "documents")
     sigs = with_simhash(docs, "text", "simhash").select(
         "doc_id", "lang", "source", "simhash"
     )
@@ -938,7 +938,7 @@ FROM labeled GROUP BY cluster_id
 def q76_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
     from job_etl_spark.functions.pii import pii_counts, redact_pii
 
-    docs = parallel_scan(table(spark, sf, "documents"))
+    docs = parallel_table(spark, sf, "documents")
     injected = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -1007,7 +1007,7 @@ _Q77_SHARDS = 8
 def q77_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     from job_etl_spark.ml.packing import pack_greedy
 
-    docs = parallel_scan(table(spark, sf, "documents"))
+    docs = parallel_table(spark, sf, "documents")
     packed = pack_greedy(
         docs,
         key_col="doc_id",
@@ -1047,7 +1047,7 @@ SELECT shard, doc_id, n_chars, packno FROM packed
 # Grams are 60-bit md5 ints (narrow shuffle, engine-portable).
 # ---------------------------------------------------------------------------
 def q78_contamination(spark: SparkSession, sf: str) -> DataFrame:
-    docs = parallel_scan(table(spark, sf, "documents"))
+    docs = parallel_table(spark, sf, "documents")
     tokens = F.split(F.lower("text"), " ")
     n = F.size(tokens)
     grams = F.array_distinct(

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from job_etl_spark.queries._util import Query, dround, dsum, sql_dround, sql_dsum
-from job_etl_spark.tables import parallel_scan, table
+from job_etl_spark.tables import parallel_scan, parallel_table, table
 
 
 # ---------------------------------------------------------------------------
@@ -29,7 +29,7 @@ _COV_DIMS = 8
 
 
 def q87_embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
-    emb = parallel_scan(table(spark, sf, "embeddings"))
+    emb = parallel_table(spark, sf, "embeddings")
     x = [
         F.element_at("embedding", i + 1).cast("double").alias(f"x{i}")
         for i in range(_COV_DIMS)
@@ -283,7 +283,7 @@ _Q91_CHUNK = 4
 def q91_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
     from job_etl_spark.functions.chunking import chunks_expr, tokens_expr
 
-    docs = parallel_scan(table(spark, sf, "documents"))
+    docs = parallel_table(spark, sf, "documents")
     ch = docs.select(
         "doc_id", F.explode(chunks_expr(tokens_expr("text"), _Q91_CHUNK)).alias("c")
     ).select(

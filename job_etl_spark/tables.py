@@ -131,6 +131,26 @@ def ts_strictly_after(df: DataFrame, cutoff) -> "F.Column":
     return F.col("_ts_raw") > lit
 
 
+_SCAN_PARTS_CACHE: dict[tuple[str, str], int] = {}
+
+
+def parallel_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``parallel_scan(table(...))`` with the partition-count probe cached
+    per (sf_dir, table): the probe costs ~150 ms of driver-side plan
+    analysis per call, and a parquet file's split count is stable within a
+    process — so pay it once per table, not once per query invocation."""
+    df = table(spark, sf_dir, name)
+    key = (sf_dir, name)
+    n = _SCAN_PARTS_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SCAN_PARTS_CACHE[key] = n
+    sc = spark.sparkContext
+    if n < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def parallel_scan(df: DataFrame) -> DataFrame:
     """Give a compute-heavy map stage full cluster parallelism even when
     the scan collapses to a handful of splits (a single-file,
