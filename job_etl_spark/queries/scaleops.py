@@ -351,7 +351,7 @@ def q92_bloom_prejoin(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey")
     )
-    li = table(spark, sf, "lineitem")
+    li = parallel_table(spark, sf, "lineitem")  # md5 probe wants full cores
     pruned = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
     return pruned.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
