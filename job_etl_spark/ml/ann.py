@@ -28,6 +28,21 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _py_norm(vec: list[float]) -> float:
+    # same left-to-right IEEE fold as the Spark aggregate, so the literal
+    # is bit-identical to sqrt(aggregate(transform(v, x->x*x), 0.0, +))
+    s = 0.0
+    for x in vec:
+        s += x * x
+    import math
+
+    return math.sqrt(s)
+
+
 def plane_matrix(n_planes: int, dim: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes in [-0.5, 0.5): component
     (p, d) = (int(md5("p,d")[:15], 16) % 1000)/1000 − 0.5. md5-seeded so
@@ -42,15 +57,63 @@ def plane_matrix(n_planes: int, dim: int) -> list[list[float]]:
 
 
 def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id: bit p set iff dot(vec, plane_p) > 0."""
-    bucket = F.lit(0)
-    for p, plane in enumerate(planes):
-        arr = F.array(*[F.lit(x) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec, arr, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
-        )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+    """Sign-bit bucket id: bit p set iff dot(vec, plane_p) > 0.
+
+    Shaped as ONE higher-order transform over a literal (weight, plane)
+    array rather than P unrolled aggregates: the dot-product lambda is
+    codegen'd once and looped, so plan analysis + janino compile stay
+    O(1) in P instead of O(P) — same IEEE arithmetic, same bucket ids."""
+    mat = F.array(
+        *[
+            F.struct(
+                F.lit(1 << p).alias("w"),
+                F.array(*[F.lit(x) for x in plane]).alias("v"),
+            )
+            for p, plane in enumerate(planes)
+        ]
+    )
+    bits = F.transform(
+        mat, lambda e: F.when(_dot(vec, e["v"]) > 0, e["w"]).otherwise(F.lit(0))
+    )
+    return F.aggregate(bits, F.lit(0), lambda s, x: s + x)
+
+
+def banded_bucket_expr(vec: Column, band_planes: list[list[list[float]]]) -> Column:
+    """All LSH bands in ONE expression: array<struct<band_id, bucket>>.
+    Nested transform over a literal (band → (weight, plane)) structure —
+    the dot-product lambda is compiled once, looped bands × planes times.
+    Per-band bucket ids are identical to ``bucket_expr`` on that band."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(1 << p).alias("w"),
+                            F.array(*[F.lit(x) for x in plane]).alias("v"),
+                        )
+                        for p, plane in enumerate(band)
+                    ]
+                ).alias("planes"),
+            )
+            for i, band in enumerate(band_planes)
+        ]
+    )
+    return F.transform(
+        bands,
+        lambda b: F.struct(
+            b["band_id"].alias("band_id"),
+            F.aggregate(
+                F.transform(
+                    b["planes"],
+                    lambda e: F.when(_dot(vec, e["v"]) > 0, e["w"]).otherwise(F.lit(0)),
+                ),
+                F.lit(0),
+                lambda s, x: s + x,
+            ).alias("bucket"),
+        ),
+    )
 
 
 def brute_force_topk(
@@ -77,19 +140,38 @@ def assign_centroid(
     vec: Column, centroids: list[tuple[int, list[float]]]
 ) -> Column:
     """Map-only coarse quantization: nearest centroid id by cosine, ties
-    to the smallest id. A ``greatest()`` fold over (sim, -id) structs —
-    no shuffle, no window, scales as a pure projection. ``centroids`` is
-    the collected codebook (bounded: C rows)."""
-    entries = [
-        F.struct(
-            cosine_expr(vec, F.array(*[F.lit(x) for x in cvec])).alias("s"),
-            F.lit(-cid).alias("n"),
-        )
-        for cid, cvec in centroids
-    ]
-    if len(entries) == 1:  # greatest() requires >= 2 columns
+    to the smallest id — an ``array_max`` over (sim, -id) structs built by
+    ONE transform over the literal codebook, so the cosine lambda is
+    codegen'd once and looped over C entries (not C unrolled copies).
+    No shuffle, no window; scales as a pure projection. The row norm is
+    hoisted out of the loop and centroid norms are precomputed literals
+    (bit-identical to the in-plan fold). ``centroids`` is the collected
+    codebook (bounded: C rows)."""
+    if len(centroids) == 1:
         return F.lit(centroids[0][0]).cast("int")
-    return (-F.greatest(*entries).getField("n")).cast("int")
+    na = F.sqrt(
+        F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    book = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("i"),
+                F.lit(_py_norm(cvec)).alias("nb"),
+                F.array(*[F.lit(x) for x in cvec]).alias("v"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    best = F.array_max(
+        F.transform(
+            book,
+            lambda c: F.struct(
+                (_dot(vec, c["v"]) / (na * c["nb"])).alias("s"),
+                (-c["i"]).alias("n"),
+            ),
+        )
+    )
+    return (-best.getField("n")).cast("int")
 
 
 def ivf_topk(

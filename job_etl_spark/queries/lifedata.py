@@ -375,20 +375,12 @@ def _q27_band_planes():
 
 
 def q27_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    from job_etl_spark.ml.ann import bucket_expr
+    from job_etl_spark.ml.ann import banded_bucket_expr
 
     emb = parallel_table(spark, sf, "embeddings").select(
         "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
     )
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_id"),
-                bucket_expr(F.col("vec"), band).alias("bucket"),
-            )
-            for i, band in enumerate(_q27_band_planes())
-        ]
-    )
+    bands = banded_bucket_expr(F.col("vec"), _q27_band_planes())
     # The banded self-join shuffles each row once per band (8×). Carry only
     # (vec_id, label) through it — shipping the 64-dim vector would multiply
     # shuffle bytes ~20×; the vectors are re-attached AFTER pair-dedup, when
