@@ -45,13 +45,17 @@ def test_neardup_blocks_are_bounded(spark):
     unbounded categorical keys like (lang, source) or (label)."""
     # at test scale AQE may pick a broadcast build; what matters is that the
     # band is part of the hash-join EQUI key (bounded blocks), not a filter
+    # a query may plan several joins (candidate join + vector re-attach);
+    # the invariant is that the CANDIDATE join's equi-key carries the band
     p25 = _plan(_REG["q25_ngram_jaccard"].fn(spark, SF_SMOKE))
     join_keys_25 = [ln for ln in p25.splitlines() if "HashJoin" in ln or "SortMergeJoin" in ln]
-    assert join_keys_25 and "band" in join_keys_25[0], p25[:2000]
+    assert join_keys_25 and any("band" in ln for ln in join_keys_25), p25[:2000]
 
     p27 = _plan(_REG["q27_embedding_neardup"].fn(spark, SF_SMOKE))
     join_keys_27 = [ln for ln in p27.splitlines() if "HashJoin" in ln or "SortMergeJoin" in ln]
-    assert join_keys_27 and "bucket" in join_keys_27[0] and "band_id" in join_keys_27[0], p27[:2000]
+    assert join_keys_27 and any(
+        "bucket" in ln and "band_id" in ln for ln in join_keys_27
+    ), p27[:2000]
 
 
 def test_watermark_scan_pushes_filters(spark):
