@@ -102,6 +102,11 @@ HEADLINE = [
     "q92_bloom_prejoin",
     "q93_token_budget_shards",
     "q94_snapshot_diff",
+    "q95_heavy_hitters_cms",
+    "q96_kmv_distinct",
+    "q97_vocab_oov",
+    "q98_inverted_index",
+    "q99_zorder_cells",
 ]
 
 

@@ -120,3 +120,39 @@ def files_matching_predicate(path: str, column: str, lo, hi) -> tuple[int, int]:
         if fmin is None or (fmax >= lo and fmin <= hi):
             hits += 1  # unknown stats → must read
     return hits, len(files)
+
+
+def zorder_key(bucket_cols: list, bits: int = 8):
+    """Morton (Z-order) interleave of pre-bucketed dimensions — the
+    multi-axis generalization of the single-axis clustering above. Each
+    input column must already be an integer bucket in [0, 2^bits); the
+    key interleaves their bits (dim 0 gets the higher bit of each pair),
+    so sorting by it gives every dimension locality ~2^(bits/ndims) —
+    a 2-D predicate then prunes files on BOTH axes, where a plain sort
+    prunes only its leading axis (Morton 1966; Delta/Iceberg ZORDER BY).
+    Pure integer bit arithmetic → engine-exact, pushdown-friendly."""
+    from pyspark.sql import functions as F
+
+    ndims = len(bucket_cols)
+    key = F.lit(0).cast("bigint")
+    for d, col in enumerate(bucket_cols):
+        c = F.col(col) if isinstance(col, str) else col
+        for b in range(bits):
+            # bit b of dim d lands at position b*ndims + (ndims-1-d)
+            key = key + F.shiftleft(
+                F.shiftright(c.cast("bigint"), b).bitwiseAND(F.lit(1)),
+                b * ndims + (ndims - 1 - d),
+            )
+    return key
+
+
+def sql_zorder_key(bucket_exprs: list, bits: int = 8) -> str:
+    """DuckDB twin of ``zorder_key`` (bit-identical)."""
+    ndims = len(bucket_exprs)
+    terms = []
+    for d, expr in enumerate(bucket_exprs):
+        for b in range(bits):
+            terms.append(
+                f"(((CAST({expr} AS BIGINT) >> {b}) & 1) << {b * ndims + (ndims - 1 - d)})"
+            )
+    return "(" + " + ".join(terms) + ")"

@@ -145,3 +145,87 @@ SELECT {gcols},
 FROM staged
 GROUP BY {gcols}
 """
+
+
+# ---------------------------------------------------------------------------
+# K-minimum-values distinct sketch — the deterministic sibling of
+# HyperLogLog. approx_count_distinct's HLL± state is engine-private and
+# not comparable across systems; KMV (Bar-Yossef et al., RANDOM 2002)
+# keeps the k smallest md5-derived 60-bit hashes of the key domain, so
+# - the sketch IS a set of integers → union-merge = merge the sets and
+#   re-take the k smallest (associative, commutative);
+# - distinct estimate = (k−1) · 2^60 / kth_min (uniform order statistics);
+# - any engine reproduces the identical sketch AND estimate bit-for-bit.
+# Long format: one row per (group..., h) kept hash — same contract as
+# histogram_sketch above.
+# ---------------------------------------------------------------------------
+
+KMV_SPACE = float(1 << 60)  # hexint() hash space: 15 hex chars
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str],
+    k: int = 64,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """k smallest distinct key hashes per group. Dedup first (distinct on
+    (group, hash) — a partial-agg shuffle), then top-k in TWO phases:
+    per-(group, salt) candidates, then the final k over ≤ salt_buckets·k
+    rows per group. A single per-group window would sort the group's whole
+    distinct domain in one partition — the skew that kills a billion-key
+    group; the salted phase bounds every sort input. The k smallest of
+    the per-salt k-smallest ARE the global k smallest, so the result is
+    identical."""
+    from job_etl_spark.ml.dedup import hexint
+
+    hashed = df.select(
+        *group_cols, hexint(F.col(key_col).cast("string")).alias("h")
+    ).distinct()
+    w1 = Window.partitionBy(*group_cols, F.col("h") % salt_buckets).orderBy("h")
+    cand = (
+        hashed.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        cand.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def merge_kmv(group_cols: Sequence[str], k: int, *sketches: DataFrame) -> DataFrame:
+    """Union the kept-hash sets, re-take the k smallest — yields exactly
+    the sketch of the unioned inputs. Same salted two-phase top-k as the
+    build: even when a group key constant-folds (the '__all__' merge), no
+    window ever runs partition-less over the whole union."""
+    it = iter(sketches)
+    u = next(it)
+    for s in it:
+        u = u.unionByName(s)
+    w1 = Window.partitionBy(*group_cols, F.col("h") % 64).orderBy("h")
+    cand = (
+        u.distinct()
+        .withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+    )
+    # final k over ≤ 64·k candidates per group: a bounded array fold, so
+    # a constant-folded group key never yields a partition-less window
+    return cand.groupBy(*group_cols).agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("_hs")
+    ).select(*group_cols, F.explode("_hs").alias("h"))
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: Sequence[str], k: int) -> DataFrame:
+    """(group..., n_kept, kth_min, est_distinct). A group holding fewer
+    than k hashes saw its whole domain → the estimate is exact."""
+    g = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth_min")
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(F.lit(float(k - 1)) * F.lit(KMV_SPACE) / F.col("kth_min").cast("double"))
+    return g.select(*group_cols, "n_kept", "kth_min", est.alias("est_distinct"))

@@ -1,0 +1,345 @@
+"""Scale-path operators, tranche 3: mergeable sketches + multi-axis layout.
+
+- q95: count-min sketch heavy hitters — bounded-memory frequency counts,
+  built per shard and MERGED (the property exact GROUP BY lacks);
+- q96: K-minimum-values distinct sketch — the deterministic, cross-engine-
+  reproducible alternative to HyperLogLog, with the same union-merge
+  algebra; the global row IS the merge of the per-group sketches;
+- q97: vocabulary-coverage quality scoring (OOV share + mean token
+  frequency) — the corpus-statistics quality filter of a training
+  pipeline, exact integer arithmetic end-to-end;
+- q98: inverted-index build (term → capped posting list) — the classic
+  explode → per-key top-k → re-agg shape, postings bounded BEFORE the
+  collect so no list is unbounded;
+- q99: Z-order (Morton) layout cells — the multi-axis clustering key
+  behind operators/layout.zorder_key, grouped into curve cells.
+
+Same parity rules as the rest of the inventory (queries._util).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from job_etl_spark.queries._util import Query, dround, dsum, sql_dround, sql_dsum
+from job_etl_spark.tables import parallel_table, table
+
+_SQL_HEXINT = "(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+_SQL_TOKENS = (
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')"
+)
+
+
+# ---------------------------------------------------------------------------
+# q95 — count-min-sketch heavy hitters: per-user event counts estimated
+# from a 4×256 counter matrix built INCREMENTALLY — two half-corpus
+# sketches (split on md5(event_id)) merged by union+re-sum, then the
+# top-20 exact heavy hitters probed against it. est ≥ exact always (the
+# one-sided CMS guarantee); the md5 hash rows make the whole matrix —
+# collisions included — engine-reproducible, so the oracle matches the
+# estimates bit-for-bit, not just the exact counts.
+# ---------------------------------------------------------------------------
+_CMS_D = 4
+_CMS_W = 256
+
+
+def q95_heavy_hitters_cms(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.ml.dedup import hexint
+    from job_etl_spark.operators.cms import build_cms, merge_cms, probe_cms
+
+    ev = parallel_table(spark, sf, "events").select(
+        "event_id", F.col("user_id").cast("string").alias("uid")
+    )
+    half = hexint(F.col("event_id").cast("string")) % 2
+    sk = merge_cms(
+        build_cms(ev.where(half == 0), "uid", _CMS_D, _CMS_W),
+        build_cms(ev.where(half == 1), "uid", _CMS_D, _CMS_W),
+    )
+    exact = ev.groupBy("uid").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), F.asc("uid")).limit(20)
+    out = probe_cms(sk, top, "uid", _CMS_D, _CMS_W)
+    return out.select(
+        F.col("uid").cast("bigint").alias("user_id"), "exact_n", F.col("est").alias("cms_est")
+    )
+
+
+def _q95_sql() -> str:
+    h_half = _SQL_HEXINT.format(expr="CAST(event_id AS VARCHAR)")
+    h_cell = _SQL_HEXINT.format(expr="CAST(d.depth AS VARCHAR) || '|' || e.uid")
+    h_probe = _SQL_HEXINT.format(expr="CAST(d.depth AS VARCHAR) || '|' || t.uid")
+    return f"""
+WITH e AS (
+  SELECT event_id, CAST(user_id AS VARCHAR) AS uid FROM events
+), d AS (
+  SELECT unnest(range(0, {_CMS_D})) AS depth
+), cms AS (
+  -- single-pass build ≡ the merged half-sketches (merge is union+re-sum,
+  -- associative over the {h_half} % 2 split)
+  SELECT d.depth, {h_cell} % {_CMS_W} AS cell, COUNT(*) AS n
+  FROM e CROSS JOIN d GROUP BY 1, 2
+), exact AS (
+  SELECT uid, COUNT(*) AS exact_n FROM e GROUP BY uid
+), top AS (
+  SELECT uid, exact_n FROM exact ORDER BY exact_n DESC, uid ASC LIMIT 20
+)
+SELECT CAST(t.uid AS BIGINT) AS user_id, t.exact_n,
+  MIN(COALESCE(c.n, 0)) AS cms_est
+FROM top t CROSS JOIN d
+LEFT JOIN cms c ON c.depth = d.depth
+  AND c.cell = {h_probe} % {_CMS_W}
+GROUP BY t.uid, t.exact_n
+"""
+
+
+# ---------------------------------------------------------------------------
+# q96 — KMV distinct sketch: distinct users per event type from the k=64
+# smallest md5 hashes; the '__all__' row is NOT recomputed from the corpus
+# — it is the MERGE of the five per-type sketches (union, re-take k
+# smallest), the exact algebra a 1000-shard cluster would run. Estimate
+# (k−1)·2^60/kth_min is deterministic, so unlike approx_count_distinct it
+# hash-matches across engines; groups holding < k hashes are exact.
+# ---------------------------------------------------------------------------
+_KMV_K = 64
+
+
+def q96_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.operators.sketch import kmv_estimate, kmv_sketch, merge_kmv
+
+    ev = parallel_table(spark, sf, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    sk = kmv_sketch(ev, "uid", ["event_type"], k=_KMV_K)
+    sk_all = merge_kmv(
+        ["event_type"], _KMV_K, sk.withColumn("event_type", F.lit("__all__"))
+    )
+    est = kmv_estimate(sk.unionByName(sk_all), ["event_type"], _KMV_K)
+    exact = ev.groupBy("event_type").agg(F.countDistinct("uid").alias("n_exact"))
+    exact_all = (
+        ev.agg(F.countDistinct("uid").alias("n_exact"))
+        .select(F.lit("__all__").alias("event_type"), "n_exact")
+    )
+    return (
+        exact.unionByName(exact_all)
+        .join(est, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            "n_kept",
+            "kth_min",
+            dround(F.col("est_distinct"), 2).alias("est_distinct"),
+        )
+    )
+
+
+def _q96_sql() -> str:
+    h = _SQL_HEXINT.format(expr="uid")
+    space = float(1 << 60)
+    return f"""
+WITH e AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS uid FROM events
+), hashed AS (
+  SELECT DISTINCT event_type, {h} AS h FROM e
+  UNION
+  SELECT DISTINCT '__all__' AS event_type, {h} AS h FROM e
+), topk AS (
+  -- the '__all__' k-min set equals the merge of the per-type k-min sets:
+  -- any hash in the global k smallest is within the k smallest of its type
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM hashed) t
+  WHERE rn <= {_KMV_K}
+), est AS (
+  SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS kth_min FROM topk
+  GROUP BY event_type
+), exact AS (
+  SELECT event_type, COUNT(DISTINCT uid) AS n_exact FROM e GROUP BY event_type
+  UNION ALL
+  SELECT '__all__', COUNT(DISTINCT uid) FROM e
+)
+SELECT x.event_type, x.n_exact, s.n_kept, s.kth_min,
+  {sql_dround(
+      f"CASE WHEN s.n_kept < {_KMV_K} THEN CAST(s.n_kept AS DOUBLE) "
+      f"ELSE {float(_KMV_K - 1)!r} * {space!r} / CAST(s.kth_min AS DOUBLE) END", 2)}
+  AS est_distinct
+FROM exact x JOIN est s USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q97 — vocabulary-coverage quality scoring: per-document OOV share vs the
+# top-V corpus vocabulary and mean token corpus-frequency — the
+# corpus-statistics quality filter (rare-token / junk detection) of a
+# training pipeline. Two passes over the exploded tokens: one tiny count
+# agg (the vocabulary, broadcast back), one per-doc agg. All integer
+# arithmetic until the final ratios, so parity is exact.
+# ---------------------------------------------------------------------------
+_VOCAB_V = 16
+
+
+def q97_vocab_oov(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.functions.chunking import tokens_expr
+
+    docs = parallel_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens_expr("text")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_global"))
+    vocab = (
+        counts.orderBy(F.desc("n_global"), F.asc("tok"))
+        .limit(_VOCAB_V)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    j = toks.join(F.broadcast(counts), "tok").join(F.broadcast(vocab), "tok", "left")
+    oov = F.count(F.when(F.col("in_vocab").isNull(), 1))
+    return j.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        oov.alias("n_oov"),
+        dround(oov / F.count(F.lit(1)), 6).alias("oov_share"),
+        dround(F.sum("n_global") / F.count(F.lit(1)), 2).alias("mean_tok_freq"),
+    )
+
+
+_Q97_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, unnest({_SQL_TOKENS}) AS tok
+  FROM documents WHERE text IS NOT NULL
+), c AS (
+  SELECT tok, COUNT(*) AS n_global FROM t GROUP BY tok
+), v AS (
+  SELECT tok, TRUE AS in_vocab FROM c ORDER BY n_global DESC, tok ASC LIMIT {_VOCAB_V}
+), j AS (
+  SELECT t.doc_id, t.lang, c.n_global, v.in_vocab
+  FROM t JOIN c USING (tok) LEFT JOIN v ON t.tok = v.tok
+)
+SELECT doc_id, lang, COUNT(*) AS n_tokens,
+  COUNT(CASE WHEN in_vocab IS NULL THEN 1 END) AS n_oov,
+  {sql_dround("COUNT(CASE WHEN in_vocab IS NULL THEN 1 END) / COUNT(*)", 6)} AS oov_share,
+  {sql_dround("SUM(n_global) / COUNT(*)", 2)} AS mean_tok_freq
+FROM j GROUP BY doc_id, lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# q98 — inverted-index build: term → (df, total tf, capped posting list).
+# tf per (term, doc) in one hash agg; df/tf_total come from a plain
+# re-agg of that (partial-combined, skew-immune). Postings are capped at
+# 20 BEFORE any collect via two-phase top-k (per-(term, doc_id-salt)
+# candidates, then the final 20 over ≤ 64·20 rows per term) — a single
+# per-term window would sort a stopword's billion-doc posting in one
+# partition. Arrays are sorted (parity rule); every shuffle is keyed on
+# the term.
+# ---------------------------------------------------------------------------
+_POSTINGS_CAP = 20
+
+
+def q98_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.functions.chunking import tokens_expr
+
+    docs = parallel_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    tf = (
+        docs.select("doc_id", F.explode(tokens_expr("text")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("tf_total")
+    )
+    w1 = Window.partitionBy("term", F.col("doc_id") % 64).orderBy("doc_id")
+    w2 = Window.partitionBy("term").orderBy("doc_id")
+    postings = (
+        tf.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= _POSTINGS_CAP)
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= _POSTINGS_CAP)
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+    )
+    return stats.join(postings, "term")
+
+
+_Q98_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS term
+  FROM documents WHERE text IS NOT NULL
+), tf AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM t GROUP BY term, doc_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM tf
+)
+SELECT term, COUNT(*) AS df, SUM(tf) AS tf_total,
+  list_sort(list(doc_id) FILTER (WHERE rn <= {_POSTINGS_CAP})) AS postings
+FROM r GROUP BY term
+"""
+
+
+# ---------------------------------------------------------------------------
+# q99 — Z-order (Morton) curve cells: bucket (o_custkey, o_totalprice)
+# into 256 levels each from a bounded 1-row min/max agg (literals — the
+# q94/q48 pattern), interleave the bits (operators/layout.zorder_key),
+# and aggregate orders per coarse curve cell. Sorting by this key gives
+# BOTH dimensions file-level locality — the layout behind 2-D scan
+# pruning, where a plain sort only prunes its leading axis. Pure integer
+# bit arithmetic after the bucketing division → engine-exact.
+# ---------------------------------------------------------------------------
+def q99_zorder_cells(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.operators.layout import zorder_key
+
+    o = parallel_table(spark, sf, "orders")
+    b = o.agg(
+        F.min("o_custkey").alias("xlo"),
+        F.max("o_custkey").alias("xhi"),
+        F.min("o_totalprice").alias("ylo"),
+        F.max("o_totalprice").alias("yhi"),
+    ).first()
+    xlo, xhi = int(b["xlo"]), int(b["xhi"])
+    ylo, yhi = float(b["ylo"]), float(b["yhi"])
+    xb = F.floor((F.col("o_custkey") - xlo) * 256.0 / (xhi - xlo + 1)).cast("int")
+    yb = F.least(
+        F.lit(255),
+        F.floor((F.col("o_totalprice") - ylo) * 256.0 / (yhi - ylo + 1.0)).cast("int"),
+    )
+    keyed = o.select(
+        "o_totalprice", xb.alias("xb"), yb.alias("yb")
+    ).withColumn("zkey", zorder_key(["xb", "yb"], bits=8))
+    return (
+        keyed.groupBy(F.shiftright("zkey", 8).alias("z_cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("sum_price"),
+        )
+    )
+
+
+def _q99_sql() -> str:
+    from job_etl_spark.operators.layout import sql_zorder_key
+
+    zkey = sql_zorder_key(["xb", "yb"], bits=8)
+    return f"""
+WITH b AS (
+  SELECT MIN(o_custkey) AS xlo, MAX(o_custkey) AS xhi,
+         MIN(o_totalprice) AS ylo, MAX(o_totalprice) AS yhi
+  FROM orders
+), keyed AS (
+  SELECT o_totalprice,
+    CAST(FLOOR((o_custkey - b.xlo) * 256.0 / (b.xhi - b.xlo + 1)) AS INT) AS xb,
+    LEAST(255, CAST(FLOOR((o_totalprice - b.ylo) * 256.0 / (b.yhi - b.ylo + 1.0)) AS INT)) AS yb
+  FROM orders CROSS JOIN b
+), z AS (
+  SELECT o_totalprice, {zkey} AS zkey FROM keyed
+)
+SELECT zkey >> 8 AS z_cell, COUNT(*) AS n_orders,
+  {sql_dsum("o_totalprice")} AS sum_price
+FROM z GROUP BY 1
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "q95_heavy_hitters_cms": Query(q95_heavy_hitters_cms, _q95_sql()),
+    "q96_kmv_distinct": Query(q96_kmv_distinct, _q96_sql()),
+    "q97_vocab_oov": Query(q97_vocab_oov, _Q97_SQL),
+    "q98_inverted_index": Query(q98_inverted_index, _Q98_SQL),
+    "q99_zorder_cells": Query(q99_zorder_cells, _q99_sql()),
+}

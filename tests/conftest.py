@@ -31,6 +31,7 @@ _TIER_BY_FILE = {
     "test_property.py": "slow",
     "test_streaming.py": "slow",
     "test_scale_operators.py": "slow",
+    "test_sketch_ops.py": "slow",
     "test_training_ops.py": "slow",
     "test_plans.py": "slow",
     "test_datasource.py": "slow",

@@ -1,0 +1,120 @@
+"""Mergeable-sketch + layout-key operators (tranche 3): CMS one-sided
+error and merge algebra, KMV merge/exactness, Z-order locality and
+2-D file skipping."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from job_etl_spark.operators.cms import build_cms, merge_cms, probe_cms
+from job_etl_spark.operators.layout import (
+    files_matching_predicate,
+    sql_zorder_key,
+    write_clustered,
+    zorder_key,
+)
+from job_etl_spark.operators.sketch import kmv_estimate, kmv_sketch, merge_kmv
+from job_etl_spark.tables import table
+from tests.conftest import SF_SMOKE
+
+
+def _events(spark):
+    return table(spark, SF_SMOKE, "events").select(
+        "event_id", F.col("user_id").cast("string").alias("uid")
+    )
+
+
+def test_cms_overestimates_never_under(spark):
+    ev = _events(spark)
+    sk = build_cms(ev, "uid", depth=4, width=64)  # narrow → forced collisions
+    exact = ev.groupBy("uid").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = probe_cms(sk, exact, "uid", depth=4, width=64)
+    rows = est.collect()
+    assert rows and all(r["est"] >= r["exact_n"] for r in rows)
+
+
+def test_cms_merge_equals_full_build(spark):
+    ev = _events(spark)
+    half = F.col("event_id") % 2
+    merged = merge_cms(
+        build_cms(ev.where(half == 0), "uid"),
+        build_cms(ev.where(half == 1), "uid"),
+    )
+    full = build_cms(ev, "uid")
+    as_map = lambda df: {(r["depth"], r["cell"]): r["n"] for r in df.collect()}
+    assert as_map(merged) == as_map(full)
+
+
+def test_cms_absent_key_estimates_zero_or_collision(spark):
+    ev = _events(spark)
+    sk = build_cms(ev, "uid", depth=4, width=4096)  # wide → few collisions
+    ghost = ev.sparkSession.createDataFrame([("no-such-user-xyz",)], "uid string")
+    [row] = probe_cms(sk, ghost, "uid", depth=4, width=4096).collect()
+    assert row["est"] >= 0  # one-sided: only ever overshoots
+
+
+def test_kmv_merge_equals_union_sketch(spark):
+    ev = _events(spark).withColumn("g", F.lit("all"))
+    half = F.col("event_id") % 2
+    a = kmv_sketch(ev.where(half == 0), "uid", ["g"], k=16)
+    b = kmv_sketch(ev.where(half == 1), "uid", ["g"], k=16)
+    merged = sorted(r["h"] for r in merge_kmv(["g"], 16, a, b).collect())
+    direct = sorted(r["h"] for r in kmv_sketch(ev, "uid", ["g"], k=16).collect())
+    assert merged == direct
+
+
+def test_kmv_small_group_is_exact(spark):
+    ev = _events(spark).withColumn("g", F.lit("all"))
+    n_exact = ev.select("uid").distinct().count()
+    k = n_exact + 10  # sketch holds the whole domain
+    est = kmv_estimate(kmv_sketch(ev, "uid", ["g"], k=k), ["g"], k=k)
+    [row] = est.collect()
+    assert row["n_kept"] == n_exact and row["est_distinct"] == float(n_exact)
+
+
+def test_kmv_estimate_within_expected_error(spark):
+    ev = _events(spark).withColumn("g", F.lit("all"))
+    n_exact = ev.select("uid").distinct().count()
+    k = 64
+    [row] = kmv_estimate(kmv_sketch(ev, "uid", ["g"], k=k), ["g"], k=k).collect()
+    # KMV relative error ~ 1/sqrt(k-2) ≈ 13% at k=64; allow 4 sigma
+    assert abs(row["est_distinct"] - n_exact) / n_exact < 0.52
+
+
+def test_zorder_key_matches_sql_twin(spark):
+    df = spark.range(0, 256).select(
+        (F.col("id") % 16).cast("int").alias("xb"),
+        (F.col("id") / 16).cast("int").alias("yb"),
+    )
+    got = df.select("xb", "yb", zorder_key(["xb", "yb"], bits=4).alias("z")).collect()
+    import duckdb
+
+    con = duckdb.connect()
+    expr = sql_zorder_key(["xb", "yb"], bits=4)
+    for r in got:
+        [(want,)] = con.execute(
+            f"SELECT {expr} FROM (SELECT {r['xb']} AS xb, {r['yb']} AS yb)"
+        ).fetchall()
+        assert r["z"] == want
+    # interleave sanity: (1,0) -> 2, (0,1) -> 1, (3,3) -> 15
+    zmap = {(r["xb"], r["yb"]): r["z"] for r in got}
+    assert zmap[(1, 0)] == 2 and zmap[(0, 1)] == 1 and zmap[(3, 3)] == 15
+
+
+def test_zorder_layout_prunes_both_axes(spark, tmp_path):
+    # clustered by z-order key: a tight predicate on EITHER axis must
+    # skip most files; a single-axis sort would fail this on the 2nd axis
+    n = 1 << 14
+    df = spark.range(0, n).select(
+        F.col("id"),
+        (F.col("id") % 128).cast("int").alias("xb"),
+        (F.floor(F.col("id") / 128)).cast("int").alias("yb"),
+    )
+    keyed = df.withColumn("z", zorder_key(["xb", "yb"], bits=7))
+    path = str(tmp_path / "zorder")
+    write_clustered(keyed, path, ["z"], num_files=16)
+    hit_x, total_x = files_matching_predicate(path, "xb", 0, 15)
+    hit_y, total_y = files_matching_predicate(path, "yb", 0, 15)
+    assert total_x == total_y >= 16
+    assert hit_x <= total_x / 2, (hit_x, total_x)
+    assert hit_y <= total_y / 2, (hit_y, total_y)
