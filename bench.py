@@ -107,6 +107,8 @@ HEADLINE = [
     "q97_vocab_oov",
     "q98_inverted_index",
     "q99_zorder_cells",
+    "q100_group_sample",
+    "q101_bpe_merges",
 ]
 
 

@@ -343,3 +343,110 @@ QUERIES: dict[str, Query] = {
     "q98_inverted_index": Query(q98_inverted_index, _Q98_SQL),
     "q99_zorder_cells": Query(q99_zorder_cells, _q99_sql()),
 }
+
+
+# ---------------------------------------------------------------------------
+# q100 — deterministic per-group sampling (operators/sampling.py): 5 docs
+# per (lang, source), chosen as the smallest md5 hashes of the doc id —
+# uniform order statistics, zero RNG, so the sample survives task retry,
+# AQE re-planning and an engine swap bit-for-bit. Salted two-phase top-k:
+# the hottest group never sorts in one partition.
+# ---------------------------------------------------------------------------
+_SAMPLE_K = 5
+
+
+def q100_group_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.operators.sampling import deterministic_group_sample
+
+    docs = parallel_table(spark, sf, "documents").select("doc_id", "lang", "source")
+    s = deterministic_group_sample(
+        docs, ["lang", "source"], "doc_id", k=_SAMPLE_K, seed="samp"
+    )
+    return s.groupBy("lang", "source").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("sampled_ids"),
+        F.count(F.lit(1)).alias("n_sampled"),
+    )
+
+
+_Q100_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang, source,
+    {_SQL_HEXINT.format(expr="'samp|' || CAST(doc_id AS VARCHAR)")} AS hh
+  FROM documents
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lang, source ORDER BY hh, doc_id) AS rn
+  FROM h
+)
+SELECT lang, source, list_sort(list(doc_id)) AS sampled_ids,
+  COUNT(*) AS n_sampled
+FROM r WHERE rn <= {_SAMPLE_K} GROUP BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q101 — BPE merge induction (tokenizer training on the cluster): 5 rounds
+# of count-adjacent-pairs → pick the most frequent → apply the merge
+# corpus-wide. Each round is ONE explode + hash agg + 1-row TakeOrdered
+# (the winning pair lands in the plan as a literal — the q48 codebook
+# pattern) and a map-only string rewrite. The corpus is serialized with
+# DOUBLE spaces so the single-space-bounded pattern ' a  b ' gives exact
+# greedy left-to-right non-overlapping replacement — identical semantics
+# in Java and DuckDB replace(), hence exact parity ('a a a' merges once,
+# 'a b a b' merges twice). Ties break on pair text. At corpus scale each
+# round is a full pass — real tokenizer training subsamples first
+# (q100); the algebra here is the same.
+# ---------------------------------------------------------------------------
+_BPE_ROUNDS = 5
+
+
+def q101_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.ml.bpe import learn_merges, serialize_corpus
+
+    docs = parallel_table(spark, sf, "documents")
+    steps = learn_merges(serialize_corpus(docs), _BPE_ROUNDS)
+    return spark.createDataFrame(
+        steps, "step int, merged_token string, pair_n bigint"
+    )
+
+
+def _q101_sql() -> str:
+    parts = [
+        r"""
+WITH d0 AS (
+  SELECT '  ' || array_to_string(
+    list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''),
+    '  ') || '  ' AS s
+  FROM documents WHERE text IS NOT NULL
+)"""
+    ]
+    for i in range(_BPE_ROUNDS):
+        parts.append(
+            f""", p{i} AS (
+  SELECT a || ' ' || b AS pair, COUNT(*) AS n FROM (
+    SELECT unnest(toks[1:len(toks)-1]) AS a, unnest(toks[2:len(toks)]) AS b
+    FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS toks FROM d{i})
+  ) GROUP BY 1
+), m{i} AS (
+  SELECT pair, n FROM p{i} ORDER BY n DESC, pair ASC LIMIT 1
+), d{i + 1} AS (
+  SELECT replace(s,
+    ' ' || replace((SELECT pair FROM m{i}), ' ', '  ') || ' ',
+    ' ' || replace((SELECT pair FROM m{i}), ' ', '+') || ' ') AS s
+  FROM d{i}
+)"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS step, replace(pair, ' ', '+') AS merged_token, "
+        f"n AS pair_n FROM m{i}"
+        for i in range(_BPE_ROUNDS)
+    )
+    return "".join(parts) + "\n" + selects
+
+
+QUERIES.update(
+    {
+        "q100_group_sample": Query(q100_group_sample, _Q100_SQL),
+        "q101_bpe_merges": Query(q101_bpe_merges, _q101_sql()),
+    }
+)

@@ -118,3 +118,43 @@ def test_zorder_layout_prunes_both_axes(spark, tmp_path):
     assert total_x == total_y >= 16
     assert hit_x <= total_x / 2, (hit_x, total_x)
     assert hit_y <= total_y / 2, (hit_y, total_y)
+
+
+def test_group_sample_is_deterministic_and_bounded(spark):
+    from job_etl_spark.operators.sampling import deterministic_group_sample
+
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "source")
+    s1 = deterministic_group_sample(docs, ["lang", "source"], "doc_id", k=3)
+    s2 = deterministic_group_sample(docs, ["lang", "source"], "doc_id", k=3)
+    r1 = sorted((r["lang"], r["source"], r["doc_id"], r["sample_rank"]) for r in s1.collect())
+    assert r1 == sorted(
+        (r["lang"], r["source"], r["doc_id"], r["sample_rank"]) for r in s2.collect()
+    )
+    per_group: dict = {}
+    for lang, source, doc_id, rank in r1:
+        per_group.setdefault((lang, source), []).append(rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) and len(v) <= 3
+               for v in per_group.values())
+    # a different seed draws a different sample
+    s3 = deterministic_group_sample(docs, ["lang", "source"], "doc_id", k=3, seed="x")
+    assert {r["doc_id"] for r in s3.collect()} != {r[2] for r in r1}
+
+
+def test_bpe_greedy_merge_semantics(spark):
+    from job_etl_spark.ml.bpe import learn_merges, serialize_corpus
+
+    docs = spark.createDataFrame(
+        [("a a a",), ("a b a b",), ("a b c",)], "text string"
+    )
+    steps = learn_merges(serialize_corpus(docs), rounds=2)
+    # pair counts: (a,a)x2 (overlapping run counts both), (a,b)x3, (b,a)x1,
+    # (b,c)x1 -> round 0 merges 'a b'; the rewrite is greedy non-overlapping:
+    # 'a a a' untouched, 'a b a b' -> 'a+b a+b', 'a b c' -> 'a+b c'
+    assert steps[0] == (0, "a+b", 3)
+    # round 1: remaining pairs (a,a)x2, (a+b,a+b)x1, (a+b,c)x1 -> merge 'a a'
+    # applied greedily: 'a a a' -> 'a+a a' (ONE merge, not two)
+    assert steps[1] == (1, "a+a", 2)
+    steps3 = learn_merges(serialize_corpus(docs), rounds=3)
+    # round 2 candidates each count 1: 'a+a a', 'a+b a+b', 'a+b c' — tie
+    # breaks on pair text ascending
+    assert steps3[2] == (2, "a+a+a", 1)
