@@ -123,6 +123,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     reg = registry()
 
+    # one untimed throwaway action: pays the session's JVM/codegen/scheduler
+    # warmup (~3-5 s on this box) so it isn't charged to the first query —
+    # touches no benchmark table, so no input data is pre-cached
+    spark.range(1 << 20).selectExpr("sum(id * 2) AS s").write.mode(
+        "overwrite"
+    ).format("noop").save()
+
     runs = int(os.environ.get("JOBSPARK_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
