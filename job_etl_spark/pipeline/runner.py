@@ -20,7 +20,7 @@ import sys
 import tempfile
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from job_etl_spark.operators import dq
@@ -228,6 +228,109 @@ class TableStore:
         for v in removable:
             shutil.rmtree(self._vdir(name, v), ignore_errors=True)
         return removable
+
+    # -- merge-on-read upserts (LSM-lite) ----------------------------------
+    # A keyed upsert against a 100 TB base must not rewrite the base per
+    # batch. Merge-on-read (the Hudi MOR / LSM pattern) lands each batch as
+    # an immutable delta file and defers the merge to READ time:
+    #   read = latest-wins over (deltas by descending sequence) ∪ (base
+    #          minus keys present in any delta)
+    # so a write costs O(batch), reads cost one broadcast-able anti-join
+    # (delta keys ≪ base), and compaction — folding deltas into a new base
+    # — is an offline rewrite on its own schedule. Tombstones (a true
+    # ``_deleted`` column) delete keys at read time. Reference twin:
+    # services/normalizer/db_operations.py batch upsert, decoupled from
+    # write amplification.
+
+    def _mor_dir(self, name: str, *parts: str) -> str:
+        return os.path.join(self.path(name), "_mor", *parts)
+
+    def _mor_meta(self, name: str) -> dict:
+        import json
+
+        with open(self._mor_dir(name, "_META")) as f:
+            return json.load(f)
+
+    def mor_init(self, name: str, df: DataFrame, keys: Sequence[str]) -> None:
+        """Write the base and record the key columns."""
+        import json
+
+        df.write.mode("overwrite").parquet(self._mor_dir(name, "base"))
+        os.makedirs(self._mor_dir(name, "delta"), exist_ok=True)
+        tmp = self._mor_dir(name, "_META.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"keys": list(keys)}, f)
+        os.replace(tmp, self._mor_dir(name, "_META"))
+
+    def mor_deltas(self, name: str) -> list[int]:
+        import glob
+
+        return sorted(
+            int(os.path.basename(d))
+            for d in glob.glob(self._mor_dir(name, "delta", "*"))
+            if os.path.basename(d).isdigit()
+        )
+
+    def mor_upsert(self, name: str, df: DataFrame) -> int:
+        """Land one batch as the next delta. Rows may carry a boolean
+        ``_deleted`` tombstone column; within a batch the caller provides
+        at most one row per key (the batch is a statement, not a log)."""
+        seq = (self.mor_deltas(name) or [0])[-1] + 1
+        df.write.mode("overwrite").parquet(self._mor_dir(name, "delta", str(seq)))
+        return seq
+
+    def mor_read(self, name: str) -> DataFrame:
+        """Latest-wins merged view. Newer deltas beat older beat base; a
+        tombstone suppresses the key. The per-key window runs over DELTA
+        rows only (≪ base); the base is filtered by a left-anti join on
+        the delta key set — broadcast-able whenever deltas are batch-sized."""
+        keys = self._mor_meta(name)["keys"]
+        base = self.spark.read.parquet(self._mor_dir(name, "base"))
+        seqs = self.mor_deltas(name)
+        if not seqs:
+            return base
+        deltas = None
+        for s in seqs:
+            d = self.spark.read.parquet(self._mor_dir(name, "delta", str(s)))
+            if "_deleted" not in d.columns:
+                d = d.withColumn("_deleted", F.lit(False))
+            d = d.withColumn("_seq", F.lit(s))
+            deltas = d if deltas is None else deltas.unionByName(d)
+        w = Window.partitionBy(*keys).orderBy(F.desc("_seq"))
+        latest = (
+            deltas.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_seq")
+        )
+        live = latest.where(~F.col("_deleted")).drop("_deleted")
+        delta_keys = latest.select(*keys)
+        survivors = base.join(F.broadcast(delta_keys), list(keys), "left_anti")
+        return survivors.unionByName(live)
+
+    def mor_compact(self, name: str) -> int:
+        """Fold every delta into a new base (temp-dir + atomic swap, same
+        crash contract as rewrite()); returns the number of deltas folded.
+        Readers before the swap see the old base+deltas, after it the new
+        base — both are the same merged view."""
+        import shutil
+
+        seqs = self.mor_deltas(name)
+        if not seqs:
+            return 0
+        merged = self.mor_read(name)
+        tmp = self._mor_dir(name, "base._tmp")
+        merged.write.mode("overwrite").parquet(tmp)
+        self.spark.catalog.refreshByPath(tmp)
+        old = self._mor_dir(name, "base._old")
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(self._mor_dir(name, "base"), old)
+        os.rename(tmp, self._mor_dir(name, "base"))
+        for s in seqs:
+            shutil.rmtree(self._mor_dir(name, "delta", str(s)), ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        self.spark.catalog.refreshByPath(self._mor_dir(name, "base"))
+        return len(seqs)
 
 
 def run_extract(

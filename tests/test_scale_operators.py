@@ -213,3 +213,59 @@ def test_compact_refuses_partitioned_table(spark, tmp_path):
     ).parquet(path)
     with _pytest.raises(ValueError, match="partition dirs"):
         compact(spark, path)
+
+
+class TestMergeOnRead:
+    KEYS = ["k"]
+
+    def _store(self, spark, tmp_path):
+        from job_etl_spark.pipeline.runner import TableStore
+
+        return TableStore(spark, str(tmp_path))
+
+    def _rows(self, df):
+        return sorted((r["k"], r["v"]) for r in df.collect())
+
+    def test_upsert_insert_update_delete(self, spark, tmp_path):
+        st = self._store(spark, tmp_path)
+        base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+        st.mor_init("t", base, self.KEYS)
+        assert self._rows(st.mor_read("t")) == [(1, "a"), (2, "b"), (3, "c")]
+        # batch 1: update k=2, insert k=4
+        st.mor_upsert("t", spark.createDataFrame([(2, "B"), (4, "d")], "k int, v string"))
+        assert self._rows(st.mor_read("t")) == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+        # batch 2: tombstone k=1, re-update k=2 (newer delta wins)
+        from pyspark.sql import functions as F
+        b2 = spark.createDataFrame(
+            [(1, None, True), (2, "BB", False)], "k int, v string, _deleted boolean"
+        )
+        st.mor_upsert("t", b2)
+        assert self._rows(st.mor_read("t")) == [(2, "BB"), (3, "c"), (4, "d")]
+
+    def test_compact_preserves_view_and_clears_deltas(self, spark, tmp_path):
+        st = self._store(spark, tmp_path)
+        st.mor_init("t", spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), self.KEYS)
+        st.mor_upsert("t", spark.createDataFrame([(2, "B"), (5, "e")], "k int, v string"))
+        before = self._rows(st.mor_read("t"))
+        folded = st.mor_compact("t")
+        assert folded == 1 and st.mor_deltas("t") == []
+        assert self._rows(st.mor_read("t")) == before
+        # post-compaction upserts keep working against the new base
+        st.mor_upsert("t", spark.createDataFrame([(1, "A")], "k int, v string"))
+        assert self._rows(st.mor_read("t")) == [(1, "A"), (2, "B"), (5, "e")]
+
+    def test_read_avoids_base_rewrite(self, spark, tmp_path):
+        # the write path must not touch base files — that IS the feature
+        import glob, os
+        st = self._store(spark, tmp_path)
+        st.mor_init("t", spark.createDataFrame([(1, "a")], "k int, v string"), self.KEYS)
+        base_files = {
+            f: os.path.getmtime(f)
+            for f in glob.glob(str(tmp_path / "t" / "_mor" / "base" / "*.parquet"))
+        }
+        st.mor_upsert("t", spark.createDataFrame([(9, "z")], "k int, v string"))
+        after = {
+            f: os.path.getmtime(f)
+            for f in glob.glob(str(tmp_path / "t" / "_mor" / "base" / "*.parquet"))
+        }
+        assert base_files == after
