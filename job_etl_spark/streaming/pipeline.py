@@ -148,3 +148,55 @@ def foreach_batch_merge(
         store.rewrite(table, merged)
 
     return _merge
+
+
+def foreach_batch_mor(
+    store, table: str, keys: Sequence[str], compact_every: int = 0
+):
+    """Streaming upsert with O(batch) write cost: each micro-batch lands
+    as one immutable merge-on-read delta (``TableStore.mor_upsert``)
+    instead of read-modify-rewriting the whole table — the difference
+    between O(batch) and O(table) amplification per trigger at 100 TB.
+
+    Within-batch duplicate keys collapse to the greatest non-key struct
+    first (same deterministic rule as ``foreach_batch_merge``). A
+    replayed batch appends a delta with identical rows — latest-wins
+    makes the merged view idempotent. ``compact_every`` > 0 folds the
+    delta log into the base every N batches, bounding read-side fan-in;
+    the fold is the same atomic-swap rewrite, so concurrent readers see
+    either view (both identical)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def _dedup(batch_df: DataFrame) -> DataFrame:
+        dtypes = dict(batch_df.dtypes)
+        order = [
+            c for c in batch_df.columns
+            if c not in keys and not dtypes[c].startswith("map")
+        ]
+        if not order:
+            return batch_df.dropDuplicates(list(keys))
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc_nulls_last() for c in order]
+        )
+        return (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    state = {"batches": 0}
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = _dedup(batch_df)
+        try:
+            store._mor_meta(table)
+        except FileNotFoundError:
+            store.mor_init(table, batch_df, keys)
+            return
+        store.mor_upsert(table, batch_df)
+        state["batches"] += 1
+        if compact_every and state["batches"] % compact_every == 0:
+            store.mor_compact(table)
+
+    return _upsert

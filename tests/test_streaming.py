@@ -374,3 +374,54 @@ def test_progress_monitor_listener(spark):
     s = mon.summary()
     assert s["total_rows"] == 500 and s["n_batches"] >= 1
     assert s["queries_started"] >= 1
+
+
+def test_stream_mor_upsert_matches_batch_merge(spark, tmp_path):
+    """foreachBatch → merge-on-read deltas: the merged view after the
+    stream equals a batch latest-wins merge of the same files, and the
+    write path lands one delta per non-initial micro-batch."""
+    import os
+
+    from job_etl_spark.pipeline.runner import TableStore
+    from job_etl_spark.streaming.pipeline import foreach_batch_mor
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], "k int, v string, seen int"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+
+    store = TableStore(spark, str(tmp_path / "tables"))
+    schema = "k int, v string, seen int"
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_mor(store, "t", ["k"]))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got1 = sorted((r["k"], r["v"], r["seen"]) for r in store.mor_read("t").collect())
+    assert got1 == [(1, "a", 10), (2, "b", 10)]
+
+    # second file updates k=2 and inserts k=3; restart the stream
+    spark.createDataFrame(
+        [(2, "B", 20), (3, "c", 20)], "k int, v string, seen int"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_mor(store, "t", ["k"]))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got2 = sorted((r["k"], r["v"], r["seen"]) for r in store.mor_read("t").collect())
+    assert got2 == [(1, "a", 10), (2, "B", 20), (3, "c", 20)]
+    assert store.mor_deltas("t") == [1]
+    # compaction preserves the merged view
+    store.mor_compact("t")
+    got3 = sorted((r["k"], r["v"], r["seen"]) for r in store.mor_read("t").collect())
+    assert got3 == got2 and store.mor_deltas("t") == []
