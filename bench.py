@@ -109,6 +109,7 @@ HEADLINE = [
     "q99_zorder_cells",
     "q100_group_sample",
     "q101_bpe_merges",
+    "q102_curation_pipeline",
 ]
 
 

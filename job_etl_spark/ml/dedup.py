@@ -218,3 +218,48 @@ def with_simhash(
 
 def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_block_pairs(
+    sigs: DataFrame,
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    max_hamming: int = 16,
+) -> DataFrame:
+    """Blocked near-dup pairs from simhash signatures: groupBy(block) →
+    sorted collect_list → in-array pair expansion with the hamming
+    threshold applied INSIDE the array expression, so non-matching pairs
+    are never rows. Signs each doc once (a bucket-equality self-join
+    would evaluate the signature subtree per side); identical pair
+    multiset. Returns (doc_a, doc_b, hamming) with doc_a < doc_b."""
+    blocks = (
+        sigs.groupBy(*block_cols)
+        .agg(F.array_sort(F.collect_list(F.struct(id_col, sig_col))).alias("xs"))
+        .where(F.size("xs") >= 2)
+    )
+    n = F.size("xs")
+
+    def pair(i, j):
+        a = F.element_at(F.col("xs"), i)
+        b = F.element_at(F.col("xs"), j)
+        return F.struct(
+            a[id_col].alias("doc_a"),
+            b[id_col].alias("doc_b"),
+            F.bit_count(a[sig_col].bitwiseXOR(b[sig_col])).cast("int").alias("hamming"),
+        )
+
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.filter(
+                F.transform(F.sequence(i + 1, n), lambda j: pair(i, j)),
+                lambda p: p["hamming"] <= max_hamming,
+            ),
+        )
+    )
+    return blocks.select(F.explode(pairs).alias("p")).select(
+        F.col("p.doc_a").alias("doc_a"),
+        F.col("p.doc_b").alias("doc_b"),
+        F.col("p.hamming").alias("hamming"),
+    )

@@ -746,44 +746,13 @@ def q31_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
     # the simhash subtree per join side) and the hamming threshold filters
     # INSIDE the array expression, so non-matching pairs are never rows.
     # 3.5× faster than the self-join at sf0.1, identical pair multiset.
-    from job_etl_spark.ml.dedup import with_simhash
+    from job_etl_spark.ml.dedup import simhash_block_pairs, with_simhash
 
     docs = parallel_table(spark, sf, "documents")
     sigs = with_simhash(docs, "text", "simhash").select(
         "doc_id", "lang", "source", "simhash"
     )
-    blocks = (
-        sigs.groupBy("lang", "source")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "simhash"))).alias("xs"))
-        .where(F.size("xs") >= 2)
-    )
-    n = F.size("xs")
-
-    def pair(i, j):
-        a = F.element_at(F.col("xs"), i)
-        b = F.element_at(F.col("xs"), j)
-        return F.struct(
-            a["doc_id"].alias("doc_a"),
-            b["doc_id"].alias("doc_b"),
-            F.bit_count(a["simhash"].bitwiseXOR(b["simhash"]))
-            .cast("int")
-            .alias("hamming"),
-        )
-
-    pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.filter(
-                F.transform(F.sequence(i + 1, n), lambda j: pair(i, j)),
-                lambda p: p["hamming"] <= 16,
-            ),
-        )
-    )
-    return blocks.select(F.explode(pairs).alias("p")).select(
-        F.col("p.doc_a").alias("doc_a"),
-        F.col("p.doc_b").alias("doc_b"),
-        F.col("p.hamming").alias("hamming"),
-    )
+    return simhash_block_pairs(sigs, ("lang", "source"), max_hamming=16)
 
 
 _Q31_SQL = """

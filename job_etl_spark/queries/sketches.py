@@ -450,3 +450,126 @@ QUERIES.update(
         "q101_bpe_merges": Query(q101_bpe_merges, _q101_sql()),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# q102 — corpus-curation pipeline (the FineWeb/C4-shaped end-to-end): one
+# query composing the training-data stages the inventory provides as
+# parts — (1) heuristic quality filter (q22's exact score), (2) simhash
+# near-dup keep-canonical over the survivors (q31 pairs → ml/cluster CC →
+# keep the component minimum, q88's rule), (3) deterministic md5-bucket
+# train/val/test split (q59's exact rule) — accounting for EVERY document
+# in one ledger: split ∈ {train, val, test, dropped_quality, dropped_dup}
+# with doc and token totals per (lang, split). Shuffle inventory: one
+# block agg (pairs), the CC iterations on the pair graph only, one final
+# small agg — the corpus itself is never self-joined.
+# ---------------------------------------------------------------------------
+_CURATION_QUALITY_THR = 0.5
+
+
+def q102_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.ml.cluster import connected_components
+    from job_etl_spark.ml.dedup import hexint, simhash_block_pairs, with_simhash
+    from job_etl_spark.queries.lifedata import _STOPWORDS
+
+    docs = parallel_table(spark, sf, "documents")
+    tokens = F.split(F.lower("text"), " ")
+    n_tok = F.size(tokens)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(tokens, lambda x: F.array_contains(stop_arr, x)))
+    n_punct = F.length(F.regexp_replace(F.lower("text"), r"[a-z0-9\s]", ""))
+    len_score = F.least(F.lit(1.0), F.col("n_chars") / F.lit(500.0))
+    stop_ratio = n_stop / n_tok.cast("double")
+    punct_ratio = n_punct / F.col("n_chars").cast("double")
+    quality = 0.5 * len_score + 0.3 * (1 - punct_ratio) + 0.2 * stop_ratio
+    scored = docs.select(
+        "doc_id", "lang", "source", "text",
+        n_tok.cast("bigint").alias("n_tokens"),
+        quality.alias("q"),
+    )
+    surv = scored.where(F.col("q") >= _CURATION_QUALITY_THR)
+    sigs = with_simhash(surv, "text", "simhash").select(
+        "doc_id", "lang", "source", "simhash"
+    )
+    pairs = simhash_block_pairs(sigs, ("lang", "source"), max_hamming=16)
+    cc = connected_components(pairs.select("doc_a", "doc_b"))
+    lab = scored.join(cc, scored.doc_id == cc.node, "left")
+    bucket = hexint(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(F.col("q").isNull() | (F.col("q") < _CURATION_QUALITY_THR), "dropped_quality")
+        .when(
+            F.col("cluster_id").isNotNull() & (F.col("cluster_id") != F.col("doc_id")),
+            "dropped_dup",
+        )
+        .when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+    )
+    return lab.groupBy("lang", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
+def _q102_sql() -> str:
+    from job_etl_spark.queries.lifedata import _STOPWORDS
+
+    sw = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
+    thr = _CURATION_QUALITY_THR
+    h_doc = _SQL_HEXINT.format(expr="CAST(d.doc_id AS VARCHAR)")
+    return f"""
+WITH RECURSIVE scored AS (
+  SELECT doc_id, lang, source, text,
+    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+    0.5 * least(1.0::DOUBLE, n_chars / 500.0::DOUBLE)
+      + 0.3 * (1.0::DOUBLE - length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g'))
+               / (n_chars::DOUBLE))
+      + 0.2 * (len(list_filter(string_split(lower(text), ' '),
+                 x -> list_contains({sw}, x)))
+               / (len(string_split(lower(text), ' '))::DOUBLE)) AS q
+  FROM documents
+), surv AS (
+  SELECT doc_id, lang, source, text FROM scored WHERE q >= {thr}
+), tok AS (
+  SELECT doc_id, lang, source, string_split(lower(text), ' ') AS toks FROM surv
+), hh AS (
+  SELECT doc_id, lang, source, len(toks) AS n,
+    list_transform(toks, t -> (('0x' || substr(md5(t), 1, 15))::BIGINT)) AS hs
+  FROM tok
+), sig AS (
+  SELECT doc_id, lang, source,
+    CASE WHEN n > 0 THEN
+      CAST(list_sum(list_transform(range(0, 60), j ->
+        CASE WHEN list_sum(list_transform(hs, x -> ((x >> j) & 1) * 2 - 1)) > 0
+             THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT)
+    END AS simhash
+  FROM hh
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a
+  JOIN sig b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(a, b) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges) t
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), labeled AS (
+  SELECT a AS node, MIN(b) AS cluster_id FROM reach GROUP BY a
+)
+SELECT d.lang,
+  CASE WHEN d.q IS NULL OR d.q < {thr} THEN 'dropped_quality'
+       WHEN l.cluster_id IS NOT NULL AND l.cluster_id <> d.doc_id THEN 'dropped_dup'
+       WHEN {h_doc} % 100 < 80 THEN 'train'
+       WHEN {h_doc} % 100 < 90 THEN 'val'
+       ELSE 'test' END AS split,
+  COUNT(*) AS n_docs, SUM(d.n_tokens) AS sum_tokens
+FROM scored d LEFT JOIN labeled l ON d.doc_id = l.node
+GROUP BY 1, 2
+"""
+
+
+QUERIES["q102_curation_pipeline"] = Query(q102_curation_pipeline, _q102_sql())
