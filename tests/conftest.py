@@ -27,6 +27,7 @@ _TIER_BY_FILE = {
     "test_asof.py": "smoke",
     "test_approx.py": "smoke",
     "test_oracle_parity.py": "oracle",
+    "test_tz_independence.py": "oracle",
     "test_pipeline_e2e.py": "slow",
     "test_property.py": "slow",
     "test_streaming.py": "slow",

@@ -1,0 +1,44 @@
+"""Session-timezone independence: the driver runs a VANILLA SparkSession
+(machine-local tz, not get_spark's pinned UTC), so every time-touching
+query must produce identical results under any session tz. Outputs are
+epoch-integer or TIMESTAMP_NTZ by design (queries._util rules); this
+locks the claim in under the strongest probe — a fractional-offset zone
+where date_trunc/window bucketing shifts by 30 minutes if any expression
+leaks through the session tz."""
+
+from __future__ import annotations
+
+import pytest
+
+from job_etl_spark.queries import registry
+from job_etl_spark.testing import check_query
+from tests.conftest import SF_SMOKE
+
+_REG = registry()
+
+# every query whose plan touches events.ts or an order date arithmetic
+_TIME_FAMILY = [
+    "q09_watermark_incremental",
+    "q33_recent_events",
+    "q34_sessionize",
+    "q36_hourly_rollup",
+    "q37_asof_join",
+    "q44_interval_join",
+    "q61_trailing_hour_window",
+    "q63_funnel_detection",
+    "q82_gap_filled_hours",
+    "q89_scd2_history",
+    "q94_snapshot_diff",
+]
+
+
+@pytest.mark.parametrize("name", _TIME_FAMILY)
+def test_time_query_matches_oracle_in_fractional_tz(spark, name):
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")  # UTC+5:30
+    try:
+        q = _REG[name]
+        res = check_query(spark, SF_SMOKE, name, q.fn, q.oracle)
+        assert res.ok, f"{name} under Asia/Kolkata: {res.detail}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
