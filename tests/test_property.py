@@ -299,3 +299,79 @@ def test_png_resize_dimension_contract(w, h, max_side):
         assert (nw, nh) == (w, h)
     w2, h2, ch2, _ = codecs.png_decode(payload)
     assert (w2, h2, ch2) == (nw, nh, 3)
+
+
+# --- sketch / layout operators vs pure-Python references ------------------
+
+
+def _py_hexint(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@given(
+    st.lists(st.text(alphabet="abcdef", min_size=1, max_size=4), min_size=1, max_size=60)
+)
+@settings(**_SETTINGS)
+def test_cms_matches_python_reference(spark, keys):
+    from job_etl_spark.operators.cms import build_cms, probe_cms
+
+    D, W = 3, 32
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    sk = build_cms(df, "k", depth=D, width=W)
+    got = {
+        (r["depth"], r["cell"]): r["n"] for r in sk.collect()
+    }
+    want: dict = {}
+    for k in keys:
+        for d in range(D):
+            cell = _py_hexint(f"{d}|{k}") % W
+            want[(d, cell)] = want.get((d, cell), 0) + 1
+    assert got == want
+    uniq = sorted(set(keys))
+    probed = probe_cms(
+        sk, spark.createDataFrame([(k,) for k in uniq], "k string"), "k", D, W
+    )
+    est = {r["k"]: r["est"] for r in probed.collect()}
+    for k in uniq:
+        assert est[k] == min(want[(d, _py_hexint(f"{d}|{k}") % W)] for d in range(D))
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=80),
+    st.integers(min_value=1, max_value=12),
+)
+@settings(**_SETTINGS)
+def test_kmv_sketch_matches_python_reference(spark, ids, k):
+    from job_etl_spark.operators.sketch import kmv_sketch
+
+    df = spark.createDataFrame([(i,) for i in ids], "id bigint").withColumn(
+        "g", F.lit("g")
+    )
+    got = sorted(r["h"] for r in kmv_sketch(df, "id", ["g"], k=k).collect())
+    want = sorted({_py_hexint(str(i)) for i in ids})[:k]
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255), st.integers(min_value=0, max_value=255)
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+@settings(**_SETTINGS)
+def test_zorder_key_matches_python_interleave(spark, cells):
+    from job_etl_spark.operators.layout import zorder_key
+
+    def py_z(x: int, y: int) -> int:
+        z = 0
+        for b in range(8):
+            z |= ((x >> b) & 1) << (2 * b + 1)
+            z |= ((y >> b) & 1) << (2 * b)
+        return z
+
+    df = spark.createDataFrame(cells, "xb int, yb int")
+    got = df.select("xb", "yb", zorder_key(["xb", "yb"], bits=8).alias("z")).collect()
+    assert all(r["z"] == py_z(r["xb"], r["yb"]) for r in got)
