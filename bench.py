@@ -110,6 +110,7 @@ HEADLINE = [
     "q100_group_sample",
     "q101_bpe_merges",
     "q102_curation_pipeline",
+    "q103_incremental_neardup",
 ]
 
 

@@ -109,6 +109,30 @@ def lsh_bands(
     return out.select(doc_col, "band", bucket.alias("bucket"))
 
 
+def minhash_bands(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """shingle → minhash → (id, band, bucket) rows — the STORABLE state of
+    the LSH pipeline. Persisting this table is what makes dedup
+    incremental: a new batch joins its bands against the stored corpus
+    bands (new×old, no old×old re-pairing) and then appends its own."""
+    # materialize base hashes as a column so the k permutations reuse them
+    sig = (
+        docs.select(
+            F.col(id_col),
+            shingle_hashes_expr(shingles_expr(tokens_expr(text_col))).alias("_hs"),
+        )
+        .select(F.col(id_col), minhash_signature_expr(F.col("_hs"), k).alias("sig"))
+        .where(F.col("sig").isNotNull())
+    )
+    return lsh_bands(sig, id_col, "sig", bands, rows)
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -129,16 +153,7 @@ def minhash_lsh_candidates(
     ``max_bucket`` optionally drops degenerate buckets (a bucket of B
     docs yields B²/2 pairs under EITHER formulation — capping is the
     standard LSH guard for adversarial skew at corpus scale)."""
-    # materialize base hashes as a column so the k permutations reuse them
-    sig = (
-        docs.select(
-            F.col(id_col),
-            shingle_hashes_expr(shingles_expr(tokens_expr(text_col))).alias("_hs"),
-        )
-        .select(F.col(id_col), minhash_signature_expr(F.col("_hs"), k).alias("sig"))
-        .where(F.col("sig").isNotNull())
-    )
-    banded = lsh_bands(sig, id_col, "sig", bands, rows)
+    banded = minhash_bands(docs, id_col, text_col, k, bands, rows)
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))

@@ -573,3 +573,112 @@ GROUP BY 1, 2
 
 
 QUERIES["q102_curation_pipeline"] = Query(q102_curation_pipeline, _q102_sql())
+
+
+# ---------------------------------------------------------------------------
+# q103 — incremental near-dup ingestion: dedup a NEW batch (deterministic
+# 20% of docs) against the EXISTING corpus without ever re-pairing the
+# corpus with itself — the algebra that makes LSH dedup incremental. The
+# persisted state is the (doc, band, bucket) table (ml/dedup.minhash_bands);
+# new docs join their bands against the old bands (new×old only), and
+# within-batch dups are "matched a smaller-id new doc in my bucket" via a
+# window MIN — no new×new pair expansion either. Ledger per source:
+# dup-vs-corpus, dup-within-batch, accepted.
+# ---------------------------------------------------------------------------
+def q103_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.ml.dedup import hexint, minhash_bands
+
+    docs = parallel_table(spark, sf, "documents")
+    is_new = (
+        hexint(F.concat(F.lit("inc|"), F.col("doc_id").cast("string"))) % 10 >= 8
+    )
+    meta = docs.select("doc_id", "source", is_new.alias("is_new"))
+    bands = minhash_bands(docs).join(meta.select("doc_id", "is_new"), "doc_id")
+    old_b = bands.where(~F.col("is_new")).select(
+        F.col("doc_id").alias("old_id"), "band", "bucket"
+    )
+    new_b = bands.where(F.col("is_new")).select("doc_id", "band", "bucket")
+    vs_old = (
+        new_b.join(old_b, ["band", "bucket"]).select("doc_id").distinct()
+        .withColumn("dup_old", F.lit(True))
+    )
+    wmin = Window.partitionBy("band", "bucket")
+    within = (
+        new_b.withColumn("_mn", F.min("doc_id").over(wmin))
+        .where(F.col("doc_id") > F.col("_mn"))
+        .select("doc_id").distinct()
+        .withColumn("dup_new", F.lit(True))
+    )
+    lab = (
+        meta.where("is_new")
+        .join(vs_old, "doc_id", "left")
+        .join(within, "doc_id", "left")
+    )
+    status = (
+        F.when(F.col("dup_old"), "dup_vs_corpus")
+        .when(F.col("dup_new"), "dup_within_batch")
+        .otherwise("accepted")
+    )
+    return lab.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.count(F.when(status == "dup_vs_corpus", 1)).alias("n_dup_corpus"),
+        F.count(F.when(status == "dup_within_batch", 1)).alias("n_dup_batch"),
+        F.count(F.when(status == "accepted", 1)).alias("n_accepted"),
+    )
+
+
+def _q103_sql() -> str:
+    from job_etl_spark.ml.dedup import MINHASH_PRIME, minhash_coefficients
+
+    a, b = minhash_coefficients(16)
+    a_sql = "[" + ", ".join(str(x) for x in a) + "]"
+    b_sql = "[" + ", ".join(str(x) for x in b) + "]"
+    def new_pred(col: str = "doc_id") -> str:
+        return (
+            _SQL_HEXINT.format(expr=f"'inc|' || CAST({col} AS VARCHAR)") + " % 10 >= 8"
+        )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_transform(
+      list_distinct(list_transform(range(1, len(toks) - 1),
+        i -> array_to_string(toks[i:i+2], ' '))),
+      g -> (('0x' || substr(md5(g), 1, 15))::BIGINT) % {MINHASH_PRIME}) AS hs
+  FROM tok WHERE len(toks) >= 3
+), sig AS (
+  SELECT doc_id,
+    list_transform(range(0, 16), s ->
+      list_min(list_transform(hs,
+        h -> (({a_sql})[s+1] * h + ({b_sql})[s+1]) % {MINHASH_PRIME}))) AS sig
+  FROM sh WHERE len(hs) > 0
+), banded AS (
+  SELECT doc_id, band,
+    md5(array_to_string(sig[band*4+1 : band*4+4], ',')) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands
+), nb AS (
+  SELECT * FROM banded WHERE {new_pred()}
+), ob AS (
+  SELECT doc_id AS old_id, band, bucket FROM banded WHERE NOT ({new_pred()})
+), vs_old AS (
+  SELECT DISTINCT nb.doc_id FROM nb JOIN ob USING (band, bucket)
+), within AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY band, bucket) AS mn FROM nb
+  ) WHERE doc_id > mn
+)
+SELECT d.source,
+  COUNT(*) AS n_new,
+  COUNT(CASE WHEN v.doc_id IS NOT NULL THEN 1 END) AS n_dup_corpus,
+  COUNT(CASE WHEN v.doc_id IS NULL AND w.doc_id IS NOT NULL THEN 1 END) AS n_dup_batch,
+  COUNT(CASE WHEN v.doc_id IS NULL AND w.doc_id IS NULL THEN 1 END) AS n_accepted
+FROM documents d
+LEFT JOIN vs_old v ON d.doc_id = v.doc_id
+LEFT JOIN within w ON d.doc_id = w.doc_id
+WHERE {new_pred("d.doc_id")}
+GROUP BY d.source
+"""
+
+
+QUERIES["q103_incremental_neardup"] = Query(q103_incremental_neardup, _q103_sql())
