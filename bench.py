@@ -111,6 +111,7 @@ HEADLINE = [
     "q101_bpe_merges",
     "q102_curation_pipeline",
     "q103_incremental_neardup",
+    "q104_topk_bounds",
 ]
 
 

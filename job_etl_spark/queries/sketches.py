@@ -682,3 +682,101 @@ GROUP BY d.source
 
 
 QUERIES["q103_incremental_neardup"] = Query(q103_incremental_neardup, _q103_sql())
+
+
+# ---------------------------------------------------------------------------
+# q104 — distributed top-k with deterministic error bounds (the TPUT /
+# three-phase-uniform-threshold shape): events are sharded ARBITRARILY
+# (md5(event_id) % 4 — a key's count spreads across shards, the hard
+# case), each shard reports its local top-m counts plus its threshold
+# τ_s = m-th local count. For any key missing from shard s's report its
+# count there is ≤ τ_s, so every candidate gets [lb = Σ reported,
+# ub = Σ reported-or-τ_s]; a candidate is GUARANTEED top-k when its lb
+# beats the k-th largest lb. One pass per shard + a bounded (≤ S·m rows)
+# reconciliation — the comm-efficient federated top-k, vs shipping every
+# per-shard count. Exact counts joined in to witness the bounds.
+# ---------------------------------------------------------------------------
+_TPUT_SHARDS = 4
+_TPUT_M = 10
+_TPUT_K = 5
+
+
+def q104_topk_bounds(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.ml.dedup import hexint
+
+    ev = parallel_table(spark, sf, "events").select(
+        F.col("user_id"),
+        (hexint(F.concat(F.lit("shard|"), F.col("event_id").cast("string")))
+         % _TPUT_SHARDS).alias("shard"),
+    )
+    per_shard = ev.groupBy("shard", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("shard").orderBy(F.desc("n"), F.asc("user_id"))
+    kept = per_shard.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= _TPUT_M
+    )
+    tau = kept.groupBy("shard").agg(F.min("n").alias("tau"))
+    cand = kept.select("user_id").distinct()
+    shards = tau.select("shard", "tau")  # S rows — broadcast everywhere
+    grid = cand.crossJoin(F.broadcast(shards))
+    filled = grid.join(
+        kept.select("shard", "user_id", "n"), ["shard", "user_id"], "left"
+    )
+    bounds = filled.groupBy("user_id").agg(
+        F.sum(F.coalesce(F.col("n"), F.lit(0))).alias("lb"),
+        F.sum(F.coalesce(F.col("n"), F.col("tau"))).alias("ub"),
+    )
+    # k-th largest lb among the ≤ S·m candidates: TakeOrdered top-k then
+    # a 1-row MIN — no partition-less rank window, broadcast back
+    kth = (
+        bounds.orderBy(F.desc("lb"), F.asc("user_id"))
+        .limit(_TPUT_K)
+        .agg(F.min("lb").alias("_kth_lb"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (
+        bounds.crossJoin(F.broadcast(kth))
+        .join(exact, "user_id")
+        .select(
+            "user_id", "lb", "ub", "exact_n",
+            (F.col("lb") >= F.col("_kth_lb")).alias("guaranteed"),
+        )
+    )
+
+
+def _q104_sql() -> str:
+    h = _SQL_HEXINT.format(expr="'shard|' || CAST(event_id AS VARCHAR)")
+    return f"""
+WITH ev AS (
+  SELECT user_id, {h} % {_TPUT_SHARDS} AS shard FROM events
+), per_shard AS (
+  SELECT shard, user_id, COUNT(*) AS n FROM ev GROUP BY shard, user_id
+), kept AS (
+  SELECT shard, user_id, n FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY shard ORDER BY n DESC, user_id ASC) AS rn
+    FROM per_shard) t
+  WHERE rn <= {_TPUT_M}
+), tau AS (
+  SELECT shard, MIN(n) AS tau FROM kept GROUP BY shard
+), cand AS (
+  SELECT DISTINCT user_id FROM kept
+), bounds AS (
+  SELECT c.user_id,
+    SUM(COALESCE(k.n, 0)) AS lb,
+    SUM(COALESCE(k.n, t.tau)) AS ub
+  FROM cand c CROSS JOIN tau t
+  LEFT JOIN kept k ON k.shard = t.shard AND k.user_id = c.user_id
+  GROUP BY c.user_id
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY lb DESC, user_id ASC) AS rk FROM bounds
+), kth AS (
+  SELECT lb AS kth_lb FROM ranked WHERE rk = {_TPUT_K}
+), exact AS (
+  SELECT user_id, COUNT(*) AS exact_n FROM ev GROUP BY user_id
+)
+SELECT r.user_id, r.lb, r.ub, e.exact_n, (r.lb >= (SELECT kth_lb FROM kth)) AS guaranteed
+FROM ranked r JOIN exact e USING (user_id)
+"""
+
+
+QUERIES["q104_topk_bounds"] = Query(q104_topk_bounds, _q104_sql())

@@ -22,6 +22,7 @@ _BNLJ_OK = {
     "q48_ann_ivf",  # 10-row query set × 16-row codebook probe
     "q51_top_supplier",  # 1-row global-max cross join
     "q57_inactive_rich_customers",  # 1-row global-avg cross join
+    "q104_topk_bounds",  # 1-row kth-lb threshold cross join
 }
 
 
