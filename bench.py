@@ -112,6 +112,7 @@ HEADLINE = [
     "q102_curation_pipeline",
     "q103_incremental_neardup",
     "q104_topk_bounds",
+    "q105_windowed_distinct",
 ]
 
 

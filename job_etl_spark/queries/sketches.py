@@ -780,3 +780,86 @@ FROM ranked r JOIN exact e USING (user_id)
 
 
 QUERIES["q104_topk_bounds"] = Query(q104_topk_bounds, _q104_sql())
+
+
+# ---------------------------------------------------------------------------
+# q105 — windowed distinct rollup via KMV merge (the continuous-aggregate
+# property for COUNT DISTINCT): per-hour KMV sketches of active users are
+# MERGED into 6-hour estimates — distinct counts don't sum across windows,
+# but their sketches union — so a stored per-hour sketch table answers any
+# coarser window without rescanning events (operators/rollup.py's algebra
+# extended to the one aggregate it cannot handle). Exact per-window
+# distincts are joined in to witness the estimates; hours holding < k
+# users are exact by construction.
+# ---------------------------------------------------------------------------
+_Q105_K = 48
+
+
+def q105_windowed_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.operators.sketch import kmv_estimate, kmv_sketch, merge_kmv
+
+    ev = table(spark, sf, "events").select(
+        (F.floor(F.unix_micros("ts") / F.lit(3_600_000_000)).cast("bigint")).alias(
+            "hour_id"
+        ),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    hourly = kmv_sketch(ev, "uid", ["hour_id"], k=_Q105_K)
+    coarse = merge_kmv(
+        ["window_id"],
+        _Q105_K,
+        hourly.select(F.floor(F.col("hour_id") / 6).alias("window_id"), "h"),
+    )
+    est = kmv_estimate(coarse, ["window_id"], _Q105_K)
+    exact = (
+        ev.select(F.floor(F.col("hour_id") / 6).alias("window_id"), "uid")
+        .groupBy("window_id")
+        .agg(F.countDistinct("uid").alias("n_exact"))
+    )
+    return exact.join(est, "window_id").select(
+        "window_id", "n_exact", "n_kept", "kth_min",
+        dround(F.col("est_distinct"), 2).alias("est_distinct"),
+    )
+
+
+def _q105_sql() -> str:
+    h = _SQL_HEXINT.format(expr="uid")
+    space = float(1 << 60)
+    return f"""
+WITH e AS (
+  SELECT CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS hour_id,
+         CAST(user_id AS VARCHAR) AS uid
+  FROM events
+), hourly AS (
+  SELECT hour_id, h FROM (
+    SELECT hour_id, h, row_number() OVER (PARTITION BY hour_id ORDER BY h) AS rn
+    FROM (SELECT DISTINCT hour_id, {h} AS h FROM e)) t
+  WHERE rn <= {_Q105_K}
+), merged AS (
+  -- union of per-hour k-min sets: dedup the HASH within the window (the
+  -- same user hash may appear in several hours), then re-take the k
+  -- smallest — identical to sketching the window directly (merge algebra)
+  SELECT window_id, h FROM (
+    SELECT window_id, h,
+      row_number() OVER (PARTITION BY window_id ORDER BY h) AS rn
+    FROM (SELECT DISTINCT CAST(FLOOR(hour_id / 6) AS BIGINT) AS window_id, h
+          FROM hourly)) t
+  WHERE rn <= {_Q105_K}
+), est AS (
+  SELECT window_id, COUNT(*) AS n_kept, MAX(h) AS kth_min FROM merged
+  GROUP BY window_id
+), exact AS (
+  SELECT CAST(FLOOR(hour_id / 6) AS BIGINT) AS window_id,
+         COUNT(DISTINCT uid) AS n_exact
+  FROM e GROUP BY 1
+)
+SELECT x.window_id, x.n_exact, s.n_kept, s.kth_min,
+  {sql_dround(
+      f"CASE WHEN s.n_kept < {_Q105_K} THEN CAST(s.n_kept AS DOUBLE) "
+      f"ELSE {float(_Q105_K - 1)!r} * {space!r} / CAST(s.kth_min AS DOUBLE) END", 2)}
+  AS est_distinct
+FROM exact x JOIN est s USING (window_id)
+"""
+
+
+QUERIES["q105_windowed_distinct"] = Query(q105_windowed_distinct, _q105_sql())
