@@ -1,4 +1,5 @@
-"""Scale-path operators, tranche 3: mergeable sketches + multi-axis layout.
+"""Scale-path operators, tranche 3: mergeable sketches, deterministic
+sampling, tokenizer induction, layout keys, and end-to-end pipelines.
 
 - q95: count-min sketch heavy hitters — bounded-memory frequency counts,
   built per shard and MERGED (the property exact GROUP BY lacks);
@@ -6,13 +7,16 @@
   reproducible alternative to HyperLogLog, with the same union-merge
   algebra; the global row IS the merge of the per-group sketches;
 - q97: vocabulary-coverage quality scoring (OOV share + mean token
-  frequency) — the corpus-statistics quality filter of a training
-  pipeline, exact integer arithmetic end-to-end;
-- q98: inverted-index build (term → capped posting list) — the classic
-  explode → per-key top-k → re-agg shape, postings bounded BEFORE the
-  collect so no list is unbounded;
-- q99: Z-order (Morton) layout cells — the multi-axis clustering key
-  behind operators/layout.zorder_key, grouped into curve cells.
+  frequency) — exact integer arithmetic end-to-end;
+- q98: inverted-index build (term → capped posting list) — postings
+  bounded BEFORE the collect so no list is unbounded;
+- q99: Z-order (Morton) layout cells (operators/layout.zorder_key);
+- q100: deterministic per-group sampling (operators/sampling.py);
+- q101: BPE merge induction — tokenizer training rounds (ml/bpe.py);
+- q102: end-to-end corpus curation (quality → dedup → split ledger);
+- q103: incremental near-dup ingestion against stored LSH band state;
+- q104: distributed top-k with deterministic error bounds (TPUT shape);
+- q105: windowed COUNT DISTINCT as a continuous aggregate (KMV merge).
 
 Same parity rules as the rest of the inventory (queries._util).
 """
