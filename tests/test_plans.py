@@ -67,3 +67,39 @@ def test_watermark_scan_pushes_filters(spark):
     assert "IsNotNull(ts)" in plan or "GreaterThan" in plan or "ts" in plan.split(
         "PushedFilters"
     )[1][:200]
+
+
+# scan pruning: each entry pins the EXACT column set a query's scan of a
+# table may read — a regression that drags extra columns through a 100 TB
+# scan fails here even though results stay correct
+_PRUNED_SCANS = {
+    "q99_zorder_cells": ("orders.parquet", {"o_custkey", "o_totalprice"}),
+    "q80_forecast_revenue": (
+        "lineitem.parquet",
+        {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"},
+    ),
+    "q95_heavy_hitters_cms": ("events.parquet", {"event_id", "user_id"}),
+    "q96_kmv_distinct": ("events.parquet", {"event_type", "user_id"}),
+    "q100_group_sample": ("documents.parquet", {"doc_id", "lang", "source"}),
+    "q59_train_test_split": ("documents.parquet", {"doc_id", "lang"}),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_PRUNED_SCANS))
+def test_scan_reads_only_needed_columns(spark, name):
+    import re
+
+    table_file, expected = _PRUNED_SCANS[name]
+    plan = _plan(_REG[name].fn(spark, SF_SMOKE))
+    scans = [
+        ln for ln in plan.splitlines()
+        if "FileScan" in ln and table_file in ln and "ReadSchema" in ln
+    ]
+    assert scans, f"{name}: no FileScan of {table_file} in plan"
+    for ln in scans:
+        m = re.search(r"ReadSchema: struct<([^>]*)>", ln)
+        assert m, ln
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols <= expected, (
+            f"{name} reads {cols - expected} beyond the needed {expected}"
+        )
