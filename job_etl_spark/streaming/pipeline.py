@@ -200,3 +200,26 @@ def foreach_batch_mor(
             store.mor_compact(table)
 
     return _upsert
+
+
+def foreach_batch_cms(
+    store, table: str, key_col: str, depth: int = 4, width: int = 256
+):
+    """Streaming frequency sketch: each micro-batch's count-min matrix
+    merges into a persisted ≤ D·W-row sketch table (union + re-sum —
+    the CMS merge algebra), so a continuously-ingesting stream maintains
+    heavy-hitter counts in KiB of state with O(batch) work per trigger.
+    The sketch after any prefix of batches equals the batch-built sketch
+    of the same rows (associativity), which is exactly what the test
+    asserts. Rewriting a KiB-sized table per trigger is the cheap path;
+    contrast foreach_batch_mor where the table is large and the delta
+    log does the deferral."""
+    from job_etl_spark.operators.cms import build_cms, merge_cms
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        sk = build_cms(batch_df, key_col, depth, width)
+        if store.exists(table):
+            sk = merge_cms(store.read(table), sk)
+        store.rewrite(table, sk) if store.exists(table) else store.write(table, sk)
+
+    return _merge

@@ -425,3 +425,40 @@ def test_stream_mor_upsert_matches_batch_merge(spark, tmp_path):
     store.mor_compact("t")
     got3 = sorted((r["k"], r["v"], r["seen"]) for r in store.mor_read("t").collect())
     assert got3 == got2 and store.mor_deltas("t") == []
+
+
+def test_stream_cms_equals_batch_sketch(spark, tmp_path):
+    """foreachBatch CMS merging: after streaming N files one per trigger,
+    the persisted sketch equals a single batch build over all rows."""
+    import os
+
+    from job_etl_spark.operators.cms import build_cms
+    from job_etl_spark.pipeline.runner import TableStore
+    from job_etl_spark.streaming.pipeline import foreach_batch_cms
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    rows1 = [(f"u{i % 7}",) for i in range(40)]
+    rows2 = [(f"u{i % 11}",) for i in range(60)]
+    spark.createDataFrame(rows1, "uid string").coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(rows2, "uid string").coalesce(1).write.parquet(str(src / "f2"))
+
+    store = TableStore(spark, str(tmp_path / "tables"))
+    stream = (
+        spark.readStream.schema("uid string").option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_cms(store, "sk", "uid"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {(r["depth"], r["cell"]): r["n"] for r in store.read("sk").collect()}
+    full = build_cms(
+        spark.createDataFrame(rows1 + rows2, "uid string"), "uid"
+    )
+    want = {(r["depth"], r["cell"]): r["n"] for r in full.collect()}
+    assert streamed == want
