@@ -113,6 +113,7 @@ HEADLINE = [
     "q103_incremental_neardup",
     "q104_topk_bounds",
     "q105_windowed_distinct",
+    "q106_equidepth_bins",
 ]
 
 

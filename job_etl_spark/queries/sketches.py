@@ -867,3 +867,73 @@ FROM exact x JOIN est s USING (window_id)
 
 
 QUERIES["q105_windowed_distinct"] = Query(q105_windowed_distinct, _q105_sql())
+
+
+# ---------------------------------------------------------------------------
+# q106 — equi-depth binning from sketch boundaries (feature binning at
+# scale): per-priority price quartile edges come from the mergeable
+# histogram sketch (operators/sketch.py — deterministic read-off, unlike
+# approx_percentile), broadcast back, and every order lands in its
+# quartile bucket — two passes total, the second map-only. The exact
+# version (q43's percentile_disc) needs a full sort per group; this is
+# what replaces it at 100 TB, and the sketch is the same artifact an
+# incremental pipeline would maintain by merge.
+# ---------------------------------------------------------------------------
+_Q106_LO, _Q106_HI, _Q106_BINS = 0.0, 1_000_000.0, 200
+
+
+def q106_equidepth_bins(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.operators.sketch import histogram_sketch, sketch_quantiles
+
+    o = parallel_table(spark, sf, "orders").select("o_orderpriority", "o_totalprice")
+    sk = histogram_sketch(
+        o, "o_totalprice", ["o_orderpriority"], _Q106_LO, _Q106_HI, _Q106_BINS
+    )
+    qs = sketch_quantiles(
+        sk,
+        ["o_orderpriority"],
+        {"p25": 0.25, "p50": 0.5, "p75": 0.75},
+        _Q106_LO,
+        _Q106_HI,
+        _Q106_BINS,
+    )
+    j = o.join(F.broadcast(qs), "o_orderpriority")
+    bucket = (
+        F.when(F.col("o_totalprice") <= F.col("p25"), 1)
+        .when(F.col("o_totalprice") <= F.col("p50"), 2)
+        .when(F.col("o_totalprice") <= F.col("p75"), 3)
+        .otherwise(4)
+    )
+    return j.groupBy("o_orderpriority", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_price"),
+    )
+
+
+def _q106_sql() -> str:
+    from job_etl_spark.operators.sketch import sql_sketch_quantiles
+
+    inner = sql_sketch_quantiles(
+        "orders",
+        "o_totalprice",
+        ["o_orderpriority"],
+        {"p25": 0.25, "p50": 0.5, "p75": 0.75},
+        _Q106_LO,
+        _Q106_HI,
+        _Q106_BINS,
+    )
+    return f"""
+WITH qs AS ({inner})
+SELECT o.o_orderpriority,
+  CASE WHEN o.o_totalprice <= q.p25 THEN 1
+       WHEN o.o_totalprice <= q.p50 THEN 2
+       WHEN o.o_totalprice <= q.p75 THEN 3
+       ELSE 4 END AS bucket,
+  COUNT(*) AS n_orders,
+  {sql_dsum("o.o_totalprice")} AS sum_price
+FROM orders o JOIN qs q USING (o_orderpriority)
+GROUP BY 1, 2
+"""
+
+
+QUERIES["q106_equidepth_bins"] = Query(q106_equidepth_bins, _q106_sql())
