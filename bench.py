@@ -114,6 +114,8 @@ HEADLINE = [
     "q104_topk_bounds",
     "q105_windowed_distinct",
     "q106_equidepth_bins",
+    "q107_weighted_sample",
+    "q108_group_ols",
 ]
 
 

@@ -937,3 +937,132 @@ GROUP BY 1, 2
 
 
 QUERIES["q106_equidepth_bins"] = Query(q106_equidepth_bins, _q106_sql())
+
+
+# ---------------------------------------------------------------------------
+# q107 — deterministic weighted sampling (ordered / sequential-Poisson,
+# Ohlsson): priority = hash/weight, take the k smallest per group —
+# inclusion probability ∝ weight (here: token count, so long documents
+# are proportionally favored — the corpus-subsampling step before
+# expensive stages like BPE training). Same RNG-free guarantees as q100;
+# per-row double division is IEEE-deterministic so the oracle matches
+# exactly. Salted two-phase top-k as everywhere.
+# ---------------------------------------------------------------------------
+_Q107_K = 8
+
+
+def q107_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.functions.chunking import tokens_expr
+    from job_etl_spark.ml.dedup import hexint
+
+    docs = (
+        parallel_table(spark, sf, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id", "lang",
+            F.size(tokens_expr("text")).cast("bigint").alias("w"),
+        )
+        .where(F.col("w") > 0)
+    )
+    pri = (
+        hexint(F.concat(F.lit("wsamp|"), F.col("doc_id").cast("string"))).cast("double")
+        / F.col("w").cast("double")
+    )
+    keyed = docs.withColumn("_pri", pri)
+    w1 = Window.partitionBy("lang", F.col("doc_id") % 64).orderBy("_pri", "doc_id")
+    cand = (
+        keyed.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= _Q107_K)
+        .drop("_rn")
+    )
+    w2 = Window.partitionBy("lang").orderBy("_pri", "doc_id")
+    picked = (
+        cand.withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= _Q107_K)
+    )
+    return picked.groupBy("lang").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("sampled_ids"),
+        F.sum("w").alias("sampled_tokens"),
+    )
+
+
+def _q107_sql() -> str:
+    h = _SQL_HEXINT.format(expr="'wsamp|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang,
+    CAST(len({_SQL_TOKENS}) AS BIGINT) AS w
+  FROM documents WHERE text IS NOT NULL
+), p AS (
+  SELECT doc_id, lang, w,
+    CAST({h} AS DOUBLE) / CAST(w AS DOUBLE) AS pri
+  FROM d WHERE w > 0
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rn FROM p
+)
+SELECT lang, list_sort(list(doc_id)) AS sampled_ids, SUM(w) AS sampled_tokens
+FROM r WHERE rn <= {_Q107_K} GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# q108 — grouped closed-form OLS (regression as an aggregate): per
+# language, regress quality-relevant y = punctuation count on x = doc
+# length from the five sufficient statistics (n, Σx, Σy, Σxy, Σx²) — ONE
+# partial+final hash agg; a 100 TB corpus reduces to 5 numbers per group
+# and the slope/intercept/R² fall out in a post-agg projection. The
+# aggregate-as-ML shape (same family as q87's moment matrix). Integer
+# sums ⇒ exact parity; final ratios dround'ed.
+# ---------------------------------------------------------------------------
+def q108_group_ols(spark: SparkSession, sf: str) -> DataFrame:
+    docs = parallel_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    x = F.col("n_chars").cast("bigint")
+    y = F.length(F.regexp_replace(F.lower("text"), r"[a-z0-9\s]", "")).cast("bigint")
+    proj = docs.select("lang", x.alias("x"), y.alias("y"))
+    s = proj.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / n
+    # degenerate groups (zero variance) → NULL, identically in both
+    # engines (ANSI Spark would throw, DuckDB would return inf)
+    slope = cov / F.nullif(varx, F.lit(0))
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    r2 = (cov * cov) / F.nullif(varx * vary, F.lit(0))
+    return s.select(
+        "lang", "n",
+        dround(slope, 6).alias("slope"),
+        dround(intercept, 6).alias("intercept"),
+        dround(r2, 6).alias("r2"),
+    )
+
+
+_Q108_SQL = f"""
+WITH p AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS x,
+    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS BIGINT) AS y
+  FROM documents WHERE text IS NOT NULL
+), s AS (
+  SELECT lang, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM p GROUP BY lang
+)
+SELECT lang, n,
+  {sql_dround("(sxy - sx * sy / CAST(n AS DOUBLE)) / NULLIF(sxx - sx * sx / CAST(n AS DOUBLE), 0)", 6)} AS slope,
+  {sql_dround("(sy - ((sxy - sx * sy / CAST(n AS DOUBLE)) / NULLIF(sxx - sx * sx / CAST(n AS DOUBLE), 0)) * sx) / CAST(n AS DOUBLE)", 6)} AS intercept,
+  {sql_dround(
+      "((sxy - sx * sy / CAST(n AS DOUBLE)) * (sxy - sx * sy / CAST(n AS DOUBLE)))"
+      " / NULLIF((sxx - sx * sx / CAST(n AS DOUBLE)) * (syy - sy * sy / CAST(n AS DOUBLE)), 0)", 6)} AS r2
+FROM s
+"""
+
+
+QUERIES["q107_weighted_sample"] = Query(q107_weighted_sample, _q107_sql())
+QUERIES["q108_group_ols"] = Query(q108_group_ols, _Q108_SQL)
