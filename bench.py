@@ -116,6 +116,7 @@ HEADLINE = [
     "q106_equidepth_bins",
     "q107_weighted_sample",
     "q108_group_ols",
+    "q109_zscore_outliers",
 ]
 
 

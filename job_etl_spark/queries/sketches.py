@@ -1066,3 +1066,64 @@ FROM s
 
 QUERIES["q107_weighted_sample"] = Query(q107_weighted_sample, _q107_sql())
 QUERIES["q108_group_ols"] = Query(q108_group_ols, _Q108_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q109 — grouped z-score outlier detection (the DQ anomaly gate): per
+# event type, mean/σ of the value column from one decimal-exact agg
+# broadcast back; events with |z| > 3 are flagged and summarized. Same
+# two-pass broadcast-stats shape as q83/q106 — a 100 TB fact table
+# reduces to G stat rows, the second pass is map-only. Per-row z is IEEE
+# double (sqrt included), so the oracle matches bit-for-bit.
+# ---------------------------------------------------------------------------
+def q109_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    ev = parallel_table(spark, sf, "events").select("event_type", "value")
+    s = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(F.col("value").cast("decimal(30,6)")).alias("_s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(30,6)")).alias("_ss"),
+    )
+    n = F.col("n").cast("double")
+    mean = (F.col("_s").cast("double")) / n
+    var = (F.col("_ss").cast("double")) / n - mean * mean
+    stats = s.select(
+        "event_type", "n", mean.alias("_mean"), F.sqrt(var).alias("_sd")
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    z = (F.col("value") - F.col("_mean")) / F.nullif(F.col("_sd"), F.lit(0))
+    flagged = j.select("event_type", "value", z.alias("z")).where(
+        F.abs(F.col("z")) > 3
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_outliers"),
+        dround(F.min("z"), 6).alias("min_z"),
+        dround(F.max("z"), 6).alias("max_z"),
+        dround(F.max(F.abs(F.col("value"))), 2).alias("max_abs_value"),
+    )
+
+
+_Q109_SQL = f"""
+WITH s AS (
+  SELECT event_type, COUNT(value) AS n,
+    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sv,
+    CAST(SUM(CAST(value * value AS DECIMAL(30,6))) AS DOUBLE) AS svv
+  FROM events GROUP BY event_type
+), st AS (
+  SELECT event_type, n,
+    sv / CAST(n AS DOUBLE) AS mean,
+    sqrt(svv / CAST(n AS DOUBLE) - (sv / CAST(n AS DOUBLE)) * (sv / CAST(n AS DOUBLE))) AS sd
+  FROM s
+), z AS (
+  SELECT e.event_type, e.value,
+    (e.value - st.mean) / NULLIF(st.sd, 0) AS z
+  FROM events e JOIN st USING (event_type)
+)
+SELECT event_type, COUNT(*) AS n_outliers,
+  {sql_dround("MIN(z)", 6)} AS min_z,
+  {sql_dround("MAX(z)", 6)} AS max_z,
+  {sql_dround("MAX(abs(value))", 2)} AS max_abs_value
+FROM z WHERE abs(z) > 3 GROUP BY event_type
+"""
+
+
+QUERIES["q109_zscore_outliers"] = Query(q109_zscore_outliers, _Q109_SQL)
