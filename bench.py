@@ -117,6 +117,7 @@ HEADLINE = [
     "q107_weighted_sample",
     "q108_group_ols",
     "q109_zscore_outliers",
+    "q110_kmeans_step",
 ]
 
 

@@ -1127,3 +1127,77 @@ FROM z WHERE abs(z) > 3 GROUP BY event_type
 
 
 QUERIES["q109_zscore_outliers"] = Query(q109_zscore_outliers, _Q109_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q110 — k-means refinement step (Lloyd iteration) over embeddings: the
+# training loop behind q48's IVF codebook. Deterministic init (the 8
+# smallest-id vectors, q48's rule), shuffle-free nearest-centroid
+# assignment (ml/ann.assign_centroid — one looped transform), then ONE
+# hash agg recomputes every centroid as decimal-exact per-dimension
+# means. Each Lloyd step is exactly one shuffle; iterate by re-running —
+# at corpus scale that's the whole cost model of k-means. Output: per
+# centroid, member count + refined first-4-dim means.
+# ---------------------------------------------------------------------------
+_Q110_C = 8
+_Q110_OUT_DIMS = 4
+
+
+def q110_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.ml.ann import assign_centroid
+
+    emb = parallel_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    cents = [
+        (r["_cid"], r["_cvec"])
+        for r in emb.select(F.col("vec_id").alias("_cid"), F.col("vec").alias("_cvec"))
+        .orderBy("_cid")
+        .limit(_Q110_C)
+        .collect()
+    ]
+    assigned = emb.withColumn("centroid_id", assign_centroid(F.col("vec"), cents))
+    aggs = [F.count(F.lit(1)).alias("n_members")]
+    for d in range(_Q110_OUT_DIMS):
+        aggs.append(
+            F.round(
+                F.sum(F.element_at("vec", d + 1).cast("decimal(30,12)"))
+                / F.count(F.lit(1)),
+                6,
+            )
+            .cast("double")
+            .alias(f"mean_{d}")
+        )
+    return assigned.groupBy("centroid_id").agg(*aggs)
+
+
+def _q110_sql() -> str:
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    means = ",\n  ".join(
+        f"CAST(ROUND(SUM(CAST(vec[{d + 1}] AS DECIMAL(30,12))) / COUNT(*), 6) AS DOUBLE)"
+        f" AS mean_{d}"
+        for d in range(_Q110_OUT_DIMS)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings
+), c AS (
+  SELECT vec_id AS c_id, vec AS c_vec FROM e ORDER BY vec_id LIMIT {_Q110_C}
+), asg AS (
+  SELECT vec_id, vec, c_id AS centroid_id FROM (
+    SELECT e.vec_id, e.vec, c.c_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {cos.format(a='e.vec', b='c.c_vec')} DESC, c.c_id ASC) AS arn
+    FROM e CROSS JOIN c) t
+  WHERE arn = 1
+)
+SELECT centroid_id, COUNT(*) AS n_members,
+  {means}
+FROM asg GROUP BY centroid_id
+"""
+
+
+QUERIES["q110_kmeans_step"] = Query(q110_kmeans_step, _q110_sql())
