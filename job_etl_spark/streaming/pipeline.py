@@ -223,3 +223,23 @@ def foreach_batch_cms(
         store.rewrite(table, sk) if store.exists(table) else store.write(table, sk)
 
     return _merge
+
+
+def foreach_batch_kmv(
+    store, table: str, key_col: str, group_col: str, k: int = 64
+):
+    """Streaming distinct-count sketch: each micro-batch's per-group KMV
+    sketch merges into a persisted ≤ groups·k-row table (union, re-take
+    the k smallest — the KMV merge algebra), so a stream maintains
+    deterministic distinct-cardinality state with O(batch) work per
+    trigger. Read the estimate any time via
+    ``operators.sketch.kmv_estimate(store.read(table), [group_col], k)``."""
+    from job_etl_spark.operators.sketch import kmv_sketch, merge_kmv
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        sk = kmv_sketch(batch_df, key_col, [group_col], k=k)
+        if store.exists(table):
+            sk = merge_kmv([group_col], k, store.read(table), sk)
+        store.rewrite(table, sk) if store.exists(table) else store.write(table, sk)
+
+    return _merge

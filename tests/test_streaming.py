@@ -462,3 +462,41 @@ def test_stream_cms_equals_batch_sketch(spark, tmp_path):
     )
     want = {(r["depth"], r["cell"]): r["n"] for r in full.collect()}
     assert streamed == want
+
+
+def test_stream_kmv_equals_batch_sketch(spark, tmp_path):
+    """foreachBatch KMV merging: after N per-file triggers the persisted
+    sketch equals a single batch build, hence identical estimates."""
+    import os
+
+    from job_etl_spark.operators.sketch import kmv_sketch
+    from job_etl_spark.pipeline.runner import TableStore
+    from job_etl_spark.streaming.pipeline import foreach_batch_kmv
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    rows1 = [("a", f"u{i}") for i in range(30)]
+    rows2 = [("a", f"u{i + 15}") for i in range(30)] + [("b", f"v{i}") for i in range(5)]
+    spark.createDataFrame(rows1, "g string, uid string").coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    spark.createDataFrame(rows2, "g string, uid string").coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    store = TableStore(spark, str(tmp_path / "tables"))
+    stream = (
+        spark.readStream.schema("g string, uid string")
+        .option("maxFilesPerTrigger", 1).parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_kmv(store, "sk", "uid", "g", k=16))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted((r["g"], r["h"]) for r in store.read("sk").collect())
+    full = kmv_sketch(
+        spark.createDataFrame(rows1 + rows2, "g string, uid string"), "uid", ["g"], k=16
+    )
+    assert streamed == sorted((r["g"], r["h"]) for r in full.collect())
