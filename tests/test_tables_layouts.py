@@ -80,3 +80,20 @@ def test_events_watermark_pushes_down(spark, tmp_path, unit):
     )
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert pushed and "PushedFilters: []" not in pushed[0]
+
+
+def test_events_loader_is_repeat_idempotent(spark):
+    """The events loader mutates spark.sql.legacy.parquet.nanosAsLong when
+    it meets the nanos layout; a second load in the SAME session — and a
+    load of a NON-events table after it — must still be correct (the
+    driver runs many queries through one session)."""
+    from job_etl_spark.tables import table
+
+    a = table(spark, "/root/testdata/sf0.001", "events")
+    n1 = a.count()
+    b = table(spark, "/root/testdata/sf0.001", "events")
+    assert b.count() == n1
+    assert [f.name for f in a.schema.fields] == [f.name for f in b.schema.fields]
+    # interleave another table: conf leakage would break its timestamp read
+    o = table(spark, "/root/testdata/sf0.001", "orders")
+    assert o.count() > 0 and dict(o.dtypes)["o_orderdate"].startswith("timestamp")
