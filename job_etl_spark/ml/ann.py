@@ -166,7 +166,18 @@ def assign_centroid(
         F.transform(
             book,
             lambda c: F.struct(
-                (_dot(vec, c["v"]) / (na * c["nb"])).alias("s"),
+                # a zero (or underflowed) vector yields x/0 — ANSI Spark
+                # throws, and a NaN would sort ABOVE every real cosine and
+                # win every assignment where SQL engines' NULL loses.
+                # try_divide → NULL, then NULL/NaN → −2 (< any cosine ≥ −1):
+                # degenerate centroids never win in either engine, ties
+                # still break to the smallest id.
+                F.coalesce(
+                    F.nanvl(
+                        F.try_divide(_dot(vec, c["v"]), na * c["nb"]), F.lit(-2.0)
+                    ),
+                    F.lit(-2.0),
+                ).alias("s"),
                 (-c["i"]).alias("n"),
             ),
         )

@@ -56,7 +56,10 @@ def learn_merges(corpus: DataFrame, rounds: int) -> list[tuple[int, str, int]]:
         pair, n_occ = top[0]["pair"], int(top[0]["n"])
         merged = pair.replace(" ", "+")
         steps.append((step, merged, n_occ))
-        corpus = apply_merge(corpus, pair)
+        # truncate lineage: without this, round r replays all r prior
+        # rewrites over the source — O(R²) corpus passes and an R-deep
+        # plan; checkpointing keeps it at one pass per round
+        corpus = apply_merge(corpus, pair).localCheckpoint()
     return steps
 
 

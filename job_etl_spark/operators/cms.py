@@ -71,12 +71,16 @@ def probe_cms(
 ) -> DataFrame:
     """Point-query every row of ``keys``: adds an ``est`` column =
     min over the D probed counters (0 if a counter row is absent —
-    an untouched counter means the key was never seen)."""
-    probed = keys.select(
-        "*", F.explode(cms_cells(F.col(key_col), depth, width)).alias("h")
-    ).select("*", F.col("h.depth").alias("depth"), F.col("h.cell").alias("cell"))
-    joined = probed.join(F.broadcast(sketch), ["depth", "cell"], "left")
-    return (
-        joined.groupBy(*keys.columns)
+    an untouched counter means the key was never seen). Row-preserving:
+    the fan-out/fan-in is keyed on a per-row id, so duplicate key rows
+    come back one-for-one and unorderable columns (maps) pass through."""
+    with_id = keys.withColumn("_rid", F.monotonically_increasing_id())
+    probed = with_id.select(
+        "_rid", key_col, F.explode(cms_cells(F.col(key_col), depth, width)).alias("h")
+    ).select("_rid", F.col("h.depth").alias("depth"), F.col("h.cell").alias("cell"))
+    est = (
+        probed.join(F.broadcast(sketch), ["depth", "cell"], "left")
+        .groupBy("_rid")
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est"))
     )
+    return with_id.join(est, "_rid").drop("_rid")

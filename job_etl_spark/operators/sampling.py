@@ -37,7 +37,13 @@ def deterministic_group_sample(
 ) -> DataFrame:
     """k rows per group, chosen by smallest md5(seed|key) — uniform,
     deterministic, skew-immune. Adds a ``sample_rank`` column (1..k by
-    hash order)."""
+    hash order).
+
+    PRECONDITION: ``key_col`` must be unique per row (a primary key).
+    Rows sharing a key share a hash, the ordering ties, and which
+    physical row wins rank becomes partition-dependent — exactly the
+    nondeterminism this operator exists to rule out. Dedup or add a
+    discriminator to the key first."""
     h = hexint(F.concat(F.lit(f"{seed}|"), F.col(key_col).cast("string")))
     hashed = df.withColumn("_h", h)
     w1 = Window.partitionBy(*group_cols, F.col("_h") % salt_buckets).orderBy(

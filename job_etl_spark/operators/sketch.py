@@ -180,9 +180,14 @@ def kmv_sketch(
     identical."""
     from job_etl_spark.ml.dedup import hexint
 
-    hashed = df.select(
-        *group_cols, hexint(F.col(key_col).cast("string")).alias("h")
-    ).distinct()
+    hashed = (
+        df.select(*group_cols, hexint(F.col(key_col).cast("string")).alias("h"))
+        # a NULL key hashes to NULL; Spark's ASC NULLS FIRST would hand it
+        # rank 1 (stealing a slot and inflating n_kept) while SQL engines
+        # sort it last — NULL keys are simply not domain elements
+        .where(F.col("h").isNotNull())
+        .distinct()
+    )
     w1 = Window.partitionBy(*group_cols, F.col("h") % salt_buckets).orderBy("h")
     cand = (
         hashed.withColumn("_rn", F.row_number().over(w1))

@@ -252,9 +252,16 @@ class TableStore:
             return json.load(f)
 
     def mor_init(self, name: str, df: DataFrame, keys: Sequence[str]) -> None:
-        """Write the base and record the key columns."""
+        """Write the base and record the key columns. An initial batch may
+        carry the ``_deleted`` tombstone column (a CDC feed's first batch
+        often does): deleted rows are dropped and the marker stripped —
+        the base stores only live rows in the user schema."""
         import json
 
+        if "_deleted" in df.columns:
+            df = df.where(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(
+                "_deleted"
+            )
         df.write.mode("overwrite").parquet(self._mor_dir(name, "base"))
         os.makedirs(self._mor_dir(name, "delta"), exist_ok=True)
         tmp = self._mor_dir(name, "_META.tmp")

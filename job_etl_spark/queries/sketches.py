@@ -695,8 +695,10 @@ QUERIES["q103_incremental_neardup"] = Query(q103_incremental_neardup, _q103_sql(
 # case), each shard reports its local top-m counts plus its threshold
 # τ_s = m-th local count. For any key missing from shard s's report its
 # count there is ≤ τ_s, so every candidate gets [lb = Σ reported,
-# ub = Σ reported-or-τ_s]; a candidate is GUARANTEED top-k when its lb
-# beats the k-th largest lb. One pass per shard + a bounded (≤ S·m rows)
+# ub = Σ reported-or-τ_s]; a candidate is GUARANTEED top-k when fewer
+# than k rivals have an ub above its lb (comparing lb against the k-th
+# largest lb does NOT guarantee membership — a low-lb/high-ub rival may
+# overtake). One pass per shard + a bounded (≤ S·m rows)
 # reconciliation — the comm-efficient federated top-k, vs shipping every
 # per-shard count. Exact counts joined in to witness the bounds.
 # ---------------------------------------------------------------------------
@@ -729,21 +731,26 @@ def q104_topk_bounds(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.coalesce(F.col("n"), F.lit(0))).alias("lb"),
         F.sum(F.coalesce(F.col("n"), F.col("tau"))).alias("ub"),
     )
-    # k-th largest lb among the ≤ S·m candidates: TakeOrdered top-k then
-    # a 1-row MIN — no partition-less rank window, broadcast back
-    kth = (
-        bounds.orderBy(F.desc("lb"), F.asc("user_id"))
-        .limit(_TPUT_K)
-        .agg(F.min("lb").alias("_kth_lb"))
+    # TPUT guarantee: x is certainly in the true top-k iff fewer than k
+    # OTHER candidates could still beat it — #{y≠x : ub_y > lb_x} < k.
+    # (Comparing lb against the k-th largest lb does NOT guarantee
+    # membership: a candidate with a small lb but large ub may overtake.)
+    # The candidate set is bounded (≤ S·m rows), so the non-equi
+    # self-comparison is a broadcast of ≤ S·m ubs.
+    ubs = bounds.select(
+        F.col("user_id").alias("_uid2"), F.col("ub").alias("_ub2")
+    )
+    flagged = (
+        bounds.join(F.broadcast(ubs), F.col("_ub2") > F.col("lb"), "left")
+        .groupBy("user_id", "lb", "ub")
+        .agg(
+            F.count(F.when(F.col("_uid2") != F.col("user_id"), 1)).alias("_n_above")
+        )
     )
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
-    return (
-        bounds.crossJoin(F.broadcast(kth))
-        .join(exact, "user_id")
-        .select(
-            "user_id", "lb", "ub", "exact_n",
-            (F.col("lb") >= F.col("_kth_lb")).alias("guaranteed"),
-        )
+    return flagged.join(exact, "user_id").select(
+        "user_id", "lb", "ub", "exact_n",
+        (F.col("_n_above") < _TPUT_K).alias("guaranteed"),
     )
 
 
@@ -771,15 +778,16 @@ WITH ev AS (
   FROM cand c CROSS JOIN tau t
   LEFT JOIN kept k ON k.shard = t.shard AND k.user_id = c.user_id
   GROUP BY c.user_id
-), ranked AS (
-  SELECT *, row_number() OVER (ORDER BY lb DESC, user_id ASC) AS rk FROM bounds
-), kth AS (
-  SELECT lb AS kth_lb FROM ranked WHERE rk = {_TPUT_K}
+), flagged AS (
+  SELECT b.user_id, b.lb, b.ub,
+    COUNT(CASE WHEN o.user_id <> b.user_id THEN 1 END) AS n_above
+  FROM bounds b LEFT JOIN bounds o ON o.ub > b.lb
+  GROUP BY b.user_id, b.lb, b.ub
 ), exact AS (
   SELECT user_id, COUNT(*) AS exact_n FROM ev GROUP BY user_id
 )
-SELECT r.user_id, r.lb, r.ub, e.exact_n, (r.lb >= (SELECT kth_lb FROM kth)) AS guaranteed
-FROM ranked r JOIN exact e USING (user_id)
+SELECT f.user_id, f.lb, f.ub, e.exact_n, (f.n_above < {_TPUT_K}) AS guaranteed
+FROM flagged f JOIN exact e USING (user_id)
 """
 
 
@@ -1085,7 +1093,12 @@ def q109_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
     )
     n = F.col("n").cast("double")
     mean = (F.col("_s").cast("double")) / n
-    var = (F.col("_ss").cast("double")) / n - mean * mean
+    # clamp at 0: svv/n − mean² can round to −ε for near-constant groups,
+    # where Spark's sqrt would yield NaN (and NaN>3 is TRUE) while SQL
+    # engines abort on sqrt(negative) — clamping keeps both at σ=0 → NULL z
+    var = F.greatest(
+        F.lit(0.0), (F.col("_ss").cast("double")) / n - mean * mean
+    )
     stats = s.select(
         "event_type", "n", mean.alias("_mean"), F.sqrt(var).alias("_sd")
     )
@@ -1111,7 +1124,8 @@ WITH s AS (
 ), st AS (
   SELECT event_type, n,
     sv / CAST(n AS DOUBLE) AS mean,
-    sqrt(svv / CAST(n AS DOUBLE) - (sv / CAST(n AS DOUBLE)) * (sv / CAST(n AS DOUBLE))) AS sd
+    sqrt(GREATEST(0.0, svv / CAST(n AS DOUBLE)
+      - (sv / CAST(n AS DOUBLE)) * (sv / CAST(n AS DOUBLE)))) AS sd
   FROM s
 ), z AS (
   SELECT e.event_type, e.value,

@@ -16,6 +16,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _dedup_latest(batch_df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Collapse duplicate keys WITHIN one micro-batch to a single row:
+    winner per key = greatest struct over the non-key orderable columns
+    (deterministic across retries; include a monotonic column like
+    last_seen_at among them to make it time-correct). Shared by every
+    upserting sink — the batch is a statement, not a log."""
+    from pyspark.sql import Window
+
+    dtypes = dict(batch_df.dtypes)
+    order = [
+        c for c in batch_df.columns if c not in keys and not dtypes[c].startswith("map")
+    ]
+    if not order:
+        return batch_df.dropDuplicates(list(keys))
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc_nulls_last() for c in order]
+    )
+    return (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def stream_from_directory(
     spark: SparkSession, path: str, schema, fmt: str = "parquet"
 ) -> DataFrame:
@@ -103,36 +127,13 @@ def foreach_batch_merge(
     idempotent: merging the same rows twice is a no-op.
 
     Duplicate keys WITHIN one micro-batch (two files landing in one
-    trigger) are collapsed first — merge_upsert's full-outer join
-    requires unique update keys, and the raw batch would otherwise be
-    written verbatim as the initial table. Winner per key: greatest
-    struct over the non-key orderable columns (deterministic across
-    retries; pass a monotonic column in ``overwrite_cols`` like
-    last_seen_at to make it time-correct)."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
+    trigger) are collapsed first (``_dedup_latest``) — merge_upsert's
+    full-outer join requires unique update keys, and the raw batch would
+    otherwise be written verbatim as the initial table."""
     from job_etl_spark.operators.merge import merge_upsert
 
-    def _dedup(batch_df: DataFrame) -> DataFrame:
-        dtypes = dict(batch_df.dtypes)
-        order = [
-            c for c in batch_df.columns
-            if c not in keys and not dtypes[c].startswith("map")
-        ]
-        if not order:
-            return batch_df.dropDuplicates(list(keys))
-        w = Window.partitionBy(*keys).orderBy(
-            *[F.col(c).desc_nulls_last() for c in order]
-        )
-        return (
-            batch_df.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = _dedup(batch_df)
+        batch_df = _dedup_latest(batch_df, keys)
         base = store.read(table, schema) if (store.exists(table) or schema) else None
         if base is None:
             store.write(table, batch_df)
@@ -158,37 +159,17 @@ def foreach_batch_mor(
     instead of read-modify-rewriting the whole table — the difference
     between O(batch) and O(table) amplification per trigger at 100 TB.
 
-    Within-batch duplicate keys collapse to the greatest non-key struct
-    first (same deterministic rule as ``foreach_batch_merge``). A
-    replayed batch appends a delta with identical rows — latest-wins
-    makes the merged view idempotent. ``compact_every`` > 0 folds the
-    delta log into the base every N batches, bounding read-side fan-in;
-    the fold is the same atomic-swap rewrite, so concurrent readers see
-    either view (both identical)."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    def _dedup(batch_df: DataFrame) -> DataFrame:
-        dtypes = dict(batch_df.dtypes)
-        order = [
-            c for c in batch_df.columns
-            if c not in keys and not dtypes[c].startswith("map")
-        ]
-        if not order:
-            return batch_df.dropDuplicates(list(keys))
-        w = Window.partitionBy(*keys).orderBy(
-            *[F.col(c).desc_nulls_last() for c in order]
-        )
-        return (
-            batch_df.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-
+    Within-batch duplicate keys collapse via ``_dedup_latest`` (the rule
+    shared with ``foreach_batch_merge``). A replayed batch appends a
+    delta with identical rows — latest-wins makes the merged view
+    idempotent. ``compact_every`` > 0 folds the delta log into the base
+    every N batches, bounding read-side fan-in; the fold is the same
+    atomic-swap rewrite, so concurrent readers see either view (both
+    identical)."""
     state = {"batches": 0}
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = _dedup(batch_df)
+        batch_df = _dedup_latest(batch_df, keys)
         try:
             store._mor_meta(table)
         except FileNotFoundError:

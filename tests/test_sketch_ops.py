@@ -158,3 +158,52 @@ def test_bpe_greedy_merge_semantics(spark):
     # round 2 candidates each count 1: 'a+a a', 'a+b a+b', 'a+b c' — tie
     # breaks on pair text ascending
     assert steps3[2] == (2, "a+a+a", 1)
+
+
+def test_probe_cms_preserves_duplicate_key_rows(spark):
+    ev = _events(spark)
+    sk = build_cms(ev, "uid")
+    dup = spark.createDataFrame([("1", "a"), ("1", "b"), ("2", "c")], "uid string, tag string")
+    out = probe_cms(sk, dup, "uid").collect()
+    assert len(out) == 3 and {r["tag"] for r in out} == {"a", "b", "c"}
+    ests = {r["tag"]: r["est"] for r in out}
+    assert ests["a"] == ests["b"]  # same key, same estimate
+
+
+def test_kmv_sketch_ignores_null_keys(spark):
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", "b"), ("g", None), ("g", "c")], "g string, k string"
+    )
+    sk = kmv_sketch(df, "k", ["g"], k=10)
+    rows = sk.collect()
+    assert len(rows) == 3 and all(r["h"] is not None for r in rows)
+    [est] = kmv_estimate(sk, ["g"], k=10).collect()
+    assert est["n_kept"] == 3 and est["est_distinct"] == 3.0
+
+
+def test_assign_centroid_zero_vector_never_wins(spark):
+    from job_etl_spark.ml.ann import assign_centroid
+
+    cents = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame([([0.9, 0.1],), ([0.1, 0.9],)], "vec array<double>")
+    got = [r["c"] for r in df.select(assign_centroid(F.col("vec"), cents).alias("c")).collect()]
+    # the zero centroid's cosine is NaN -> mapped below any real cosine;
+    # assignments go to the true nearest non-degenerate centroids
+    assert got == [1, 2]
+
+
+def test_mor_init_strips_tombstones(spark, tmp_path):
+    from job_etl_spark.pipeline.runner import TableStore
+
+    st = TableStore(spark, str(tmp_path))
+    first = spark.createDataFrame(
+        [(1, "a", False), (2, "b", True), (3, "c", False)],
+        "k int, v string, _deleted boolean",
+    )
+    st.mor_init("t", first, ["k"])
+    rows = sorted((r["k"], r["v"]) for r in st.mor_read("t").collect())
+    assert rows == [(1, "a"), (3, "c")]
+    # and later reads with deltas still work (schema has no _deleted)
+    st.mor_upsert("t", spark.createDataFrame([(4, "d")], "k int, v string"))
+    rows2 = sorted((r["k"], r["v"]) for r in st.mor_read("t").collect())
+    assert rows2 == [(1, "a"), (3, "c"), (4, "d")]
