@@ -147,3 +147,66 @@ class TestPiiScrub:
         )
         red = df.select(redact_pii(F.col("t")).alias("r")).collect()[0]["r"]
         assert red == "<EMAIL> <IP> <SSN> <PHONE> end"
+
+
+class TestAnnRecall:
+    """The approximate ANN paths must be APPROXIMATELY RIGHT, not just
+    oracle-consistent: measure recall of the bucketed paths against the
+    exact brute-force top-k on the real embeddings table."""
+
+    def _truth(self, spark, k):
+        from pyspark.sql import functions as F
+
+        from job_etl_spark.ml.ann import brute_force_topk
+        from job_etl_spark.tables import table
+
+        emb = table(spark, SF_SMOKE, "embeddings").select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+        )
+        q = emb.where(F.col("vec_id") < 10)
+        exact = brute_force_topk(emb, q, k=k)
+        truth: dict = {}
+        for r in exact.collect():
+            truth.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+        return emb, truth
+
+    def test_ivf_recall_against_brute_force(self, spark):
+        from pyspark.sql import functions as F
+
+        from job_etl_spark.ml.ann import ivf_topk
+
+        emb, truth = self._truth(spark, k=5)
+        approx = ivf_topk(emb, F.col("vec_id") < 10, k=5, n_centroids=16, nprobe=4)
+        got: dict = {}
+        for r in approx.collect():
+            got.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        total = sum(len(t) for t in truth.values())
+        assert hits / total >= 0.5, f"IVF recall {hits}/{total}"
+
+    def test_lsh_candidates_rank_consistently(self, spark):
+        from pyspark.sql import functions as F
+
+        from job_etl_spark.ml.ann import lsh_bucketed_topk
+
+        emb, truth = self._truth(spark, k=3)
+        approx = lsh_bucketed_topk(emb, F.col("vec_id") < 10, k=3, n_planes=4)
+        # LSH only returns same-bucket candidates; every returned neighbor's
+        # similarity rank must be consistent (rn 1..k, no duplicates per query)
+        per_q: dict = {}
+        for r in approx.collect():
+            per_q.setdefault(r["q_id"], []).append((r["rn"], r["neighbor_id"]))
+        assert per_q, "no query found any same-bucket candidate"
+        for q, pairs in per_q.items():
+            rns = sorted(rn for rn, _ in pairs)
+            assert rns == list(range(1, len(rns) + 1))
+        # single-band 4-bit LSH on this weakly-clustered corpus (top
+        # cosines ~0.45) has theoretical recall ≈ (1 − θ/π)^4 ≈ 0.18 —
+        # assert the observed recall is in that regime, i.e. nonzero and
+        # not bucket-membership noise. Production raises recall by OR-ing
+        # bands (see q27's 8-band construction), not by luck.
+        hits = sum(
+            len({n for _, n in per_q.get(q, [])} & t) for q, t in truth.items()
+        )
+        total = sum(len(t) for t in truth.values())
+        assert hits / total >= 0.05, f"LSH recall {hits}/{total}"
