@@ -273,3 +273,32 @@ def audio_features(payload: bytes, dim: int = 8) -> tuple[int, float, list[float
     ]
     feat.extend([0.0] * (dim - len(feat)))
     return rate, duration, feat[:dim]
+
+
+def perceptual_hash(payload: bytes) -> int:
+    """dHash: decode, resample to a 9×8 grayscale grid (nearest pixel),
+    set bit (y*8+x) iff gray[x+1] > gray[x] in that row. 64-bit int.
+    Gradient-based, so it is invariant to uniform brightness shifts and
+    robust to mild noise — hamming distance over it is the standard
+    image near-dup signal (reuse ml/dedup.hamming_distance)."""
+    w, h, ch, px = png_decode(payload)
+    gw, gh = 9, 8
+    grid = []
+    for gy in range(gh):
+        row = []
+        for gx in range(gw):
+            x = min(w - 1, gx * w // gw)
+            y = min(h - 1, gy * h // gh)
+            o = (y * w + x) * ch
+            if ch >= 3:
+                g = (px[o] + px[o + 1] + px[o + 2]) // 3
+            else:
+                g = px[o]
+            row.append(g)
+        grid.append(row)
+    bits = 0
+    for gy in range(gh):
+        for gx in range(gw - 1):
+            if grid[gy][gx + 1] > grid[gy][gx]:
+                bits |= 1 << (gy * 8 + gx)
+    return bits

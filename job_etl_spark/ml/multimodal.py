@@ -228,3 +228,55 @@ def sample_frames(media: DataFrame, every_n: int = 10, codec: str = "stub") -> D
     return feats.where(F.col("n_frames") > 0).select(
         "media_id", "n_frames", idx.alias("frame_idx")
     )
+
+
+def with_perceptual_hash(media: DataFrame) -> DataFrame:
+    """Image near-dup signal: adds a 64-bit dHash column (``phash``,
+    NULL for undecodable payloads) via Arrow-batched ``mapInPandas`` —
+    the binary payload never leaves the executor, and downstream dedup
+    is plain integer hamming over the hash (``ml/dedup.hamming_distance``
+    / the q31 blocked-pair shape), NOT pairwise image comparison."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in media.schema.fields
+    ) + ", phash bigint"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from job_etl_spark.ml.codecs import MediaDecodeError, perceptual_hash
+
+        for pdf in batches:
+            def ph(b):
+                if b is None:
+                    return None
+                try:
+                    h = perceptual_hash(bytes(b))
+                    # keep within signed int64 for Spark BIGINT
+                    return h - (1 << 64) if h >= (1 << 63) else h
+                except (MediaDecodeError, ValueError, IndexError):
+                    return None
+
+            pdf = pdf.copy()
+            pdf["phash"] = pdf["payload"].map(ph).astype("object")
+            yield pdf
+
+    return media.mapInPandas(run, out_schema)
+
+
+def image_neardup_pairs(media: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """Near-duplicate image pairs: perceptual hashes, then the same
+    blocked hamming comparison as text simhash (grouped expansion with
+    the threshold inside the array expression — no image×image pass).
+    Block key: the top byte of the hash (coarse gradient signature)."""
+    from pyspark.sql import functions as F
+
+    from job_etl_spark.ml.dedup import simhash_block_pairs
+
+    hashed = (
+        with_perceptual_hash(media)
+        .where(F.col("phash").isNotNull())
+        .select(
+            F.col("media_id").alias("doc_id"),
+            F.shiftrightunsigned("phash", 56).alias("block"),
+            F.col("phash").alias("simhash"),
+        )
+    )
+    return simhash_block_pairs(hashed, ("block",), max_hamming=max_hamming)

@@ -156,3 +156,42 @@ def sql_zorder_key(bucket_exprs: list, bits: int = 8) -> str:
                 f"(((CAST({expr} AS BIGINT) >> {b}) & 1) << {b * ndims + (ndims - 1 - d)})"
             )
     return "(" + " + ".join(terms) + ")"
+
+
+def scan_pruned(spark, path: str, column: str, lo, hi):
+    """Planner-side file skipping made actionable: read ONLY the files
+    whose footer [min,max] for ``column`` intersects [lo, hi] (the exact
+    logic ``files_matching_predicate`` measures), then re-apply the
+    predicate for row-level exactness. On a clustered/Z-ordered layout
+    this turns a full-table scan into an O(selectivity) scan BEFORE the
+    reader even opens the skipped files — the engine-side equivalent of
+    Delta/Iceberg data skipping, usable on plain parquet directories.
+    Result ≡ full scan + filter (stats are conservative: unknown → read)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    keep = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema == column and col.statistics is not None:
+                    s = col.statistics
+                    if s.has_min_max:
+                        fmin = s.min if fmin is None else min(fmin, s.min)
+                        fmax = s.max if fmax is None else max(fmax, s.max)
+        if fmin is None or (fmax >= lo and fmin <= hi):
+            keep.append(f)
+    if not keep:
+        return (
+            spark.read.parquet(path)
+            .where(F.col(column).between(lo, hi))
+            .limit(0)
+        )
+    return spark.read.parquet(*keep).where(F.col(column).between(lo, hi))

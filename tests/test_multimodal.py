@@ -190,3 +190,41 @@ def test_resize_images_plumbing(spark):
         if max(w0, h0) > 100:
             assert max(r["width"], r["height"]) == 100  # hit the target side
         assert r["payload"] == src[mid]["payload"]
+
+
+def _seeded_png(w=32, h=24, seed=0):
+    from job_etl_spark.ml.codecs import png_encode
+
+    px = bytes(
+        ((x * 7 + y * 3 + seed * 31) % 256) for y in range(h) for x in range(w)
+        for _ in range(3)
+    )
+    return png_encode(w, h, 3, px)
+
+
+def test_perceptual_hash_brightness_invariant_and_discriminative():
+    from job_etl_spark.ml.codecs import perceptual_hash, png_decode, png_encode
+
+    base = _seeded_png(seed=1)
+    w, h, ch, px = png_decode(base)
+    brighter = png_encode(w, h, ch, bytes(min(255, p + 12) for p in px))
+    assert perceptual_hash(base) == perceptual_hash(brighter)
+    other = _seeded_png(seed=2)
+    hamming = bin(perceptual_hash(base) ^ perceptual_hash(other)).count("1")
+    assert hamming > 0  # different gradients differ
+
+
+def test_image_neardup_pairs_finds_shifted_duplicate(spark):
+    from job_etl_spark.ml.codecs import png_decode, png_encode
+    from job_etl_spark.ml.multimodal import image_neardup_pairs
+
+    base = _seeded_png(seed=3)
+    w, h, ch, px = png_decode(base)
+    shifted = png_encode(w, h, ch, bytes(min(255, p + 9) for p in px))
+    distinct = _seeded_png(seed=4)
+    rows = [(1, base), (2, shifted), (3, distinct), (4, b"not a png")]
+    media = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             image_neardup_pairs(media, max_hamming=4).collect()}
+    assert (1, 2) in pairs          # brightness-shifted duplicate found
+    assert all(3 not in p and 4 not in p for p in pairs)

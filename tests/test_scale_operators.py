@@ -269,3 +269,26 @@ class TestMergeOnRead:
             for f in glob.glob(str(tmp_path / "t" / "_mor" / "base" / "*.parquet"))
         }
         assert base_files == after
+
+
+def test_scan_pruned_equals_full_filter(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from job_etl_spark.operators.layout import scan_pruned, write_clustered
+
+    df = spark.range(0, 10000).select(
+        F.col("id"), (F.col("id") % 500).cast("int").alias("bucket")
+    )
+    path = str(tmp_path / "clustered")
+    write_clustered(df, path, ["bucket"], num_files=10)
+    got = sorted(r["id"] for r in scan_pruned(spark, path, "bucket", 10, 30).collect())
+    want = sorted(
+        r["id"] for r in spark.read.parquet(path)
+        .where(F.col("bucket").between(10, 30)).collect()
+    )
+    assert got == want and got
+    # and it genuinely opens fewer files than exist
+    pruned_files = scan_pruned(spark, path, "bucket", 10, 30).inputFiles()
+    assert len(pruned_files) < len(spark.read.parquet(path).inputFiles())
+    # empty range on a valid column degrades to an empty result, not an error
+    assert scan_pruned(spark, path, "bucket", 9000, 9001).count() == 0
