@@ -1,0 +1,54 @@
+"""Per-query diff of the two most recent BENCH_HISTORY.jsonl entries.
+
+Usage: python scripts/bench_diff.py [--threshold SECONDS]
+
+Prints queries whose timing moved more than the threshold (default 0.5 s)
+between the last two recorded runs, plus totals — the round-over-round
+regression check the bench history exists for. Exit code 0 always (the
+box is noisy; this is a report, not a gate)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--threshold", type=float, default=0.5)
+    ap.add_argument(
+        "--history",
+        default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_HISTORY.jsonl"),
+    )
+    args = ap.parse_args()
+    with open(args.history) as f:
+        runs = [json.loads(ln) for ln in f if ln.strip()]
+    # compare same-sf runs only (sf0.001 quick checks vs sf0.1 rounds differ)
+    by_sf: dict = {}
+    for r in runs:
+        by_sf.setdefault(r.get("sf"), []).append(r)
+    for sf, rs in sorted(by_sf.items(), key=lambda kv: str(kv[0])):
+        if len(rs) < 2:
+            continue
+        prev, cur = rs[-2], rs[-1]
+        print(
+            f"sf={sf}: total {prev['value']:.1f}s ({prev.get('rev')}) -> "
+            f"{cur['value']:.1f}s ({cur.get('rev')}), "
+            f"{len(cur['queries'])} queries"
+        )
+        moved = [
+            (name, prev["queries"].get(name), t)
+            for name, t in sorted(cur["queries"].items())
+            if name in prev["queries"] and abs(t - prev["queries"][name]) > args.threshold
+        ]
+        for name, was, now in sorted(moved, key=lambda x: x[1] - x[2]):
+            sign = "+" if now > was else "-"
+            print(f"  {sign} {name:32s} {was:6.2f} -> {now:6.2f}")
+        added = sorted(set(cur["queries"]) - set(prev["queries"]))
+        if added:
+            print(f"  new: {', '.join(added)}")
+
+
+if __name__ == "__main__":
+    main()
