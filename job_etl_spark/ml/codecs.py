@@ -302,3 +302,30 @@ def perceptual_hash(payload: bytes) -> int:
             if grid[gy][gx + 1] > grid[gy][gx]:
                 bits |= 1 << (gy * 8 + gx)
     return bits
+
+
+def audio_fingerprint(payload: bytes, n_windows: int = 65) -> int:
+    """Energy-gradient audio hash (the WAV twin of ``perceptual_hash``):
+    split the PCM stream into ``n_windows`` equal windows, compute each
+    window's mean absolute amplitude, set bit i iff energy[i+1] >
+    energy[i] — 64 bits for 65 windows. Sign-of-delta is invariant to
+    uniform volume scaling and robust to mild noise; hamming distance
+    over it is the near-dup signal (same comparison infrastructure as
+    simhash/dHash)."""
+    rate, n_ch, samples = wav_decode(payload)
+    n = len(samples)
+    if n < n_windows:
+        raise MediaDecodeError(f"audio too short for fingerprint: {n} samples")
+    energies = []
+    for w in range(n_windows):
+        lo = w * n // n_windows
+        hi = (w + 1) * n // n_windows
+        acc = 0
+        for s in samples[lo:hi]:
+            acc += s if s >= 0 else -s
+        energies.append(acc / max(1, hi - lo))
+    bits = 0
+    for i in range(n_windows - 1):
+        if energies[i + 1] > energies[i]:
+            bits |= 1 << i
+    return bits

@@ -228,3 +228,20 @@ def test_image_neardup_pairs_finds_shifted_duplicate(spark):
              image_neardup_pairs(media, max_hamming=4).collect()}
     assert (1, 2) in pairs          # brightness-shifted duplicate found
     assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_audio_fingerprint_volume_invariant_and_discriminative():
+    import math
+
+    from job_etl_spark.ml.codecs import audio_fingerprint, wav_encode
+
+    n = 4000
+    tone = [int(8000 * math.sin(i / 10.0) * (1 + math.sin(i / 400.0))) for i in range(n)]
+    half = [s // 2 for s in tone]
+    other = [int(8000 * math.sin(i / 7.0) * (1 + math.cos(i / 250.0))) for i in range(n)]
+    f1 = audio_fingerprint(wav_encode(16000, tone))
+    f2 = audio_fingerprint(wav_encode(16000, half))
+    f3 = audio_fingerprint(wav_encode(16000, other))
+    # halving volume halves every window energy — sign pattern unchanged
+    assert bin(f1 ^ f2).count("1") <= 2
+    assert bin(f1 ^ f3).count("1") > 8
