@@ -11,12 +11,12 @@ only (engine-stable), per-row double arithmetic in fixed fold order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from job_etl_spark.functions.chunking import tokens_expr
 from job_etl_spark.ml.dedup import hexint
-from job_etl_spark.queries._util import Query, dround
+from job_etl_spark.queries._util import Query, dround, sql_dround
 from job_etl_spark.tables import parallel_table, table
 
 _SQL_HEXINT = "(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
@@ -40,18 +40,41 @@ _SQL_HEXINT = "(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 _SPAN = 8
 
 
-def q111_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    docs = parallel_table(spark, sf, "documents")
-    toks = tokens_expr("text")
+def _span_hash_array(toks) -> "F.Column":
+    """array<bigint> of 60-bit hashes of every overlapping _SPAN-token
+    window — shared by q111 (dup-span detection) and q116 (split
+    leakage)."""
     n_spans = F.size(toks) - F.lit(_SPAN - 1)
-    arr = F.when(
+    return F.when(
         n_spans > 0,
         F.transform(
             F.sequence(F.lit(1), F.greatest(n_spans, F.lit(1))),
             lambda i: hexint(F.concat_ws(" ", F.slice(toks, i, _SPAN))),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    spans = docs.select("doc_id", F.explode(arr).alias("h"))
+
+
+_SQL_SPANS = f"""
+  SELECT doc_id,
+    {_SQL_HEXINT.format(expr=f"array_to_string(toks[i:i+{_SPAN - 1}], ' ')")} AS h
+  FROM t, LATERAL (
+    SELECT unnest(range(1, greatest(len(toks) - {_SPAN - 2}, 1))) AS i
+  ) u
+  WHERE len(toks) >= {_SPAN}
+"""
+
+_SQL_TOKS = """
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+"""
+
+
+def q111_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    docs = parallel_table(spark, sf, "documents")
+    spans = docs.select(
+        "doc_id", F.explode(_span_hash_array(tokens_expr("text"))).alias("h")
+    )
     occ = spans.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
     per_doc = (
         spans.join(occ, "h")
@@ -77,17 +100,8 @@ def q111_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _Q111_SQL = f"""
-WITH t AS (
-  SELECT doc_id,
-    list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
-  FROM documents WHERE text IS NOT NULL
-), s AS (
-  SELECT doc_id,
-    {_SQL_HEXINT.format(expr=f"array_to_string(toks[i:i+{_SPAN - 1}], ' ')")} AS h
-  FROM t, LATERAL (
-    SELECT unnest(range(1, greatest(len(toks) - {_SPAN - 2}, 1))) AS i
-  ) u
-  WHERE len(toks) >= {_SPAN}
+WITH t AS ({_SQL_TOKS}
+), s AS ({_SQL_SPANS}
 ), occ AS (
   SELECT h, COUNT(*) AS n_occ FROM s GROUP BY h
 ), per_doc AS (
@@ -137,16 +151,27 @@ def _py_sumsq(vec: list[float]) -> float:
     return s
 
 
-def q112_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
-    emb = parallel_table(spark, sf, "embeddings").select(
+def _emb_vec(spark: SparkSession, sf: str) -> DataFrame:
+    return parallel_table(spark, sf, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
     )
+
+
+def _pq_book(emb: DataFrame) -> list[list[float]]:
+    """Deterministic codebook: the _PQ_K smallest-vec_id vectors (bounded
+    collect; swap k-means books in at deployment)."""
     book = [
         list(r["vec"])
         for r in emb.select("vec_id", "vec").orderBy("vec_id").limit(_PQ_K).collect()
     ]
     if not book:
-        raise ValueError("q112_pq_codes: empty corpus — no codebook")
+        raise ValueError("pq: empty corpus — no codebook")
+    return book
+
+
+def _pq_encode_exprs(book: list[list[float]]):
+    """(codes, terms): per-subspace nearest-code columns and DECIMAL
+    distortion terms, all map-only expressions over ``vec``."""
 
     def _sub(vec_col, m: int):
         return F.slice(vec_col, m * _PQ_D + 1, _PQ_D)
@@ -186,6 +211,12 @@ def q112_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
         terms.append(
             (a2 - 2.0 * best.getField("s")).cast("decimal(30,12)").alias(f"term_{m}")
         )
+    return codes, terms
+
+
+def q112_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _emb_vec(spark, sf)
+    codes, terms = _pq_encode_exprs(_pq_book(emb))
     enc = emb.select("vec_id", "label", *codes, *terms)
     code_str = F.concat_ws(",", *[F.col(f"code_{m}") for m in range(_PQ_M)])
     dist = sum(F.col(f"term_{m}") for m in range(1, _PQ_M)) + F.col("term_0")
@@ -199,7 +230,9 @@ def q112_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _q112_sql() -> str:
+def _sql_pq_prefix() -> str:
+    """Shared oracle CTE chain ``e → cb → scored → best``: per (vec, m)
+    the chosen code id plus the dot/cn2/a2 terms (q112 encode, q114 ADC)."""
     lo, hi = "u.m * {d} + 1".format(d=_PQ_D), "u.m * {d} + {d}".format(d=_PQ_D)
     return f"""
 WITH e AS (
@@ -219,7 +252,11 @@ WITH e AS (
     SELECT *, row_number() OVER (
       PARTITION BY vec_id, m ORDER BY dot - 0.5 * cn2 DESC, c_id) AS rn
     FROM scored) WHERE rn = 1
-), pervec AS (
+)"""
+
+
+def _q112_sql() -> str:
+    return _sql_pq_prefix() + """, pervec AS (
   SELECT vec_id, label,
     string_agg(CAST(c_id AS VARCHAR), ',' ORDER BY m) AS code_str,
     SUM(CAST(a2 - 2 * (dot - 0.5 * cn2) AS DECIMAL(30,12))) AS dist
@@ -309,8 +346,223 @@ GROUP BY c.lang
 """
 
 
+# ---------------------------------------------------------------------------
+# q114 — PQ asymmetric-distance search (ADC): the query side of q112's
+# encode, completing the FAISS-style PQ architecture. Each (bounded)
+# query vector precomputes a 4×16 distance TABLE to the codebook; corpus
+# distance is then 4 table lookups keyed by the row's PQ codes — the
+# corpus's raw 64 floats are never touched at query time, which is the
+# whole point at 100 TB (scan 4 bytes of codes, not 256 bytes of floats).
+#
+# Scale shape: tables fold into plan literals (bounded query set, like
+# q48's probes), so scoring is a pure map over the encoded corpus; explode
+# is ×|queries| on 16-byte rows; one window ranks per query. Exact-L2
+# parity with the oracle because lookup tables and codes are both
+# engine-deterministic.
+# ---------------------------------------------------------------------------
+_ADC_NQ = 5  # query vectors (the smallest vec_ids — bounded by construction)
+_ADC_K = 5
+
+
+def q114_adc_search(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _emb_vec(spark, sf)
+    book = _pq_book(emb)
+    codes, _terms = _pq_encode_exprs(book)
+    qrows = emb.select("vec_id", "vec").orderBy("vec_id").limit(_ADC_NQ).collect()
+    tables: list[tuple[int, list[list[float]]]] = []
+    for r in qrows:
+        qv = list(r["vec"])
+        per_m = []
+        for m in range(_PQ_M):
+            qm = qv[m * _PQ_D : (m + 1) * _PQ_D]
+            qa2 = _py_sumsq(qm)
+            row = []
+            for cvec in book:
+                cm = cvec[m * _PQ_D : (m + 1) * _PQ_D]
+                dot = 0.0
+                for x, y in zip(qm, cm):
+                    dot += x * y
+                # same association as the oracle's a − 2·b + c
+                row.append(qa2 - 2.0 * dot + _py_sumsq(cm))
+            per_m.append(row)
+        tables.append((r["vec_id"], per_m))
+    enc = emb.select("vec_id", *codes)
+    pairs = []
+    for q_id, per_m in tables:
+        dist = None
+        for m in range(_PQ_M):
+            lut = F.array(*[F.lit(v) for v in per_m[m]])
+            term = F.element_at(lut, F.col(f"code_{m}") + 1).cast("decimal(30,12)")
+            dist = term if dist is None else dist + term
+        pairs.append(F.struct(F.lit(q_id).alias("q_id"), dist.alias("dist")))
+    exploded = (
+        enc.select("vec_id", F.explode(F.array(*pairs)).alias("p"))
+        .select("vec_id", F.col("p.q_id").alias("q_id"), F.col("p.dist").alias("dist"))
+        .where(F.col("vec_id") != F.col("q_id"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        exploded.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= _ADC_K)
+        .select(
+            "q_id",
+            "rn",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("dist", 6).cast("double").alias("dist"),
+        )
+    )
+
+
+def _q114_sql() -> str:
+    lo, hi = "c.m * {d} + 1".format(d=_PQ_D), "c.m * {d} + {d}".format(d=_PQ_D)
+    return _sql_pq_prefix() + f""", q AS (
+  SELECT vec_id AS q_id, vec AS q_vec FROM e ORDER BY vec_id LIMIT {_ADC_NQ}
+), dist AS (
+  SELECT c.vec_id, q.q_id,
+    SUM(CAST(
+      list_dot_product(q.q_vec[{lo}:{hi}], q.q_vec[{lo}:{hi}])
+      - 2 * list_dot_product(q.q_vec[{lo}:{hi}], cb.c_vec[{lo}:{hi}])
+      + list_dot_product(cb.c_vec[{lo}:{hi}], cb.c_vec[{lo}:{hi}])
+    AS DECIMAL(30,12))) AS dist
+  FROM best c JOIN cb ON c.c_id = cb.c_id CROSS JOIN q
+  WHERE c.vec_id <> q.q_id
+  GROUP BY c.vec_id, q.q_id
+), ranked AS (
+  SELECT q_id, vec_id, dist,
+    row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+  FROM dist
+)
+SELECT q_id, CAST(rn AS INT) AS rn, vec_id AS neighbor_id,
+  CAST(ROUND(dist, 6) AS DOUBLE) AS dist
+FROM ranked WHERE rn <= {_ADC_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q115 — linear quality classifier APPLY (fasttext-style): score = mean of
+# per-token weights from a hashed weight table. The weights here are
+# md5-derived pseudo-weights (deterministic in every engine — the operator
+# under test is the APPLY path, not the training); swap in trained weights
+# by replacing the hash-weight lambda with a broadcast map lookup.
+#
+# Scale shape: ZERO shuffles — the per-doc score is an in-row fold over
+# the token array (no explode), so a 100 TB corpus scores in one map
+# stage. Per-token weights cross into DECIMAL inside the fold, keeping the
+# sum order-free and engine-exact.
+# ---------------------------------------------------------------------------
+def q115_linear_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = parallel_table(spark, sf, "documents")
+    toks = tokens_expr("text")
+    wsum = F.aggregate(
+        toks,
+        F.lit(0).cast("decimal(30,12)"),
+        lambda acc, t: (
+            acc + ((hexint(t) % 2001) / F.lit(1000.0) - 1.0).cast("decimal(30,12)")
+        ).cast("decimal(30,12)"),
+    )
+    n_toks = F.coalesce(F.size(toks), F.lit(0))
+    score = F.when(
+        n_toks > 0, F.round(wsum / n_toks, 6).cast("double")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_toks.alias("n_toks"),
+        score.alias("score"),
+        F.coalesce(score > 0.0, F.lit(False)).alias("kept"),
+    )
+
+
+_Q115_SQL = f"""
+WITH t AS ({_SQL_TOKS}
+), w AS (
+  SELECT doc_id,
+    CAST(len(toks) AS INT) AS n_toks,
+    SUM(CAST({_SQL_HEXINT.format(expr="tok")} % 2001 / 1000.0 - 1.0
+        AS DECIMAL(30,12))) AS wsum
+  FROM t, LATERAL (SELECT unnest(toks) AS tok) u
+  GROUP BY doc_id, len(toks)
+)
+SELECT d.doc_id, d.lang,
+  COALESCE(w.n_toks, 0) AS n_toks,
+  CAST(ROUND(w.wsum / w.n_toks, 6) AS DOUBLE) AS score,
+  COALESCE(CAST(ROUND(w.wsum / w.n_toks, 6) AS DOUBLE) > 0.0, FALSE) AS kept
+FROM documents d LEFT JOIN w USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q116 — train→test span leakage: after the deterministic split (q59's md5
+# bucket), what fraction of TEST documents share an exact 8-token span
+# with any TRAIN document? The eval-hygiene twin of q78's benchmark
+# decontamination — this one audits the pipeline's own split.
+#
+# Scale shape: spans hash to 60-bit ints; the train side collapses to
+# DISTINCT hashes (map-side combine), the test side left-semi joins on the
+# hash — both shuffles keyed on the int, no strings, no doc×doc pairs.
+# ---------------------------------------------------------------------------
+def q116_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    docs = parallel_table(spark, sf, "documents")
+    bucket = hexint(F.col("doc_id").cast("string")) % 100
+    split = F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    spans = docs.select(
+        "doc_id",
+        split.alias("split"),
+        F.explode(_span_hash_array(tokens_expr("text"))).alias("h"),
+    )
+    train_h = spans.where(F.col("split") == "train").select("h").distinct()
+    leaked = (
+        spans.where(F.col("split") == "test")
+        .join(train_h, "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("leak", F.lit(1))
+    )
+    test_docs = docs.select("doc_id", "lang", split.alias("split")).where(
+        F.col("split") == "test"
+    )
+    agg = test_docs.join(leaked, "doc_id", "left").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_test_docs"),
+        F.count("leak").alias("n_leaked_docs"),
+    )
+    return agg.select(
+        "lang",
+        "n_test_docs",
+        "n_leaked_docs",
+        dround(F.col("n_leaked_docs") / F.col("n_test_docs"), 6).alias("leak_ratio"),
+    )
+
+
+_Q116_SQL = f"""
+WITH t AS ({_SQL_TOKS}
+), s AS ({_SQL_SPANS}
+), sp AS (
+  SELECT doc_id, lang,
+    CASE WHEN {_SQL_HEXINT.format(expr="CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+         WHEN {_SQL_HEXINT.format(expr="CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents
+), train_h AS (
+  SELECT DISTINCT h FROM s JOIN sp USING (doc_id) WHERE sp.split = 'train'
+), leaked AS (
+  SELECT DISTINCT s.doc_id FROM s JOIN sp USING (doc_id)
+  WHERE sp.split = 'test' AND s.h IN (SELECT h FROM train_h)
+)
+SELECT sp.lang,
+  COUNT(*) AS n_test_docs,
+  COUNT(l.doc_id) AS n_leaked_docs,
+  {sql_dround("COUNT(l.doc_id) / COUNT(*)", 6)} AS leak_ratio
+FROM sp LEFT JOIN leaked l ON sp.doc_id = l.doc_id
+WHERE sp.split = 'test'
+GROUP BY sp.lang
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q111_span_dedup": Query(q111_span_dedup, _Q111_SQL),
     "q112_pq_codes": Query(q112_pq_codes, _q112_sql()),
     "q113_split_drift": Query(q113_split_drift, _Q113_SQL),
+    "q114_adc_search": Query(q114_adc_search, _q114_sql()),
+    "q115_linear_quality": Query(q115_linear_quality, _Q115_SQL),
+    "q116_split_leakage": Query(q116_split_leakage, _Q116_SQL),
 }
