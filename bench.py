@@ -118,6 +118,12 @@ HEADLINE = [
     "q108_group_ols",
     "q109_zscore_outliers",
     "q110_kmeans_step",
+    "q111_span_dedup",
+    "q112_pq_codes",
+    "q113_split_drift",
+    "q114_adc_search",
+    "q115_linear_quality",
+    "q116_split_leakage",
 ]
 
 
