@@ -124,6 +124,12 @@ HEADLINE = [
     "q114_adc_search",
     "q115_linear_quality",
     "q116_split_leakage",
+    "q117_bigram_perplexity",
+    "q118_temperature_resample",
+    "q119_cdc_chunks",
+    "q120_compaction_plan",
+    "q121_join_size_estimate",
+    "q122_semantic_dedup",
 ]
 
 

@@ -21,7 +21,15 @@ import re
 from pathlib import Path
 
 from job_etl_spark.queries._util import Query
-from job_etl_spark.queries import relational, domain, lifedata, scaleops, sketches, curation
+from job_etl_spark.queries import (
+    relational,
+    domain,
+    lifedata,
+    scaleops,
+    sketches,
+    curation,
+    modelprep,
+)
 
 
 def _last_verified_round() -> dict[str, int]:
@@ -57,7 +65,7 @@ def _last_verified_round() -> dict[str, int]:
 
 def registry() -> dict[str, Query]:
     reg: dict[str, Query] = {}
-    for mod in (relational, domain, lifedata, scaleops, sketches, curation):
+    for mod in (relational, domain, lifedata, scaleops, sketches, curation, modelprep):
         for name, q in mod.QUERIES.items():
             if name in reg:
                 raise ValueError(f"duplicate query name {name}")

@@ -1,0 +1,631 @@
+"""Model-prep tranche 5: the statistical curation operators that sit
+between raw-corpus cleaning (lifedata/curation) and the training run —
+LM-based quality scoring, mixture re-weighting, content-defined chunking,
+storage compaction planning, optimizer-style cardinality estimation, and
+SemDeDup-style semantic deduplication.
+
+Reference parity: the reference engine has no LLM-data surface (its scope
+is the job-ETL domain, SURVEY §2); these operators extend the engine the
+way the build brief mandates — each one is still a Query with a DuckDB
+oracle twin and follows the parity rules in ``queries._util`` (exact
+DECIMAL aggregation, md5-only hashing, per-row IEEE double arithmetic,
+transcendentals only on integer or pre-rounded inputs with a post-round).
+
+Scale stance (100 TB): every operator here is shuffle-minimal by
+construction — token/bigram aggregations are partial-agg'd before their
+single shuffle, joins back to docs are keyed equi-joins, the semantic
+dedup candidate join is banded (centroid, band, bucket) so no block is
+unbounded, and global scalars are either window totals over already-tiny
+aggregates or bounded collects (8 centroids, one vocab count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from job_etl_spark.functions.chunking import tokens_expr
+from job_etl_spark.ml.dedup import hexint
+from job_etl_spark.queries._util import Query, dround, sql_dround
+from job_etl_spark.tables import parallel_table, table
+
+_SQL_HEXINT = "(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+_SQL_TOKS = """
+  SELECT doc_id, lang,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# q117 — bigram-LM perplexity scoring (CCNet-style quality filter: score
+# every document by bits-per-bigram under an add-one bigram model trained
+# on the corpus itself; high bits ⇒ atypical text ⇒ filter candidate).
+#
+# Scale shape: two token-keyed aggregations (unigram + bigram counts),
+# both with map-side partial aggregation so a viral token collapses
+# before its shuffle; per-occurrence scoring is a keyed equi-join of the
+# exploded bigram stream against the two count tables (AQE handles hot
+# keys); per-doc and per-lang rollups are ordinary hash aggs. The vocab
+# size V is ONE bounded collect (a scalar), embedded as a literal.
+#
+# Parity: P(w2|w1) = (C(bigram)+1) / (C(w1)+V) — all integers, identical
+# in both engines; bits = log2(C1+V) − log2(C2+1) applies log2 to exact
+# integer-valued doubles and rounds the per-occurrence result to 8
+# decimals before any aggregation, so engine libm disagreement (≤1 ulp)
+# is absorbed by the round.
+# ---------------------------------------------------------------------------
+_Q117_FLAG_BITS = 12.0
+
+
+def _bigrams(toks) -> "F.Column":
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.concat_ws(" ", F.slice(toks, i, 2)).alias("bg"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,bg:string>>"))
+
+
+def q117_bigram_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    docs = parallel_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    toks = docs.select("doc_id", "lang", tokens_expr("text").alias("toks"))
+    # vocab size: one scalar action (bounded collect — same contract as the
+    # A5 watermark scalar); the oracle computes the identical value in SQL
+    vocab = toks.select(F.explode("toks").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    ).first()["v"]
+    occ = toks.select(
+        "doc_id", "lang", F.explode(_bigrams(F.col("toks"))).alias("o")
+    ).select("doc_id", "lang", F.col("o.w1").alias("w1"), F.col("o.bg").alias("bg"))
+    uni = (
+        toks.select(F.explode("toks").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    big = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    bits = dround(
+        F.log2((F.col("c1") + F.lit(int(vocab))).cast("double"))
+        - F.log2((F.col("c2") + 1).cast("double")),
+        8,
+    )
+    per_doc = (
+        occ.join(big, "bg")
+        .join(uni, "w1")
+        .withColumn("bits", bits)
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(F.sum(F.col("bits").cast("decimal(30,8)")) / F.count(F.lit(1)), 6)
+            .cast("double")
+            .alias("doc_bits"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum(F.col("doc_bits").cast("decimal(30,6)")) / F.count(F.lit(1)), 6)
+        .cast("double")
+        .alias("avg_bits"),
+        F.count(F.when(F.col("doc_bits") > _Q117_FLAG_BITS, 1)).alias("n_flagged"),
+    )
+
+
+_Q117_SQL = f"""
+WITH t AS ({_SQL_TOKS}),
+occ AS (
+  SELECT doc_id, lang, toks[i] AS w1,
+         toks[i] || ' ' || toks[i + 1] AS bg
+  FROM t, LATERAL (
+    SELECT unnest(range(1, greatest(len(toks), 1))) AS i
+  ) u
+  WHERE len(toks) >= 2
+), v AS (
+  SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM t)
+), uni AS (
+  SELECT w AS w1, COUNT(*) AS c1 FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+), big AS (
+  SELECT bg, COUNT(*) AS c2 FROM occ GROUP BY bg
+), per_doc AS (
+  SELECT occ.doc_id, occ.lang,
+    CAST(ROUND(SUM(CAST(
+      {sql_dround("log2((c1 + v.v)::DOUBLE) - log2((c2 + 1)::DOUBLE)", 8)}
+      AS DECIMAL(30,8))) / COUNT(*), 6) AS DOUBLE) AS doc_bits
+  FROM occ JOIN big USING (bg) JOIN uni USING (w1) CROSS JOIN v
+  GROUP BY occ.doc_id, occ.lang
+)
+SELECT lang, COUNT(*) AS n_docs,
+  CAST(ROUND(SUM(CAST(doc_bits AS DECIMAL(30,6))) / COUNT(*), 6) AS DOUBLE) AS avg_bits,
+  COUNT(CASE WHEN doc_bits > {_Q117_FLAG_BITS} THEN 1 END) AS n_flagged
+FROM per_doc GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# q118 — temperature-based mixture resampling (multilingual-pretraining
+# style: sample source i with probability ∝ p_i^α, α<1 upweights rare
+# sources), then a DETERMINISTIC md5-threshold acceptance pass that
+# realizes the plan — no RNG, so reruns and the oracle agree exactly.
+#
+# Scale shape: per-source stats are one partial-agg'd shuffle; the
+# normalizing totals are window sums over the ALREADY-AGGREGATED frame
+# (a handful of rows — no second pass over the data, no 1-row NLJ
+# scalar); the acceptance pass re-joins the per-source rate as a
+# broadcast-sized dim and filters map-only.
+#
+# Parity: p_i rounded at 8 via exact decimal division; pow applies to
+# pre-rounded doubles and its result is rounded at 8 before the exact
+# decimal normalization — libm variance absorbed by the rounds.
+# ---------------------------------------------------------------------------
+_Q118_ALPHA = 0.7
+
+
+def q118_temperature_resample(spark: SparkSession, sf: str) -> DataFrame:
+    docs = parallel_table(spark, sf, "documents")
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_all = Window.partitionBy()
+    p = F.round(
+        F.col("n_docs").cast("decimal(30,8)") / F.sum("n_docs").over(w_all), 8
+    ).cast("double")
+    per_src = per_src.withColumn("p", p)
+    w_raw = dround(F.pow(F.col("p"), F.lit(_Q118_ALPHA)), 8)
+    per_src = per_src.withColumn("w_raw", w_raw)
+    weight = F.round(
+        F.col("w_raw").cast("decimal(30,8)")
+        / F.sum(F.col("w_raw").cast("decimal(30,8)")).over(w_all),
+        8,
+    ).cast("double")
+    per_src = per_src.withColumn("weight", weight).withColumn(
+        "n_total", F.sum("n_docs").over(w_all)
+    )
+    # acceptance rate: expected docs / available docs, clamped at 1 (α<1
+    # upweights rare sources past their own size)
+    rate = F.least(
+        F.lit(1.0),
+        F.round(
+            F.col("weight").cast("decimal(30,8)") * F.col("n_total") / F.col("n_docs"),
+            8,
+        ).cast("double"),
+    )
+    per_src = per_src.withColumn("rate", rate)
+    accepted = (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(per_src.select("source", "rate")), "source")
+        .where(
+            hexint(F.col("doc_id").cast("string")) % 1000000
+            < F.floor(F.col("rate") * 1000000)
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        per_src.join(accepted, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "p",
+            "weight",
+            "rate",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        )
+    )
+
+
+_Q118_SQL = f"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), stats AS (
+  SELECT source, n_docs,
+    CAST(ROUND(CAST(n_docs AS DECIMAL(30,8)) / SUM(n_docs) OVER (), 8) AS DOUBLE) AS p,
+    SUM(n_docs) OVER () AS n_total
+  FROM per_src
+), weighted AS (
+  SELECT source, n_docs, p, n_total,
+    {sql_dround(f"pow(p, {_Q118_ALPHA})", 8)} AS w_raw
+  FROM stats
+), normed AS (
+  SELECT source, n_docs, p, n_total,
+    CAST(ROUND(CAST(w_raw AS DECIMAL(30,8))
+      / SUM(CAST(w_raw AS DECIMAL(30,8))) OVER (), 8) AS DOUBLE) AS weight
+  FROM weighted
+), rated AS (
+  SELECT source, n_docs, p, weight,
+    least(1.0, CAST(ROUND(CAST(weight AS DECIMAL(30,8)) * n_total / n_docs, 8) AS DOUBLE))
+      AS rate
+  FROM normed
+), accepted AS (
+  SELECT d.source, COUNT(*) AS n_sampled
+  FROM documents d JOIN rated r ON d.source = r.source
+  WHERE {_SQL_HEXINT.format(expr="CAST(d.doc_id AS VARCHAR)")} % 1000000
+        < floor(r.rate * 1000000)
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.p, r.weight, r.rate,
+  COALESCE(a.n_sampled, 0) AS n_sampled
+FROM rated r LEFT JOIN accepted a ON r.source = a.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q119 — content-defined chunking (rolling-hash breakpoints, the dedup-
+# friendly alternative to fixed windows: a cut lands wherever the hash of
+# the trailing 4-token window ≡ 0 mod 64, so an insertion early in a doc
+# shifts ONE chunk boundary instead of every downstream window).
+#
+# Scale shape: entirely map-side — cut positions, chunk lengths, and
+# per-doc stats are array expressions inside one codegen'd stage; the
+# only shuffle is the final per-lang rollup. No Python, no explode of
+# per-token rows (the token stream never leaves its array).
+#
+# Parity: cuts and lengths are pure integer/md5 arithmetic; the oracle
+# reproduces the identical cut set from the same md5 window hashes.
+# ---------------------------------------------------------------------------
+_CDC_W = 4  # rolling window width (tokens)
+_CDC_MASK = 64  # expected chunk length (tokens)
+
+
+def _cdc_cuts(toks) -> "F.Column":
+    """Positions i (1-based, _CDC_W ≤ i ≤ n) where the window
+    toks[i-3..i] hashes to 0 mod _CDC_MASK — each is a chunk end."""
+    n = F.size(toks)
+    return F.when(
+        n >= _CDC_W,
+        F.filter(
+            F.sequence(F.lit(_CDC_W), F.greatest(n, F.lit(_CDC_W))),
+            lambda i: hexint(F.concat_ws(" ", F.slice(toks, i - _CDC_W + 1, _CDC_W)))
+            % _CDC_MASK
+            == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def q119_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    docs = parallel_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    toks = docs.select("doc_id", "lang", tokens_expr("text").alias("toks"))
+    n = F.size("toks")
+    cuts = _cdc_cuts(F.col("toks"))
+    d = toks.where(n > 0).select(
+        "doc_id",
+        "lang",
+        n.alias("n_toks"),
+        cuts.alias("cuts"),
+    )
+    # chunk lengths: diffs of consecutive cut positions, plus the tail
+    # segment (dropped when a cut lands exactly on the last token)
+    bounds = F.when(
+        (F.size("cuts") == 0) | (F.element_at("cuts", -1) != F.col("n_toks")),
+        F.concat("cuts", F.array(F.col("n_toks"))),
+    ).otherwise(F.col("cuts"))
+    d = d.withColumn("bounds", bounds)
+    lens = F.zip_with(
+        F.col("bounds"),
+        F.concat(F.array(F.lit(0)), F.slice("bounds", 1, F.size("bounds") - 1)),
+        lambda b, a: b - a,
+    )
+    per_doc = d.select("doc_id", "lang", F.explode(lens).alias("chunk_len"))
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.round(
+            F.sum(F.col("chunk_len").cast("decimal(30,6)")) / F.count(F.lit(1)), 6
+        )
+        .cast("double")
+        .alias("avg_len"),
+        F.max("chunk_len").alias("max_len"),
+    )
+
+
+_Q119_SQL = f"""
+WITH t AS ({_SQL_TOKS}),
+d AS (
+  SELECT doc_id, lang, len(toks) AS n_toks,
+    list_filter(range(1, len(toks) + 1), i -> i >= {_CDC_W} AND
+      {_SQL_HEXINT.format(expr=f"array_to_string(toks[i - {_CDC_W - 1}:i], ' ')")}
+        % {_CDC_MASK} = 0) AS cuts
+  FROM t WHERE len(toks) > 0
+), b AS (
+  SELECT doc_id, lang, n_toks,
+    CASE WHEN len(cuts) = 0 OR cuts[-1] <> n_toks
+         THEN list_append(cuts, n_toks) ELSE cuts END AS bounds
+  FROM d
+), lens AS (
+  SELECT doc_id, lang,
+    bounds[i] - (CASE WHEN i = 1 THEN 0 ELSE bounds[i - 1] END) AS chunk_len
+  FROM b, LATERAL (SELECT unnest(range(1, len(bounds) + 1)) AS i) u
+)
+SELECT lang, COUNT(*) AS n_chunks,
+  CAST(ROUND(SUM(CAST(chunk_len AS DECIMAL(30,6))) / COUNT(*), 6) AS DOUBLE) AS avg_len,
+  MAX(chunk_len) AS max_len
+FROM lens GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# q120 — compaction planning (the table-maintenance half of a lakehouse
+# engine: given a small-file inventory, assign files to target-size
+# compaction groups so each rewrite task gets ~TARGET bytes — the
+# planning step of Delta OPTIMIZE / Iceberg rewriteDataFiles).
+#
+# The inventory is simulated from events as one "file" per (event_type,
+# hour); the greedy assignment is bin = start-offset DIV target over a
+# per-type running sum — pure windows, zero extra passes. Each output
+# row is one rewrite task with its file count, byte total, and the hour
+# range it covers (the scan predicate of the rewrite job).
+# ---------------------------------------------------------------------------
+_Q120_TARGET = 64_000  # bytes per compaction group
+
+
+def q120_compaction_plan(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    files = (
+        ev.withColumn("hour", F.floor(F.unix_micros("ts") / 3_600_000_000))
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(F.octet_length("props")) + 24 * F.count(F.lit(1))).alias(
+                "size_bytes"
+            ),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    files = files.withColumn(
+        "bin",
+        F.floor(
+            (F.sum("size_bytes").over(w) - F.col("size_bytes")) / _Q120_TARGET
+        ),
+    )
+    return files.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("size_bytes").alias("total_bytes"),
+        F.min("hour").alias("hour_from"),
+        F.max("hour").alias("hour_to"),
+    )
+
+
+_Q120_SQL = f"""
+WITH files AS (
+  SELECT event_type,
+    CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS hour,
+    COUNT(*) AS n_rows,
+    SUM(strlen(props)) + 24 * COUNT(*) AS size_bytes
+  FROM events GROUP BY 1, 2
+), binned AS (
+  SELECT event_type, hour, n_rows, size_bytes,
+    CAST(floor((SUM(size_bytes) OVER (PARTITION BY event_type ORDER BY hour)
+      - size_bytes) / {_Q120_TARGET}) AS BIGINT) AS bin
+  FROM files
+)
+SELECT event_type, bin, COUNT(*) AS n_files, SUM(size_bytes) AS total_bytes,
+  MIN(hour) AS hour_from, MAX(hour) AS hour_to
+FROM binned GROUP BY event_type, bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# q121 — optimizer-style join cardinality estimation: predict
+# |lineitem ⋈ part| from per-side statistics WITHOUT executing the join,
+# next to the exact size computed from per-key count products (itself a
+# statistics-only computation — the wide join never runs). The System-R
+# estimate |L|·|P| / max(ndv_L, ndv_P) is what a cost-based planner uses
+# to pick join order/strategy; surfacing estimate vs truth is the
+# engine-observability operator that tells you when to ANALYZE.
+#
+# Scale shape: two per-key count aggregations (partial-agg'd), one keyed
+# FULL OUTER join between the two count tables (each ≤ ndv rows — tiny
+# next to the fact tables), then a single global aggregate computes the
+# exact join size, both sides' totals/NDVs, and the estimate in one
+# pass — no scalar cross joins. The full join's row count is obtained
+# for the cost of two GROUP BYs.
+# ---------------------------------------------------------------------------
+def q121_join_size_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem").select(F.col("l_partkey").alias("k"))
+    pt = table(spark, sf, "part").select(F.col("p_partkey").alias("k"))
+    lc = li.groupBy("k").agg(F.count(F.lit(1)).alias("nl"))
+    pc = pt.groupBy("k").agg(F.count(F.lit(1)).alias("np"))
+    merged = lc.join(pc, "k", "full_outer")
+    out = merged.agg(
+        F.coalesce(F.sum(F.col("nl") * F.col("np")), F.lit(0)).alias("actual_pairs"),
+        F.sum("nl").alias("n_l"),
+        F.sum("np").alias("n_p"),
+        F.count("nl").alias("ndv_l"),
+        F.count("np").alias("ndv_p"),
+        F.max("nl").alias("max_l_freq"),
+        F.max("np").alias("max_p_freq"),
+    )
+    est = F.round(
+        F.col("n_l").cast("decimal(30,6)")
+        * F.col("n_p")
+        / F.greatest("ndv_l", "ndv_p"),
+        2,
+    ).cast("double")
+    return out.select(
+        "actual_pairs",
+        est.alias("sr_estimate"),
+        "n_l",
+        "n_p",
+        "ndv_l",
+        "ndv_p",
+        "max_l_freq",
+        "max_p_freq",
+    )
+
+
+_Q121_SQL = """
+WITH lc AS (
+  SELECT l_partkey AS k, COUNT(*) AS nl FROM lineitem GROUP BY 1
+), pc AS (
+  SELECT p_partkey AS k, COUNT(*) AS np FROM part GROUP BY 1
+), merged AS (
+  SELECT nl, np FROM lc FULL OUTER JOIN pc USING (k)
+), agg AS (
+  SELECT COALESCE(SUM(nl * np), 0) AS actual_pairs,
+    SUM(nl) AS n_l, SUM(np) AS n_p,
+    COUNT(nl) AS ndv_l, COUNT(np) AS ndv_p,
+    MAX(nl) AS max_l_freq, MAX(np) AS max_p_freq
+  FROM merged
+)
+SELECT actual_pairs,
+  CAST(ROUND(CAST(n_l AS DECIMAL(30,6)) * n_p / greatest(ndv_l, ndv_p), 2) AS DOUBLE)
+    AS sr_estimate,
+  n_l, n_p, ndv_l, ndv_p, max_l_freq, max_p_freq
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# q122 — SemDeDup-style semantic deduplication (Abbas et al. 2023):
+# coarse k-means clustering bounds the pair space, then near-identical
+# embeddings WITHIN a cluster (cosine ≥ θ) are collapsed to the
+# smallest-id representative. Output: per-cluster retention stats — the
+# dedup policy report a curation run ships.
+#
+# Scale shape: centroid assignment is the q110 map-only literal fold (8
+# collected centroids); the within-cluster pair join is BANDED exactly
+# like q27 — candidates must share (centroid, band, bucket), so no
+# cluster-sized quadratic block exists; ids-only travel through the
+# banded shuffle, vectors re-attach after pair-dedup.
+# ---------------------------------------------------------------------------
+_Q122_C = 8
+_Q122_BANDS = 8
+_Q122_PLANES = 4
+_Q122_THRESHOLD = 0.40
+
+
+def _q122_band_planes():
+    from job_etl_spark.ml.ann import plane_matrix
+
+    planes = plane_matrix(_Q122_BANDS * _Q122_PLANES, 64)
+    return [
+        planes[i * _Q122_PLANES : (i + 1) * _Q122_PLANES]
+        for i in range(_Q122_BANDS)
+    ]
+
+
+def q122_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.ml.ann import assign_centroid, banded_bucket_expr, cosine_expr
+
+    emb = parallel_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    cents = [
+        (r["_cid"], r["_cvec"])
+        for r in emb.select(F.col("vec_id").alias("_cid"), F.col("vec").alias("_cvec"))
+        .orderBy("_cid")
+        .limit(_Q122_C)
+        .collect()
+    ]
+    assigned = emb.withColumn("cid", assign_centroid(F.col("vec"), cents))
+    banded = assigned.select(
+        "vec_id", "cid", F.explode(banded_bucket_expr(F.col("vec"), _q122_band_planes())).alias("bk")
+    ).select("vec_id", "cid", F.col("bk.band_id").alias("band_id"), F.col("bk.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.cid").alias("cid"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = assigned.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    vb = assigned.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    dropped = (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .where(cosine_expr(F.col("va"), F.col("vb")) >= _Q122_THRESHOLD)
+        .select("cid", F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    members = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    drops = dropped.groupBy("cid").agg(F.count(F.lit(1)).alias("n_dropped"))
+    return (
+        members.join(drops, "cid", "left")
+        .select(
+            "cid",
+            "n_members",
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+            F.round(
+                (F.col("n_members") - F.coalesce("n_dropped", F.lit(0))).cast(
+                    "decimal(30,6)"
+                )
+                / F.col("n_members"),
+                6,
+            )
+            .cast("double")
+            .alias("keep_ratio"),
+        )
+    )
+
+
+def _q122_sql() -> str:
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    band_selects = []
+    for i, band in enumerate(_q122_band_planes()):
+        bucket = " + ".join(
+            f"(CASE WHEN list_dot_product(vec, [{', '.join(repr(x) for x in p)}]) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j, p in enumerate(band)
+        )
+        band_selects.append(
+            f"SELECT vec_id, cid, vec, {i} AS band_id, {bucket} AS bucket FROM asg"
+        )
+    banded = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings
+), c AS (
+  SELECT vec_id AS c_id, vec AS c_vec FROM e ORDER BY vec_id LIMIT {_Q122_C}
+), asg AS (
+  SELECT vec_id, vec, c_id AS cid FROM (
+    SELECT e.vec_id, e.vec, c.c_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {cos.format(a="e.vec", b="c.c_vec")} DESC, c.c_id ASC) AS arn
+    FROM e CROSS JOIN c) t
+  WHERE arn = 1
+), banded AS (
+{banded}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cid AS cid
+  FROM banded a JOIN banded b
+    ON a.cid = b.cid AND a.band_id = b.band_id AND a.bucket = b.bucket
+   AND a.vec_id < b.vec_id
+), dropped AS (
+  SELECT DISTINCT c.cid, c.vec_b AS vec_id
+  FROM cand c
+  JOIN asg ea ON ea.vec_id = c.vec_a
+  JOIN asg eb ON eb.vec_id = c.vec_b
+  WHERE {cos.format(a="ea.vec", b="eb.vec")} >= {_Q122_THRESHOLD}
+), members AS (
+  SELECT cid, COUNT(*) AS n_members FROM asg GROUP BY cid
+), drops AS (
+  SELECT cid, COUNT(*) AS n_dropped FROM dropped GROUP BY cid
+)
+SELECT m.cid, m.n_members, COALESCE(d.n_dropped, 0) AS n_dropped,
+  CAST(ROUND(CAST(m.n_members - COALESCE(d.n_dropped, 0) AS DECIMAL(30,6))
+    / m.n_members, 6) AS DOUBLE) AS keep_ratio
+FROM members m LEFT JOIN drops d ON m.cid = d.cid
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "q117_bigram_perplexity": Query(q117_bigram_perplexity, _Q117_SQL),
+    "q118_temperature_resample": Query(q118_temperature_resample, _Q118_SQL),
+    "q119_cdc_chunks": Query(q119_cdc_chunks, _Q119_SQL),
+    "q120_compaction_plan": Query(q120_compaction_plan, _Q120_SQL),
+    "q121_join_size_estimate": Query(q121_join_size_estimate, _Q121_SQL),
+    "q122_semantic_dedup": Query(q122_semantic_dedup, _q122_sql()),
+}
