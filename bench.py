@@ -130,6 +130,9 @@ HEADLINE = [
     "q120_compaction_plan",
     "q121_join_size_estimate",
     "q122_semantic_dedup",
+    "q123_unpivot_metrics",
+    "q124_dq_report",
+    "q125_ewma_smoothing",
 ]
 
 

@@ -29,6 +29,7 @@ from job_etl_spark.queries import (
     sketches,
     curation,
     modelprep,
+    observability,
 )
 
 
@@ -65,7 +66,7 @@ def _last_verified_round() -> dict[str, int]:
 
 def registry() -> dict[str, Query]:
     reg: dict[str, Query] = {}
-    for mod in (relational, domain, lifedata, scaleops, sketches, curation, modelprep):
+    for mod in (relational, domain, lifedata, scaleops, sketches, curation, modelprep, observability):
         for name, q in mod.QUERIES.items():
             if name in reg:
                 raise ValueError(f"duplicate query name {name}")

@@ -1,0 +1,187 @@
+"""Engine-observability tranche 6: the operators a platform team runs
+ON the warehouse rather than in a product query — report reshaping
+(unpivot), declarative data-quality verification (single-pass Deequ-style
+constraint report), and EWMA metric smoothing (the drift detector behind
+freshness/volume monitors).
+
+Same parity rules as the rest of the inventory (queries._util). The EWMA
+fold is pure per-element IEEE double arithmetic in a fixed left-fold
+order — verified bit-exact between Spark's ``aggregate`` and DuckDB's
+``list_reduce`` — so it needs no rounding guard until the final output
+round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from job_etl_spark.operators.expectations import Check, dq_report, dq_report_sql
+from job_etl_spark.queries._util import Query, dround, sql_dround
+from job_etl_spark.tables import table
+
+# ---------------------------------------------------------------------------
+# q123 — UNPIVOT (wide metrics → long): the inverse of q42's pivot and
+# the standard last step before a generic metrics sink (one row per
+# (entity, metric)). Spark `unpivot` ≡ DuckDB UNPIVOT; value columns are
+# cast to a common DOUBLE first, exactly as both engines require.
+#
+# Scale shape: unpivot is a map-side row expansion (×3 here) over an
+# already-aggregated frame — no shuffle beyond the feeding aggregate.
+# ---------------------------------------------------------------------------
+
+
+def q123_unpivot_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    wide = (
+        table(spark, sf, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(30,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "total_price", "max_price"],
+        "metric",
+        "val",
+    )
+
+
+_Q123_SQL = """
+WITH wide AS (
+  SELECT o_orderpriority,
+    CAST(COUNT(*) AS DOUBLE) AS n_orders,
+    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_price,
+    MAX(o_totalprice) AS max_price
+  FROM orders GROUP BY o_orderpriority
+)
+UNPIVOT wide ON n_orders, total_price, max_price INTO NAME metric VALUE val
+"""
+
+
+# ---------------------------------------------------------------------------
+# q124 — declarative DQ constraint report (operators/expectations.py):
+# completeness, exact uniqueness, range conformance, and domain
+# membership over orders — every metric from ONE aggregation pass, then
+# a map-side reshape to the long (check, value, passed) frame. The
+# operator is the engine feature; this query is its contract.
+# ---------------------------------------------------------------------------
+
+
+# (name, metric-Column builder, sql twin, lo, hi) — builders are thunks so
+# no Column is constructed before a SparkSession exists (oracle SQL is
+# rendered at import time; Columns only inside the query call)
+def _ratio(cond: "F.Column") -> "F.Column":
+    return F.round(
+        F.count(F.when(cond, 1)).cast("decimal(30,8)") / F.count(F.lit(1)), 6
+    ).cast("double")
+
+
+_Q124_SPECS: list[tuple] = [
+    (
+        "completeness_orderdate",
+        lambda: _ratio(F.col("o_orderdate").isNotNull()),
+        "CAST(ROUND(CAST(COUNT(CASE WHEN o_orderdate IS NOT NULL THEN 1 END) AS DECIMAL(30,8)) / COUNT(*), 6) AS DOUBLE)",
+        0.999,
+        1.0,
+    ),
+    (
+        "uniqueness_orderkey",
+        lambda: F.round(
+            F.countDistinct("o_orderkey").cast("decimal(30,8)") / F.count(F.lit(1)),
+            6,
+        ).cast("double"),
+        "CAST(ROUND(CAST(COUNT(DISTINCT o_orderkey) AS DECIMAL(30,8)) / COUNT(*), 6) AS DOUBLE)",
+        1.0,
+        1.0,
+    ),
+    (
+        "range_totalprice",
+        lambda: _ratio((F.col("o_totalprice") > 0) & (F.col("o_totalprice") < 1e6)),
+        "CAST(ROUND(CAST(COUNT(CASE WHEN o_totalprice > 0 AND o_totalprice < 1e6 THEN 1 END) AS DECIMAL(30,8)) / COUNT(*), 6) AS DOUBLE)",
+        1.0,
+        1.0,
+    ),
+    (
+        "domain_orderstatus",
+        lambda: _ratio(F.col("o_orderstatus").isin("O", "F", "P")),
+        "CAST(ROUND(CAST(COUNT(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 END) AS DECIMAL(30,8)) / COUNT(*), 6) AS DOUBLE)",
+        1.0,
+        1.0,
+    ),
+]
+
+
+def _q124_checks() -> list[Check]:
+    return [Check(n, mk(), sql, lo, hi) for n, mk, sql, lo, hi in _Q124_SPECS]
+
+
+def _q124_sql_checks() -> list[Check]:
+    return [Check(n, None, sql, lo, hi) for n, _mk, sql, lo, hi in _Q124_SPECS]
+
+
+def q124_dq_report(spark: SparkSession, sf: str) -> DataFrame:
+    return dq_report(table(spark, sf, "orders"), _q124_checks())
+
+
+# ---------------------------------------------------------------------------
+# q125 — EWMA smoothing per entity (the drift/freshness monitor: an
+# exponentially-weighted mean that a platform alert compares against the
+# live value). One grouped collect per user — the classic distributed
+# shape for an inherently-sequential per-key fold (precedent: q77
+# packing, q108 OLS): the array is sorted by the total order (ts,
+# event_id) INSIDE the group, then folded left with s₁ = x₁,
+# sₙ = α·xₙ + (1−α)·sₙ₋₁. Group size is bounded by events-per-entity
+# (not corpus size), so the collect_list is not a scale hazard.
+# ---------------------------------------------------------------------------
+_Q125_ALPHA = 0.2
+
+
+def q125_ewma_smoothing(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id", "value"
+    )
+    grouped = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts_us", "event_id", "value"))
+        ).alias("seq"),
+    )
+    vals = F.transform("seq", lambda s: s["value"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda s, x: F.lit(_Q125_ALPHA) * x + F.lit(1 - _Q125_ALPHA) * s,
+    )
+    return grouped.select(
+        "user_id",
+        F.size("seq").alias("n_events"),
+        dround(ewma, 6).alias("ewma"),
+        dround(F.element_at(vals, -1), 6).alias("last_value"),
+    )
+
+
+_Q125_SQL = f"""
+WITH seq AS (
+  SELECT user_id,
+    list(value ORDER BY epoch_us(ts), event_id) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id, len(vals) AS n_events,
+  {sql_dround(f"list_reduce(vals, (s, x) -> {_Q125_ALPHA}*x + {1 - _Q125_ALPHA}*s)", 6)}
+    AS ewma,
+  {sql_dround("vals[-1]", 6)} AS last_value
+FROM seq
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "q123_unpivot_metrics": Query(q123_unpivot_metrics, _Q123_SQL),
+    "q124_dq_report": Query(
+        q124_dq_report, dq_report_sql("orders", _q124_sql_checks())
+    ),
+    "q125_ewma_smoothing": Query(q125_ewma_smoothing, _Q125_SQL),
+}
