@@ -224,3 +224,73 @@ def foreach_batch_kmv(
         store.rewrite(table, sk) if store.exists(table) else store.write(table, sk)
 
     return _merge
+
+
+def foreach_batch_lsh_neardup(
+    store,
+    bands_table: str = "lsh_bands",
+    accepted_table: str = "accepted_docs",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming near-dup ingestion — the streaming twin of q103's
+    incremental MinHash-LSH dedup: each micro-batch of documents is
+    admitted only if it collides with neither the STORED corpus bands
+    (new×old — the old×old pair space is never re-touched) nor an
+    earlier doc of its own batch (bucket-min keeps the first), then the
+    survivors' bands append to the state table so the next trigger—or
+    the next day's run—dedups against them.
+
+    Per-trigger cost is O(batch bands) + one (band, bucket)-keyed join
+    against state and one id-keyed anti-join — never O(corpus²). Replay
+    safety: a re-delivered batch anti-joins on already-accepted ids, so
+    both outputs are append-once (docs with no bands — blank text —
+    bypass LSH but are still replay-guarded by the id anti-join).
+    """
+    from job_etl_spark.ml.dedup import minhash_bands
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        # accepted and new_bands are SEVERED from their lineage (eager
+        # localCheckpoint) before any state write: their plans scan the
+        # state tables, and appending first would otherwise make a lazy
+        # re-evaluation see this batch's own output — persist() is not
+        # enough because TableStore.write's refreshByPath invalidates
+        # caches that reference the written path, silently resurrecting
+        # the stale plan (read-after-write under lazy evaluation)
+        if store.exists(accepted_table):
+            seen = store.read(accepted_table).select(id_col)
+            batch_df = batch_df.join(seen, id_col, "left_anti")
+        bands = minhash_bands(batch_df, id_col=id_col, text_col=text_col).persist()
+        try:
+            dup_ids = None
+            if store.exists(bands_table):
+                old = store.read(bands_table).select("band", "bucket")
+                dup_ids = (
+                    bands.join(old, ["band", "bucket"]).select(id_col).distinct()
+                )
+            wmin = Window.partitionBy("band", "bucket")
+            within = (
+                bands.withColumn("_mn", F.min(id_col).over(wmin))
+                .where(F.col(id_col) > F.col("_mn"))
+                .select(id_col)
+                .distinct()
+            )
+            dup_ids = within if dup_ids is None else dup_ids.union(within).distinct()
+            accepted = batch_df.join(dup_ids, id_col, "left_anti").localCheckpoint()
+            new_bands = bands.join(accepted.select(id_col), id_col).localCheckpoint()
+            store.write(
+                accepted_table,
+                accepted,
+                mode="append" if store.exists(accepted_table) else "overwrite",
+            )
+            store.write(
+                bands_table,
+                new_bands,
+                mode="append" if store.exists(bands_table) else "overwrite",
+            )
+        finally:
+            bands.unpersist()
+
+    return _ingest

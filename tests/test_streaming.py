@@ -500,3 +500,65 @@ def test_stream_kmv_equals_batch_sketch(spark, tmp_path):
         spark.createDataFrame(rows1 + rows2, "g string, uid string"), "uid", ["g"], k=16
     )
     assert streamed == sorted((r["g"], r["h"]) for r in full.collect())
+
+
+def test_stream_lsh_neardup_ingestion(spark, tmp_path):
+    """foreachBatch LSH near-dup ingestion: exact/near duplicate texts
+    arriving in later triggers (or later in the same trigger) are
+    rejected against the persisted band state; distinct docs are
+    admitted and extend the state. First occurrence wins."""
+    import os
+
+    from job_etl_spark.pipeline.runner import TableStore
+    from job_etl_spark.streaming.pipeline import foreach_batch_lsh_neardup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps on running "
+        "far beyond the river through the quiet woods until the morning"
+    )
+    other = (
+        "completely different content about distributed query engines "
+        "partitioning shuffles and broadcast joins at petabyte scale today"
+    )
+    third = (
+        "a third unrelated document mentioning neither animals nor engines "
+        "but orchards rainfall harvest seasons and long winter evenings"
+    )
+    near = base.replace("morning", "evening")  # near-dup of base
+    batch1 = [(1, base), (2, other), (3, base)]  # 3 exact-dups 1 in-batch
+    batch2 = [(4, near), (5, third)]  # 4 near-dups stored state; 5 new
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    spark.createDataFrame(batch1, "doc_id long, text string").coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    spark.createDataFrame(batch2, "doc_id long, text string").coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+
+    store = TableStore(spark, str(tmp_path / "tables"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(foreach_batch_lsh_neardup(store))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    accepted = sorted(r["doc_id"] for r in store.read("accepted_docs").collect())
+    assert accepted == [1, 2, 5]
+    # band state covers exactly the accepted docs
+    band_ids = {r["doc_id"] for r in store.read("lsh_bands").collect()}
+    assert band_ids == {1, 2, 5}
+
+    # replaying batch 2 must be a no-op (append-once)
+    ingest = foreach_batch_lsh_neardup(store)
+    ingest(spark.createDataFrame(batch2, "doc_id long, text string"), 99)
+    accepted2 = sorted(r["doc_id"] for r in store.read("accepted_docs").collect())
+    assert accepted2 == [1, 2, 5]
