@@ -133,6 +133,10 @@ HEADLINE = [
     "q123_unpivot_metrics",
     "q124_dq_report",
     "q125_ewma_smoothing",
+    "q126_bpe_apply",
+    "q127_curriculum_phases",
+    "q128_training_order",
+    "q129_threshold_sweep",
 ]
 
 

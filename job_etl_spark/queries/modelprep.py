@@ -629,3 +629,235 @@ QUERIES: dict[str, Query] = {
     "q121_join_size_estimate": Query(q121_join_size_estimate, _Q121_SQL),
     "q122_semantic_dedup": Query(q122_semantic_dedup, _q122_sql()),
 }
+
+
+# ---------------------------------------------------------------------------
+# q126 — BPE tokenizer APPLY (the deploy side of q101's merge training):
+# learn R merges on the corpus (ml/bpe.learn_merges — bounded collect,
+# one pair-count pass per round), then encode every document by replaying
+# the merge table in rank order and report per-lang compression. The
+# rewrite chain is R map-only string replaces — at 100 TB the corpus is
+# touched R+R times total (R training passes, R fused apply steps),
+# never joined.
+#
+# Parity: merges are embedded as plan literals; the oracle re-derives the
+# IDENTICAL merge table in unrolled CTE rounds (q101's proof) and applies
+# the same double-space replace semantics.
+# ---------------------------------------------------------------------------
+_Q126_ROUNDS = 4
+
+
+def q126_bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.ml.bpe import learn_merges, serialize_corpus
+
+    docs = parallel_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    merges = learn_merges(serialize_corpus(docs), _Q126_ROUNDS)
+    s = F.concat(
+        F.lit("  "), F.array_join(tokens_expr("text"), "  "), F.lit("  ")
+    )
+    enc = docs.select("doc_id", "lang", s.alias("s"))
+    for _step, merged_token, _n in merges:
+        pair_sp = " " + merged_token.replace("+", "  ") + " "
+        repl = " " + merged_token + " "
+        enc = enc.withColumn("s", F.regexp_replace("s", _re_escape(pair_sp), repl))
+    n_before = F.size(tokens_expr("text"))
+    n_after = F.size(F.filter(F.split(F.col("s"), " "), lambda x: x != ""))
+    joined = docs.select("doc_id", "lang", n_before.alias("nb")).join(
+        enc.select("doc_id", n_after.alias("na")), "doc_id"
+    )
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("nb").alias("tokens_before"),
+        F.sum("na").alias("tokens_after"),
+        F.round(
+            F.sum("na").cast("decimal(30,8)") / F.sum("nb"), 6
+        ).cast("double").alias("compression"),
+    )
+
+
+def _re_escape(s: str) -> str:
+    import re
+
+    return re.escape(s)
+
+
+def _q126_sql() -> str:
+    parts = [
+        r"""
+WITH d0 AS (
+  SELECT doc_id, lang,
+    '  ' || array_to_string(
+      list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''),
+      '  ') || '  ' AS s,
+    len(list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> ''))
+      AS nb
+  FROM documents WHERE text IS NOT NULL
+)"""
+    ]
+    for i in range(_Q126_ROUNDS):
+        parts.append(
+            f""", p{i} AS (
+  SELECT a || ' ' || b AS pair, COUNT(*) AS n FROM (
+    SELECT unnest(toks[1:len(toks)-1]) AS a, unnest(toks[2:len(toks)]) AS b
+    FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS toks FROM d{i})
+  ) GROUP BY 1
+), m{i} AS (
+  SELECT pair, n FROM p{i} ORDER BY n DESC, pair ASC LIMIT 1
+), d{i + 1} AS (
+  SELECT doc_id, lang, replace(s,
+    ' ' || replace((SELECT pair FROM m{i}), ' ', '  ') || ' ',
+    ' ' || replace((SELECT pair FROM m{i}), ' ', '+') || ' ') AS s,
+    nb
+  FROM d{i}
+)"""
+        )
+    last = f"d{_Q126_ROUNDS}"
+    parts.append(
+        f"""
+SELECT lang, COUNT(*) AS n_docs,
+  SUM(nb) AS tokens_before,
+  SUM(len(list_filter(string_split(s, ' '), x -> x <> ''))) AS tokens_after,
+  CAST(ROUND(CAST(SUM(len(list_filter(string_split(s, ' '), x -> x <> '')))
+    AS DECIMAL(30,8)) / SUM(nb), 6) AS DOUBLE) AS compression
+FROM {last} GROUP BY lang"""
+    )
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# q127 — curriculum phases (short→long length curriculum): ntile(4) over
+# the corpus's total length order assigns each doc a training phase;
+# per-phase boundaries + token mass are the curriculum manifest. ntile's
+# definition (equal-count tiles, remainder to the leading tiles) is
+# identical in Spark and DuckDB. One window sort — the same cost as any
+# global ordering — then one hash agg.
+# ---------------------------------------------------------------------------
+_Q127_PHASES = 4
+
+
+def q127_curriculum_phases(spark: SparkSession, sf: str) -> DataFrame:
+    docs = parallel_table(spark, sf, "documents").select("doc_id", "n_chars")
+    w = Window.orderBy("n_chars", "doc_id")
+    phased = docs.withColumn("phase", F.ntile(_Q127_PHASES).over(w))
+    return phased.groupBy("phase").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+_Q127_SQL = f"""
+WITH phased AS (
+  SELECT doc_id, n_chars,
+    ntile({_Q127_PHASES}) OVER (ORDER BY n_chars, doc_id) AS phase
+  FROM documents
+)
+SELECT phase, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
+  MAX(n_chars) AS max_chars, SUM(n_chars) AS total_chars
+FROM phased GROUP BY phase
+"""
+
+
+# ---------------------------------------------------------------------------
+# q128 — deterministic training-order shards (the "global shuffle"
+# before an epoch, without RNG): shuffle key = md5(epoch|doc_id) gives a
+# reproducible corpus-wide permutation; shard = key mod S co-partitions
+# the epoch for S loader workers. Map-only + one agg; re-running with
+# another epoch literal re-permutes with zero state.
+# ---------------------------------------------------------------------------
+_Q128_SHARDS = 8
+_Q128_EPOCH = 1
+
+
+def q128_training_order(spark: SparkSession, sf: str) -> DataFrame:
+    docs = parallel_table(spark, sf, "documents").select("doc_id", "n_chars")
+    key = hexint(F.concat(F.lit(f"ep{_Q128_EPOCH}|"), F.col("doc_id").cast("string")))
+    sharded = docs.select(
+        "doc_id", "n_chars", key.alias("k"), (key % _Q128_SHARDS).alias("shard")
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("k").alias("first_key"),
+        F.max("k").alias("last_key"),
+    )
+
+
+_Q128_SQL = f"""
+WITH sharded AS (
+  SELECT doc_id, n_chars,
+    {_SQL_HEXINT.format(expr=f"'ep{_Q128_EPOCH}|' || CAST(doc_id AS VARCHAR)")} AS k
+  FROM documents
+)
+SELECT k % {_Q128_SHARDS} AS shard, COUNT(*) AS n_docs,
+  SUM(n_chars) AS total_chars, MIN(k) AS first_key, MAX(k) AS last_key
+FROM sharded GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q129 — quality-threshold operating curve (pipeline tuning): for each
+# candidate cutoff, the docs/tokens that survive — the curve a curator
+# reads before committing a filter. ONE scan: each row's score lands in
+# every threshold bucket it clears via a literal-array explode (×T where
+# T = 3), then one agg. The score is a cheap type-token-ratio × length
+# heuristic, decimal-rounded so both engines bucket identically.
+# ---------------------------------------------------------------------------
+_Q129_THRESHOLDS = [0.3, 0.5, 0.7]
+
+
+def q129_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    docs = parallel_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    toks = tokens_expr("text")
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("decimal(30,8)") / n_tok
+    len_score = F.least(F.lit(1.0), F.col("n_chars") / F.lit(500.0)).cast(
+        "decimal(30,8)"
+    )
+    score = F.round(ttr * len_score, 6).cast("double")
+    scored = docs.select(n_tok.alias("n_tok"), score.alias("score"))
+    thr = F.explode(
+        F.filter(
+            F.array(*[F.lit(t) for t in _Q129_THRESHOLDS]),
+            lambda t: F.col("score") >= t,
+        )
+    ).alias("threshold")
+    kept = scored.select("n_tok", "score", thr)
+    return kept.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tok").alias("tokens_kept"),
+    )
+
+
+_Q129_SQL = f"""
+WITH scored AS (
+  SELECT len(toks) AS n_tok,
+    CAST(ROUND(
+      CAST(len(list_distinct(toks)) AS DECIMAL(30,8)) / len(toks)
+      * CAST(least(1.0, n_chars / 500.0) AS DECIMAL(30,8)), 6) AS DOUBLE) AS score
+  FROM (
+    SELECT n_chars,
+      list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+    FROM documents WHERE text IS NOT NULL
+  )
+), kept AS (
+  SELECT n_tok, t.threshold
+  FROM scored, LATERAL (
+    SELECT unnest([{", ".join(f"{t}::DOUBLE" for t in _Q129_THRESHOLDS)}]) AS threshold
+  ) t
+  WHERE score >= t.threshold
+)
+SELECT threshold, COUNT(*) AS n_docs_kept, SUM(n_tok) AS tokens_kept
+FROM kept GROUP BY threshold
+"""
+
+
+QUERIES.update(
+    {
+        "q126_bpe_apply": Query(q126_bpe_apply, _q126_sql()),
+        "q127_curriculum_phases": Query(q127_curriculum_phases, _Q127_SQL),
+        "q128_training_order": Query(q128_training_order, _Q128_SQL),
+        "q129_threshold_sweep": Query(q129_threshold_sweep, _Q129_SQL),
+    }
+)
