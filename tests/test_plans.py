@@ -58,6 +58,16 @@ def test_neardup_blocks_are_bounded(spark):
         "bucket" in ln and "band_id" in ln for ln in join_keys_27
     ), p27[:2000]
 
+    # q122 semantic dedup: the within-cluster candidate join must be banded
+    # (centroid, band, bucket) — a bare centroid key is an unbounded block
+    p122 = _plan(_REG["q122_semantic_dedup"].fn(spark, SF_SMOKE))
+    join_keys_122 = [
+        ln for ln in p122.splitlines() if "HashJoin" in ln or "SortMergeJoin" in ln
+    ]
+    assert join_keys_122 and any(
+        "bucket" in ln and "band_id" in ln for ln in join_keys_122
+    ), p122[:2000]
+
 
 def test_watermark_scan_pushes_filters(spark):
     """The incremental-scan shape must push its predicate into the
