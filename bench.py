@@ -137,6 +137,9 @@ HEADLINE = [
     "q127_curriculum_phases",
     "q128_training_order",
     "q129_threshold_sweep",
+    "q130_skew_report",
+    "q131_ivm_agg",
+    "q132_profile_table",
 ]
 
 

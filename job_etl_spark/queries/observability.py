@@ -13,7 +13,7 @@ round.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from job_etl_spark.operators.expectations import Check, dq_report, dq_report_sql
@@ -185,3 +185,160 @@ QUERIES: dict[str, Query] = {
     ),
     "q125_ewma_smoothing": Query(q125_ewma_smoothing, _Q125_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# q130 — join-key skew report (the diagnosis that precedes q62's salting
+# and AQE skew-join tuning): per candidate join key, its NDV, max/total
+# frequency, and the share of rows carried by the top-10 keys. One
+# partial-agg'd count per key + one tiny window over the aggregate.
+# ---------------------------------------------------------------------------
+def q130_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("user_id"))
+    ranked = per_key.withColumn("rk", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("ndv"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_freq"),
+        F.round(
+            F.max("n").cast("decimal(30,8)") * F.count(F.lit(1)) / F.sum("n"), 6
+        )
+        .cast("double")
+        .alias("skew_factor"),
+        F.round(
+            F.sum(F.when(F.col("rk") <= 10, F.col("n"))).cast("decimal(30,8)")
+            / F.sum("n"),
+            6,
+        )
+        .cast("double")
+        .alias("top10_share"),
+    )
+
+
+_Q130_SQL = """
+WITH per_key AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+), ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, user_id ASC) AS rk FROM per_key
+)
+SELECT COUNT(*) AS ndv, SUM(n) AS n_rows, MAX(n) AS max_freq,
+  CAST(ROUND(CAST(MAX(n) AS DECIMAL(30,8)) * COUNT(*) / SUM(n), 6) AS DOUBLE)
+    AS skew_factor,
+  CAST(ROUND(CAST(SUM(CASE WHEN rk <= 10 THEN n END) AS DECIMAL(30,8)) / SUM(n), 6)
+    AS DOUBLE) AS top10_share
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
+# q131 — incremental aggregate maintenance (IVM): maintain a per-type
+# rollup as base ⊕ delta instead of recomputing — the algebra behind
+# every incremental mart refresh (reference: the watermark-incremental
+# normalize feeding marts). The query SPLITS events at a watermark,
+# aggregates each side independently, and re-merges by re-summing the
+# partials (count/sum re-aggregate exactly; avg re-derives from them).
+# The oracle aggregates the FULL table directly — a hash match proves
+# base ⊕ delta ≡ recompute for this algebra.
+# ---------------------------------------------------------------------------
+_Q131_CUT = "2024-01-20 00:00:00"
+
+
+def q131_ivm_agg(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").select(
+        "event_type", "value", F.unix_micros("ts").alias("ts_us")
+    )
+    import datetime as _dt
+
+    cut_us = int(
+        (
+            _dt.datetime.fromisoformat(_Q131_CUT) - _dt.datetime(1970, 1, 1)
+        ).total_seconds()
+        * 1_000_000
+    )
+
+    def _partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("sv"),
+        )
+
+    base = _partial(ev.where(F.col("ts_us") < cut_us))
+    delta = _partial(ev.where(F.col("ts_us") >= cut_us))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n_events"), F.sum("sv").alias("sv"))
+    )
+    return merged.select(
+        "event_type",
+        "n_events",
+        F.round("sv", 2).cast("double").alias("total_value"),
+        F.round(F.col("sv") / F.col("n_events"), 6).cast("double").alias("avg_value"),
+    )
+
+
+_Q131_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_value,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))) / COUNT(*), 6) AS DOUBLE) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q132 — column profiling (the ANALYZE TABLE statistics a cost-based
+# planner and a data catalog both consume): per column, NDV, null count,
+# and min/max rendered to text. ONE aggregation pass computes every
+# per-column statistic (exact NDVs add their distinct expansion; swap
+# approx_count_distinct at deployment scale), then a map-side literal
+# explode reshapes to long — same one-pass shape as q124.
+# ---------------------------------------------------------------------------
+_Q132_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+def q132_profile_table(spark: SparkSession, sf: str) -> DataFrame:
+    df = table(spark, sf, "orders")
+    aggs = []
+    for c in _Q132_COLS:
+        aggs += [
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__ndv").alias("ndv"),
+                F.col(f"{c}__nulls").alias("n_null"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+            )
+            for c in _Q132_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def _q132_sql() -> str:
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS \"column\", COUNT(DISTINCT {c}) AS ndv, "
+        f"COUNT(*) - COUNT({c}) AS n_null, "
+        f"MIN(CAST({c} AS VARCHAR)) AS min_str, MAX(CAST({c} AS VARCHAR)) AS max_str "
+        f"FROM orders"
+        for c in _Q132_COLS
+    )
+    return arms
+
+
+QUERIES.update(
+    {
+        "q130_skew_report": Query(q130_skew_report, _Q130_SQL),
+        "q131_ivm_agg": Query(q131_ivm_agg, _Q131_SQL),
+        "q132_profile_table": Query(q132_profile_table, _q132_sql()),
+    }
+)

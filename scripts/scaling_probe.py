@@ -1,0 +1,149 @@
+"""Scaling probe: does each heavy operator scale ~linearly in rows?
+
+Builds an N×-scaled copy of the driver testdata in /tmp by unioning the
+base tables with id-offset replicas (text/embedding payloads get a
+per-replica salt token so near-dup/ANN candidate structure stays
+realistic instead of collapsing into N-way exact duplicates), written as
+MULTI-file parquet — which also un-pins the single-file single-row-group
+decode bottleneck the sf0.1 files have — then times selected queries at
+1× and N× and prints the observed scaling exponent per query
+(log(tN/t1)/log(N): ~1.0 linear, ~2.0 quadratic).
+
+Usage: python scripts/scaling_probe.py [--scale 8] [--sf /root/testdata/sf0.1]
+       [--queries q29 q27 q58 q102 ...] [--runs 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+DEFAULT_QUERIES = [
+    "q20_dedup_exact",
+    "q21_token_stats",
+    "q25_ngram_jaccard",
+    "q27_embedding_neardup",
+    "q29_minhash_lsh",
+    "q31_simhash_neardup",
+    "q58_dedup_clusters",
+    "q88_dedup_keep_canonical",
+    "q102_curation_pipeline",
+    "q111_span_dedup",
+    "q117_bigram_perplexity",
+    "q122_semantic_dedup",
+]
+
+# id column + offset stride per table (stride >> max base id)
+_ID = {
+    "region": ("r_regionkey", 1 << 30),
+    "nation": ("n_nationkey", 1 << 30),
+    "customer": ("c_custkey", 1 << 30),
+    "supplier": ("s_suppkey", 1 << 30),
+    "part": ("p_partkey", 1 << 30),
+    "orders": ("o_orderkey", 1 << 34),
+    "lineitem": ("l_orderkey", 1 << 34),
+    "events": ("event_id", 1 << 34),
+    "documents": ("doc_id", 1 << 30),
+    "embeddings": ("vec_id", 1 << 30),
+}
+
+
+def build_scaled(spark, base_sf: str, out_dir: str, scale: int) -> None:
+    from pyspark.sql import functions as F
+
+    from job_etl_spark.tables import TABLE_NAMES, table
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name in TABLE_NAMES:
+        dst = f"{out_dir}/{name}.parquet"
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        base = table(spark, base_sf, name)
+        # drop loader-derived helper columns; keep the raw scan shape
+        base = base.select(
+            *[c for c in base.columns if not c.startswith("_")]
+        )
+        idc, stride = _ID[name]
+        reps = []
+        for r in range(scale):
+            rep = base.withColumn(idc, F.col(idc) + F.lit(r * stride))
+            if name == "documents":
+                # salt text per replica so replicas are near- but not
+                # exact-duplicates of each other (realistic dup structure)
+                rep = rep.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" replica{r}"))
+                )
+            if name == "embeddings" and r > 0:
+                rep = rep.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x: x + F.lit(float(r)) * F.lit(1e-3),
+                    ).cast("array<float>"),
+                )
+            reps.append(rep)
+        out = reps[0]
+        for rep in reps[1:]:
+            out = out.unionByName(rep)
+        n_files = max(spark.sparkContext.defaultParallelism, scale)
+        out.repartition(n_files).write.parquet(dst)
+        print(f"built {name} x{scale}", flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=8)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/jobspark_scaled")
+    ap.add_argument("--queries", nargs="*", default=DEFAULT_QUERIES)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--rebuild", action="store_true")
+    args = ap.parse_args()
+
+    from job_etl_spark.queries import registry
+    from job_etl_spark.session import get_spark
+
+    spark = get_spark("jobspark-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = f"{args.out}_x{args.scale}"
+    if args.rebuild or not os.path.exists(f"{out_dir}/documents.parquet"):
+        build_scaled(spark, args.sf, out_dir, args.scale)
+
+    reg = registry()
+    # warm the JVM
+    reg["q20_dedup_exact"].fn(spark, args.sf).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    print(f"{'query':32s} {'t_1x':>8s} {'t_Nx':>8s} {'exponent':>9s}")
+    for prefix in args.queries:
+        name = next((n for n in reg if n.startswith(prefix)), None)
+        if name is None:
+            print(f"{prefix}: not found", file=sys.stderr)
+            continue
+        times = {}
+        for label, sfd in (("1x", args.sf), ("Nx", out_dir)):
+            best = float("inf")
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                reg[name].fn(spark, sfd).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            times[label] = best
+        exp = math.log(times["Nx"] / times["1x"]) / math.log(args.scale)
+        print(
+            f"{name:32s} {times['1x']:8.2f} {times['Nx']:8.2f} {exp:9.2f}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
