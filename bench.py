@@ -140,6 +140,9 @@ HEADLINE = [
     "q130_skew_report",
     "q131_ivm_agg",
     "q132_profile_table",
+    "q133_cohort_matrix",
+    "q134_table_checksum",
+    "q135_grouped_mode",
 ]
 
 

@@ -16,9 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from job_etl_spark.ml.dedup import hexint
 from job_etl_spark.operators.expectations import Check, dq_report, dq_report_sql
 from job_etl_spark.queries._util import Query, dround, sql_dround
 from job_etl_spark.tables import table
+
+_SQL_HEXINT = "(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 # ---------------------------------------------------------------------------
 # q123 — UNPIVOT (wide metrics → long): the inverse of q42's pivot and
@@ -340,5 +343,132 @@ QUERIES.update(
         "q130_skew_report": Query(q130_skew_report, _Q130_SQL),
         "q131_ivm_agg": Query(q131_ivm_agg, _Q131_SQL),
         "q132_profile_table": Query(q132_profile_table, _q132_sql()),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# q133 — cohort retention matrix (product-analytics standard): users are
+# cohorted by first-seen week; each later active week increments the
+# (cohort, offset) cell. Two shuffles total: the per-user first-seen
+# aggregate (map-side combined) and the distinct (cohort, offset, user)
+# collapse feeding the final count — both on bounded keys.
+# ---------------------------------------------------------------------------
+_Q133_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def q133_cohort_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").select(
+        "user_id", (F.unix_micros("ts") / _Q133_WEEK_US).cast("bigint").alias("week")
+    )
+    first = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    act = (
+        ev.join(first, "user_id")
+        .select("user_id", "cohort_week", (F.col("week") - F.col("cohort_week")).alias("offset_weeks"))
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "offset_weeks").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+_Q133_SQL = f"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch_us(ts) / {_Q133_WEEK_US}) AS BIGINT) AS week
+  FROM events
+), first AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id
+), act AS (
+  SELECT DISTINCT ev.user_id, cohort_week, week - cohort_week AS offset_weeks
+  FROM ev JOIN first USING (user_id)
+)
+SELECT cohort_week, offset_weeks, COUNT(DISTINCT user_id) AS n_users
+FROM act GROUP BY cohort_week, offset_weeks
+"""
+
+
+# ---------------------------------------------------------------------------
+# q134 — order-insensitive table checksum (replication / migration
+# reconciliation): Σ md5-hash of each row's key column tuple, as an
+# exact DECIMAL(38,0) — commutative, so partition order, file order, and
+# engine never matter, and two replicas compare with ONE scan each + an
+# 8-byte exchange. Columns are integer/char-rendered (no raw double →
+# string, whose rendering is engine-specific).
+# ---------------------------------------------------------------------------
+def q134_table_checksum(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    row_hash = hexint(
+        F.concat_ws(
+            "|",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_partkey").cast("string"),
+            F.col("l_suppkey").cast("string"),
+            "l_returnflag",
+            "l_linestatus",
+            F.col("qty").cast("string"),
+        )
+    )
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_hash.cast("decimal(38,0)")).alias("checksum"),
+    )
+
+
+_Q134_SQL = f"""
+SELECT COUNT(*) AS n_rows,
+  SUM(CAST({_SQL_HEXINT.format(expr=(
+      "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) || '|' || "
+      "CAST(l_suppkey AS VARCHAR) || '|' || l_returnflag || '|' || l_linestatus "
+      "|| '|' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)"
+  ))} AS DECIMAL(38,0))) AS checksum
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# q135 — grouped MODE (most frequent value per group, deterministic
+# smallest-value tie-break): the one classic aggregate the inventory
+# lacked. Count-then-rank — two hash aggs and a per-group window over the
+# ALREADY-AGGREGATED (group, value) frame, never over raw rows.
+# ---------------------------------------------------------------------------
+def q135_grouped_mode(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("user_id").alias("mode_user"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+_Q135_SQL = """
+WITH counts AS (
+  SELECT event_type, user_id, COUNT(*) AS n FROM events GROUP BY 1, 2
+)
+SELECT event_type, user_id AS mode_user, n AS mode_count FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY n DESC, user_id ASC) AS rk
+  FROM counts
+) WHERE rk = 1
+"""
+
+
+QUERIES.update(
+    {
+        "q133_cohort_matrix": Query(q133_cohort_matrix, _Q133_SQL),
+        "q134_table_checksum": Query(q134_table_checksum, _Q134_SQL),
+        "q135_grouped_mode": Query(q135_grouped_mode, _Q135_SQL),
     }
 )
