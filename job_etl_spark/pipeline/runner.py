@@ -595,9 +595,16 @@ def main(argv: list[str] | None = None) -> int:
         "stage",
         choices=[
             "pipeline", "extract", "normalize", "enrich", "marts", "rank",
-            "dq", "publish", "notify",
+            "dq", "publish", "notify", "query",
         ],
     )
+    parser.add_argument(
+        "name", nargs="?", default=None,
+        help="query stage: declared query name (or unique prefix, e.g. q29)",
+    )
+    parser.add_argument("--sf", default="/root/testdata/sf0.01", help="query stage: table dir")
+    parser.add_argument("--explain", action="store_true", help="query stage: print the physical plan")
+    parser.add_argument("--max-rows", type=int, default=100, help="query stage: output row cap")
     parser.add_argument("--warehouse", default=None)
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--num-jobs", type=int, default=100)
@@ -644,6 +651,34 @@ def main(argv: list[str] | None = None) -> int:
     if not args.verbose:
         spark.sparkContext.setLogLevel("ERROR")
     try:
+        if args.stage == "query":
+            # ad-hoc access to the declared inventory: run any query by
+            # name (or unique prefix) against a table dir — the "switch
+            # from the reference and run what you ran today" surface
+            from job_etl_spark.queries import registry
+
+            reg = registry()
+            matches = (
+                [args.name] if args.name in reg
+                else [n for n in sorted(reg) if args.name and n.startswith(args.name)]
+            )
+            if len(matches) != 1:
+                print(
+                    json.dumps(
+                        {
+                            "error": f"{args.name!r} matches {len(matches)} queries",
+                            "candidates": matches[:10],
+                        }
+                    ),
+                    file=sys.stderr,
+                )
+                return 2
+            df = reg[matches[0]].fn(spark, args.sf)
+            if args.explain:
+                print(df._jdf.queryExecution().executedPlan().toString())
+            for row in df.limit(args.max_rows).collect():
+                print(json.dumps(row.asDict(), default=str))
+            return 0
         if args.stage == "pipeline":
             stats = run_pipeline(spark, args.warehouse, num_jobs=args.num_jobs)
         else:

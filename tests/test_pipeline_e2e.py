@@ -183,3 +183,33 @@ sys.exit(runner.main(["pipeline", "--num-jobs", "5"]))
         capture_output=True, text=True, cwd="/root/repo", timeout=500,
     )
     assert out.returncode == 130, (out.returncode, out.stderr[-1000:])
+
+
+def test_cli_query_stage():
+    """`jobspark query <name>` runs a declared query ad hoc; ambiguous
+    prefixes fail with candidates and exit 2. Subprocess because main()
+    owns (and stops) its session."""
+    import json as _json
+    import subprocess
+    import sys
+
+    code = """
+from job_etl_spark.pipeline.runner import main
+rc1 = main(["query", "q135", "--sf", "/root/testdata/sf0.001", "--max-rows", "3"])
+rc2 = main(["query", "q1", "--sf", "/root/testdata/sf0.001"])
+print("RCS", rc1, rc2)
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=500,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
+    rcs = [ln for ln in lines if ln.startswith("RCS")][0].split()[1:]
+    assert rcs == ["0", "2"], (rcs, out.stderr[-500:])
+    rows = [ln for ln in lines if ln.startswith("{")]
+    assert 1 <= len(rows) <= 3 and "event_type" in _json.loads(rows[0])
+    assert "candidates" in out.stderr
