@@ -8,6 +8,8 @@ are pushed down into the parquet scan by Catalyst (verified via
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -53,9 +55,28 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow.types as _pat
 
     path = f"{sf_dir}/events.parquet"
-    arrow_ts = _pq.read_schema(path).field("ts").type
+    probe = path
+    if os.path.isdir(path):
+        # multi-file table (the at-scale layout): all parts share one
+        # writer schema — probe the first part file
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith((".parquet", ".snappy.parquet"))
+        )
+        if parts:
+            probe = os.path.join(path, parts[0])
+    arrow_ts = _pq.read_schema(probe).field("ts").type
+    # INT96 (Spark's default parquet timestamp output) also surfaces as
+    # timestamp[ns] in pyarrow but is NOT the legacy int64-nanos layout —
+    # nanosAsLong doesn't apply to it, so gate on the physical type
+    pf_schema = _pq.ParquetFile(probe).schema
+    ts_idx = next(
+        i for i in range(len(pf_schema)) if pf_schema.column(i).name == "ts"
+    )
+    ts_physical = pf_schema.column(ts_idx).physical_type
     if _pat.is_integer(arrow_ts) or (
-        _pat.is_timestamp(arrow_ts) and arrow_ts.unit == "ns"
+        _pat.is_timestamp(arrow_ts)
+        and arrow_ts.unit == "ns"
+        and ts_physical == "INT64"
     ):
         # legacy nanos layout — pyarrow reports parquet TIMESTAMP(NANOS) as
         # timestamp[ns], not an integer type; with nanosAsLong set Spark

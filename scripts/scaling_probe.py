@@ -105,7 +105,14 @@ def main() -> None:
     ap.add_argument("--queries", nargs="*", default=DEFAULT_QUERIES)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument("--mode", choices=["scale", "skew"], default="scale")
     args = ap.parse_args()
+
+    if args.mode == "skew":
+        if args.queries == DEFAULT_QUERIES:
+            args.queries = None
+        skew_main(args)
+        return
 
     from job_etl_spark.queries import registry
     from job_etl_spark.session import get_spark
@@ -141,6 +148,95 @@ def main() -> None:
         exp = math.log(times["Nx"] / times["1x"]) / math.log(args.scale)
         print(
             f"{name:32s} {times['1x']:8.2f} {times['Nx']:8.2f} {exp:9.2f}",
+            flush=True,
+        )
+
+
+
+
+def build_skewed(spark, base_sf: str, out_dir: str, hot_factor: int) -> None:
+    """events with a manufactured hot key: user 1's rows are replicated
+    ``hot_factor``× (distinct event_ids), making one group carry the
+    majority of the table — the adversarial input for groupBy/join/window
+    operators keyed on user_id."""
+    from pyspark.sql import functions as F
+
+    from job_etl_spark.tables import table
+
+    os.makedirs(out_dir, exist_ok=True)
+    ev = table(spark, base_sf, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    # the hot key absorbs `hot_factor` FULL copies of the table: with
+    # hot_factor=1 user 1 already owns ~50% of all rows
+    reps = [ev]
+    for r in range(1, hot_factor + 1):
+        reps.append(
+            ev.withColumn("event_id", F.col("event_id") + F.lit(r * (1 << 34)))
+            .withColumn("user_id", F.lit(1).cast("long"))
+        )
+    out = reps[0]
+    for rep in reps[1:]:
+        out = out.unionByName(rep)
+    dst = f"{out_dir}/events.parquet"
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    out.repartition(spark.sparkContext.defaultParallelism).write.parquet(dst)
+    # the probed queries only touch events; link the other tables
+    for name in _ID:
+        if name == "events":
+            continue
+        src = f"{base_sf}/{name}.parquet"
+        link = f"{out_dir}/{name}.parquet"
+        if not os.path.exists(link):
+            shutil.copytree(src, link) if os.path.isdir(src) else shutil.copy(src, link)
+    print(f"built skewed events (+{hot_factor} full copies on ONE key)", flush=True)
+
+
+SKEW_QUERIES = [
+    "q11_running_user_totals",  # per-user window — the hot user serializes
+    "q34_sessionize",  # per-user session windows
+    "q62_salted_aggregation",  # two-phase salted agg (the mitigation)
+    "q125_ewma_smoothing",  # grouped ordered fold
+    "q130_skew_report",  # the diagnosis itself
+    "q133_cohort_matrix",
+]
+
+
+def skew_main(args) -> None:
+    from job_etl_spark.queries import registry
+    from job_etl_spark.session import get_spark
+
+    spark = get_spark("jobspark-skew")
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = f"{args.out}_skew{args.scale}"
+    if args.rebuild or not os.path.exists(f"{out_dir}/events.parquet"):
+        build_skewed(spark, args.sf, out_dir, args.scale)
+
+    reg = registry()
+    reg["q33_recent_events"].fn(spark, args.sf).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    n_base = spark.read.parquet(f"{args.sf}/events.parquet").count()
+    n_skew = spark.read.parquet(f"{out_dir}/events.parquet").count()
+    growth = n_skew / n_base
+    print(f"rows: base={n_base} skewed={n_skew} (x{growth:.1f}, all growth on ONE key)")
+    print(f"{'query':32s} {'t_base':>8s} {'t_skew':>8s} {'ratio':>7s} (linear-in-rows bound ≈ x{growth:.1f})")
+    for prefix in args.queries or SKEW_QUERIES:
+        name = next((n for n in reg if n.startswith(prefix)), None)
+        if name is None:
+            continue
+        times = {}
+        for label, sfd in (("base", args.sf), ("skew", out_dir)):
+            best = float("inf")
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                reg[name].fn(spark, sfd).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            times[label] = best
+        print(
+            f"{name:32s} {times['base']:8.2f} {times['skew']:8.2f} "
+            f"{times['skew'] / times['base']:7.2f}",
             flush=True,
         )
 
