@@ -97,3 +97,29 @@ def test_events_loader_is_repeat_idempotent(spark):
     # interleave another table: conf leakage would break its timestamp read
     o = table(spark, "/root/testdata/sf0.001", "orders")
     assert o.count() > 0 and dict(o.dtypes)["o_orderdate"].startswith("timestamp")
+
+
+def test_events_spark_written_directory_layout(spark, tmp_path):
+    """A Spark-written events table (multi-file DIRECTORY, INT96
+    timestamps — Spark's default parquet output) must load through
+    ``tables.table``: INT96 surfaces as timestamp[ns] in pyarrow but is
+    NOT the legacy int64-nanos layout, and the schema probe must accept
+    a directory by probing a part file."""
+    src = table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    dst = tmp_path / "scaled"
+    dst.mkdir()
+    src.repartition(4).write.parquet(str(dst / "events.parquet"))
+
+    out = table(spark, str(dst), "events")
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    assert out.count() == src.count()
+    # the instants survive the round trip
+    a = sorted(r[0] for r in src.select(F.unix_micros("ts")).collect())
+    b = sorted(r[0] for r in out.select(F.unix_micros("ts")).collect())
+    assert a == b
+    # and the watermark predicate still works on the re-written layout
+    cut = a[len(a) // 2]
+    n_after = out.where(ts_strictly_after(out, cut)).count()
+    assert n_after == sum(1 for x in a if x > cut)
