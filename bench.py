@@ -143,6 +143,7 @@ HEADLINE = [
     "q133_cohort_matrix",
     "q134_table_checksum",
     "q135_grouped_mode",
+    "q136_ewma_segmented",
 ]
 
 

@@ -472,3 +472,101 @@ QUERIES.update(
         "q135_grouped_mode": Query(q135_grouped_mode, _Q135_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# q136 — SEGMENTED-scan EWMA: the mitigation SCALING.md promises for
+# per-key ordered operators on a hot entity. The linear recurrence
+# s' = α·x + (1−α)·s is a composable affine map, so each calendar chunk
+# (week) folds INDEPENDENTLY to a summary (s_c = chunk EWMA from zero
+# init, d_c = (1−α)^len decay), and per entity only the ≤C chunk
+# summaries merge sequentially: s = s_c + d_c·s_prev. A 90%-hot user's
+# timeline parallelizes across its weeks instead of serializing in one
+# task — the parallel-prefix treatment of linear recurrences.
+#
+# Zero-init convention (s₀ = 0): the segmented merge is exact for it,
+# and it is the standard monitoring EWMA. Every fold is plain per-row
+# IEEE double arithmetic in a fixed order — bit-identical to the
+# DuckDB twin's list_reduce with prepended neutral elements.
+# ---------------------------------------------------------------------------
+_Q136_ALPHA = 0.2
+_Q136_CHUNK_US = 7 * 86_400 * 1_000_000
+
+
+def q136_ewma_segmented(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+        (F.unix_micros("ts") / _Q136_CHUNK_US).cast("bigint").alias("chunk"),
+    )
+    a, b = F.lit(_Q136_ALPHA), F.lit(1 - _Q136_ALPHA)
+    per_chunk = ev.groupBy("user_id", "chunk").agg(
+        F.array_sort(F.collect_list(F.struct("ts_us", "event_id", "value"))).alias(
+            "seq"
+        )
+    )
+    vals = F.transform("seq", lambda s: s["value"])
+    s_c = F.aggregate(vals, F.lit(0.0), lambda s, x: a * x + b * s)
+    d_c = F.aggregate(vals, F.lit(1.0), lambda s, _x: s * b)
+    per_chunk = per_chunk.select(
+        "user_id",
+        "chunk",
+        F.size("seq").alias("n_c"),
+        s_c.alias("s_c"),
+        d_c.alias("d_c"),
+    )
+    merged = per_chunk.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("chunk", "s_c", "d_c"))).alias("cs"),
+        F.sum("n_c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    ewma = F.aggregate(
+        F.col("cs"),
+        F.struct(F.lit(0.0).alias("s"), F.lit(1.0).alias("d")),
+        lambda acc, e: F.struct(
+            (e["s_c"] + e["d_c"] * acc["s"]).alias("s"), F.lit(1.0).alias("d")
+        ),
+    )["s"]
+    return merged.select(
+        "user_id", "n_events", "n_chunks", dround(ewma, 6).alias("ewma")
+    )
+
+
+_Q136_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+    CAST(floor(epoch_us(ts) / {_Q136_CHUNK_US}) AS BIGINT) AS chunk
+  FROM events
+), per_chunk AS (
+  SELECT user_id, chunk,
+    list(value ORDER BY ts_us, event_id) AS vals
+  FROM ev GROUP BY user_id, chunk
+), summaries AS (
+  SELECT user_id, chunk, len(vals) AS n_c,
+    list_reduce([0.0::DOUBLE] || vals,
+      (s, x) -> {_Q136_ALPHA}*x + {1 - _Q136_ALPHA}*s) AS s_c,
+    list_reduce([1.0::DOUBLE] || list_transform(vals, x -> {1 - _Q136_ALPHA}::DOUBLE),
+      (s, x) -> s * x) AS d_c
+  FROM per_chunk
+), merged AS (
+  SELECT user_id, SUM(n_c) AS n_events, COUNT(*) AS n_chunks,
+    list_reduce(
+      [{{'s': 0.0::DOUBLE, 'd': 1.0::DOUBLE}}] ||
+      list({{'s': s_c, 'd': d_c}} ORDER BY chunk),
+      (acc, e) -> {{'s': e.s + e.d * acc.s, 'd': 1.0::DOUBLE}}
+    ).s AS ewma_raw
+  FROM summaries GROUP BY user_id
+)
+SELECT user_id, n_events, n_chunks,
+  {sql_dround("ewma_raw", 6)} AS ewma
+FROM merged
+"""
+
+
+QUERIES.update(
+    {
+        "q136_ewma_segmented": Query(q136_ewma_segmented, _Q136_SQL),
+    }
+)

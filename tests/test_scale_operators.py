@@ -292,3 +292,34 @@ def test_scan_pruned_equals_full_filter(spark, tmp_path):
     assert len(pruned_files) < len(spark.read.parquet(path).inputFiles())
     # empty range on a valid column degrades to an empty result, not an error
     assert scan_pruned(spark, path, "bucket", 9000, 9001).count() == 0
+
+
+def test_segmented_ewma_equals_plain_fold(spark):
+    """q136's chunk-merge algebra must reproduce the plain zero-init
+    EWMA fold over each user's full ordered timeline (up to the final
+    round): s' = αx + (1−α)s is affine, so segment summaries
+    (s_c, (1−α)^len) composed in order are EXACTLY the full fold."""
+    from job_etl_spark.queries.observability import (
+        _Q136_ALPHA,
+        q136_ewma_segmented,
+    )
+    from job_etl_spark.tables import table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: r["ewma"] for r in q136_ewma_segmented(spark, sf).collect()
+    }
+    rows = (
+        table(spark, sf, "events")
+        .select("user_id", F.unix_micros("ts").alias("t"), "event_id", "value")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["t"], r["event_id"], r["value"]))
+    for uid, seq in by_user.items():
+        s = 0.0
+        for _, _, x in sorted(seq):
+            s = _Q136_ALPHA * x + (1 - _Q136_ALPHA) * s
+        assert abs(got[uid] - s) < 5e-7, (uid, got[uid], s)
