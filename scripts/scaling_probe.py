@@ -198,6 +198,7 @@ SKEW_QUERIES = [
     "q34_sessionize",  # per-user session windows
     "q62_salted_aggregation",  # two-phase salted agg (the mitigation)
     "q125_ewma_smoothing",  # grouped ordered fold
+    "q136_ewma_segmented",  # the segmented-scan mitigation of the same fold
     "q130_skew_report",  # the diagnosis itself
     "q133_cohort_matrix",
 ]
