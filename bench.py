@@ -144,6 +144,7 @@ HEADLINE = [
     "q134_table_checksum",
     "q135_grouped_mode",
     "q136_ewma_segmented",
+    "q137_sessions_segmented",
 ]
 
 

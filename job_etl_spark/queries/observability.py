@@ -570,3 +570,95 @@ QUERIES.update(
         "q136_ewma_segmented": Query(q136_ewma_segmented, _Q136_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# q137 — SEGMENTED sessionization (the q34-family mitigation, same idea
+# as q136): per (user, calendar chunk) count gap-based sessions and keep
+# the chunk's first/last instants; per user, fold the ≤C ordered chunk
+# summaries — a session continuing across a chunk boundary (gap ≤ G)
+# merges two counts into one. Exact integer algebra, so the DuckDB twin
+# runs the PLAIN single-pass lag algorithm — an independent algorithm
+# agreeing on every row is a stronger check than a mirrored one.
+# ---------------------------------------------------------------------------
+_Q137_GAP_US = 30 * 60 * 1_000_000  # q34's 30-minute gap
+_Q137_CHUNK_US = 7 * 86_400 * 1_000_000
+
+
+def q137_sessions_segmented(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        (F.unix_micros("ts") / _Q137_CHUNK_US).cast("bigint").alias("chunk"),
+    )
+    per_chunk = ev.groupBy("user_id", "chunk").agg(
+        F.array_sort(F.collect_list("t")).alias("ts")
+    )
+    n_c = F.lit(1) + F.aggregate(
+        F.zip_with(
+            F.slice("ts", 2, F.greatest(F.size("ts") - 1, F.lit(0))),
+            F.slice("ts", 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+            lambda b, a: (b - a > _Q137_GAP_US).cast("int"),
+        ),
+        F.lit(0),
+        lambda s, x: s + x,
+    )
+    per_chunk = per_chunk.select(
+        "user_id",
+        "chunk",
+        F.size("ts").alias("n_events"),
+        n_c.alias("n_sessions"),
+        F.element_at("ts", 1).alias("first_t"),
+        F.element_at("ts", -1).alias("last_t"),
+    )
+    merged = per_chunk.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("chunk", "n_sessions", "first_t", "last_t"))
+        ).alias("cs"),
+        F.sum("n_events").alias("n_events"),
+    )
+    # fold: total sessions = Σ n_c − (boundaries whose inter-chunk gap ≤ G)
+    acc0 = F.struct(
+        F.lit(0).cast("bigint").alias("total"),
+        F.lit(None).cast("bigint").alias("last_t"),
+    )
+    fold = F.aggregate(
+        F.col("cs"),
+        acc0,
+        lambda acc, e: F.struct(
+            (
+                acc["total"]
+                + e["n_sessions"]
+                - F.when(
+                    acc["last_t"].isNotNull()
+                    & (e["first_t"] - acc["last_t"] <= _Q137_GAP_US),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("total"),
+            e["last_t"].alias("last_t"),
+        ),
+    )["total"]
+    return merged.select("user_id", "n_events", fold.alias("n_sessions"))
+
+
+_Q137_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events
+), flagged AS (
+  SELECT user_id, t,
+    CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+              > {_Q137_GAP_US} OR
+              lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM ev
+)
+SELECT user_id, COUNT(*) AS n_events, SUM(new_session) AS n_sessions
+FROM flagged GROUP BY user_id
+"""
+
+
+QUERIES.update(
+    {
+        "q137_sessions_segmented": Query(q137_sessions_segmented, _Q137_SQL),
+    }
+)

@@ -199,6 +199,7 @@ SKEW_QUERIES = [
     "q62_salted_aggregation",  # two-phase salted agg (the mitigation)
     "q125_ewma_smoothing",  # grouped ordered fold
     "q136_ewma_segmented",  # the segmented-scan mitigation of the same fold
+    "q137_sessions_segmented",  # segmented sessionization (q34 mitigation)
     "q130_skew_report",  # the diagnosis itself
     "q133_cohort_matrix",
 ]
