@@ -101,12 +101,30 @@ def lsh_bands(
     df: DataFrame, doc_col: str, sig_col: str, bands: int = LSH_BANDS, rows: int = LSH_ROWS
 ) -> DataFrame:
     """Signature → (doc, band, bucket) rows; bucket = md5 of the band's
-    signature slice. One row per band per doc."""
-    band = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    out = df.select(F.col(doc_col), F.col(sig_col), band)
-    slice_ = F.slice(F.col(sig_col), F.col("band") * rows + 1, rows)
-    bucket = F.md5(F.concat_ws(",", F.transform(slice_, lambda x: x.cast("string"))))
-    return out.select(doc_col, "band", bucket.alias("bucket"))
+    signature slice. One row per band per doc.
+
+    All band buckets are computed in ONE projection and the resulting
+    small array is exploded — exploding a band INDEX and bucketing per
+    exploded row reads nicer but lets projection collapse inline the
+    entire signature expression into every band row (the signature was
+    being re-evaluated bands× per doc: measured 6× on the bands stage)."""
+    arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(F.col(sig_col), b * rows + 1, rows),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("bucket"),
+        ),
+    )
+    out = df.select(F.col(doc_col), F.explode(arr).alias("_bb"))
+    return out.select(doc_col, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
 
 
 def minhash_bands(
