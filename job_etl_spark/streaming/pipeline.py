@@ -294,3 +294,30 @@ def foreach_batch_lsh_neardup(
             bands.unpersist()
 
     return _ingest
+
+
+def foreach_batch_quantile(
+    store,
+    table: str,
+    value_col: str,
+    group_cols: Sequence[str],
+    lo: float,
+    hi: float,
+    nbins: int = 64,
+):
+    """Streaming quantile sketch: each micro-batch's equi-width histogram
+    merges into a persisted ≤ groups·nbins-row table (union + re-sum —
+    `operators/sketch.py`'s merge algebra), completing the sketch-sink
+    family (CMS frequencies, KMV distincts, histogram quantiles). Read
+    percentiles any time via ``operators.sketch.sketch_quantiles`` over
+    ``store.read(table)``. The sketch after any batch prefix equals the
+    batch-built sketch of the same rows (associativity)."""
+    from job_etl_spark.operators.sketch import histogram_sketch, merge_sketches
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        sk = histogram_sketch(batch_df, value_col, group_cols, lo, hi, nbins)
+        if store.exists(table):
+            sk = merge_sketches(list(group_cols), store.read(table), sk)
+        store.rewrite(table, sk) if store.exists(table) else store.write(table, sk)
+
+    return _merge

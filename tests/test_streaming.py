@@ -562,3 +562,54 @@ def test_stream_lsh_neardup_ingestion(spark, tmp_path):
     ingest(spark.createDataFrame(batch2, "doc_id long, text string"), 99)
     accepted2 = sorted(r["doc_id"] for r in store.read("accepted_docs").collect())
     assert accepted2 == [1, 2, 5]
+
+
+def test_stream_quantile_equals_batch_sketch(spark, tmp_path):
+    """foreachBatch histogram-sketch merging: after N per-file triggers
+    the persisted sketch equals a single batch build — identical
+    quantile read-offs."""
+    import os
+
+    from job_etl_spark.operators.sketch import histogram_sketch, sketch_quantiles
+    from job_etl_spark.pipeline.runner import TableStore
+    from job_etl_spark.streaming.pipeline import foreach_batch_quantile
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    rows1 = [("a", float(i % 50)) for i in range(60)]
+    rows2 = [("a", float(i % 90)) for i in range(40)] + [("b", 5.0)]
+    spark.createDataFrame(rows1, "g string, v double").coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    spark.createDataFrame(rows2, "g string, v double").coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+
+    store = TableStore(spark, str(tmp_path / "tables"))
+    stream = (
+        spark.readStream.schema("g string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_quantile(store, "sk", "v", ["g"], 0.0, 100.0, nbins=32)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    full = histogram_sketch(
+        spark.createDataFrame(rows1 + rows2, "g string, v double"),
+        "v", ["g"], 0.0, 100.0, 32,
+    )
+    got = {(r["g"], r["bin"]): r["cnt"] for r in store.read("sk").collect()}
+    want = {(r["g"], r["bin"]): r["cnt"] for r in full.collect()}
+    assert got == want
+
+    qs = {"p50": 0.5, "p90": 0.9}
+    a = sketch_quantiles(store.read("sk"), ["g"], qs, 0.0, 100.0, 32).collect()
+    b = sketch_quantiles(full, ["g"], qs, 0.0, 100.0, 32).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
