@@ -655,16 +655,17 @@ def q126_bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
     s = F.concat(
         F.lit("  "), F.array_join(tokens_expr("text"), "  "), F.lit("  ")
     )
-    enc = docs.select("doc_id", "lang", s.alias("s"))
+    # nb rides the rewrite chain so the before/after comparison needs NO
+    # self-join back to docs — the whole apply stays one map stage
+    enc = docs.select(
+        "doc_id", "lang", s.alias("s"), F.size(tokens_expr("text")).alias("nb")
+    )
     for _step, merged_token, _n in merges:
         pair_sp = " " + merged_token.replace("+", "  ") + " "
         repl = " " + merged_token + " "
         enc = enc.withColumn("s", F.regexp_replace("s", _re_escape(pair_sp), repl))
-    n_before = F.size(tokens_expr("text"))
     n_after = F.size(F.filter(F.split(F.col("s"), " "), lambda x: x != ""))
-    joined = docs.select("doc_id", "lang", n_before.alias("nb")).join(
-        enc.select("doc_id", n_after.alias("na")), "doc_id"
-    )
+    joined = enc.select("doc_id", "lang", "nb", n_after.alias("na"))
     return joined.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("nb").alias("tokens_before"),
