@@ -26,6 +26,7 @@ _TIER_BY_FILE = {
     "test_notifier.py": "smoke",
     "test_asof.py": "smoke",
     "test_expectations.py": "smoke",
+    "test_udaf.py": "smoke",
     "test_approx.py": "oracle",  # ~10 s of HLL sampling — too heavy for smoke
     "test_oracle_parity.py": "oracle",
     "test_tz_independence.py": "oracle",
