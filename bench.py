@@ -145,6 +145,8 @@ HEADLINE = [
     "q135_grouped_mode",
     "q136_ewma_segmented",
     "q137_sessions_segmented",
+    "q138_cooccurrence",
+    "q139_ab_test",
 ]
 
 

@@ -662,3 +662,162 @@ QUERIES.update(
         "q137_sessions_segmented": Query(q137_sessions_segmented, _Q137_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# q138 — behavior co-occurrence mining (market-basket over event types):
+# for each pair of event types, how many users do both, and the lift
+# over independence. The pair space is |types|² (bounded, tiny) — pairs
+# come from a self-join of the DISTINCT (user, type) frame, never of raw
+# events; supports and lift are exact decimal arithmetic.
+# ---------------------------------------------------------------------------
+def q138_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").select("user_id", "event_type").distinct()
+    n_users = ev.select("user_id").distinct().count()  # bounded scalar
+    a = ev.alias("a")
+    b = ev.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    singles = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    out = pairs.join(F.broadcast(sa), "type_a").join(F.broadcast(sb), "type_b")
+    lift = F.round(
+        F.col("n_both").cast("decimal(30,10)") * F.lit(int(n_users))
+        / (F.col("n_a") * F.col("n_b")),
+        6,
+    ).cast("double")
+    return out.select("type_a", "type_b", "n_both", "n_a", "n_b", lift.alias("lift"))
+
+
+_Q138_SQL = """
+WITH ev AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), u AS (
+  SELECT COUNT(DISTINCT user_id) AS n_users FROM ev
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+  FROM ev a JOIN ev b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+), singles AS (
+  SELECT event_type, COUNT(*) AS n FROM ev GROUP BY event_type
+)
+SELECT type_a, type_b, n_both, sa.n AS n_a, sb.n AS n_b,
+  CAST(ROUND(CAST(n_both AS DECIMAL(30,10)) * u.n_users / (sa.n * sb.n), 6) AS DOUBLE)
+    AS lift
+FROM pairs
+JOIN singles sa ON sa.event_type = type_a
+JOIN singles sb ON sb.event_type = type_b
+CROSS JOIN u
+"""
+
+
+# ---------------------------------------------------------------------------
+# q139 — A/B experiment analysis with a DETERMINISTIC assignment: users
+# hash into arm A or B (md5 — reproducible, no RNG), and per event type
+# the two arms' value distributions are compared with a Welch t
+# statistic. Means/variances come from one pass of decimal-exact
+# (n, Σx, Σx²) sufficient statistics per (type, arm); the t arithmetic
+# is per-row double math on pre-rounded inputs with a final round.
+# ---------------------------------------------------------------------------
+def q139_ab_test(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").select("user_id", "event_type", "value")
+    arm = F.when(
+        hexint(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))) % 2 == 0,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    stats = (
+        ev.withColumn("arm", arm)
+        .groupBy("event_type", "arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,10)")).alias("sx"),
+            F.sum(
+                (F.col("value") * F.col("value")).cast("decimal(30,10)")
+            ).alias("sxx"),
+        )
+    )
+    mean = F.round(F.col("sx") / F.col("n"), 10).cast("double")
+    # sample variance: (Σx² − (Σx)²/n) / (n−1), decimal-exact then rounded
+    var = F.round(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        / (F.col("n") - 1),
+        10,
+    ).cast("double")
+    stats = stats.select("event_type", "arm", "n", mean.alias("m"), var.alias("v"))
+    a = stats.where(F.col("arm") == "A").select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("m").alias("mean_a"),
+        F.col("v").alias("var_a"),
+    )
+    b = stats.where(F.col("arm") == "B").select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("m").alias("mean_b"),
+        F.col("v").alias("var_b"),
+    )
+    j = a.join(b, "event_type")
+    t = dround(
+        (F.col("mean_a") - F.col("mean_b"))
+        / F.sqrt(F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")),
+        6,
+    )
+    return j.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        dround(F.col("mean_a"), 6).alias("mean_a"),
+        dround(F.col("mean_b"), 6).alias("mean_b"),
+        t.alias("t_stat"),
+        (F.abs(t) > 1.96).alias("significant"),
+    )
+
+
+_Q139_SQL = f"""
+WITH armed AS (
+  SELECT event_type, value,
+    CASE WHEN {_SQL_HEXINT.format(expr="'ab|' || CAST(user_id AS VARCHAR)")} % 2 = 0
+         THEN 'A' ELSE 'B' END AS arm
+  FROM events
+), stats AS (
+  SELECT event_type, arm, COUNT(*) AS n,
+    CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))) / COUNT(*), 10) AS DOUBLE) AS m,
+    CAST(ROUND(
+      (SUM(CAST(value*value AS DECIMAL(30,10)))
+        - SUM(CAST(value AS DECIMAL(30,10))) * SUM(CAST(value AS DECIMAL(30,10))) / COUNT(*))
+      / (COUNT(*) - 1), 10) AS DOUBLE) AS v
+  FROM armed GROUP BY event_type, arm
+), j AS (
+  SELECT a.event_type,
+    a.n AS n_a, b.n AS n_b, a.m AS mean_a, b.m AS mean_b, a.v AS var_a, b.v AS var_b
+  FROM stats a JOIN stats b
+    ON a.event_type = b.event_type AND a.arm = 'A' AND b.arm = 'B'
+)
+SELECT event_type, n_a, n_b,
+  {sql_dround("mean_a", 6)} AS mean_a,
+  {sql_dround("mean_b", 6)} AS mean_b,
+  {sql_dround("(mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)", 6)} AS t_stat,
+  abs({sql_dround("(mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)", 6)}) > 1.96
+    AS significant
+FROM j
+"""
+
+
+QUERIES.update(
+    {
+        "q138_cooccurrence": Query(q138_cooccurrence, _Q138_SQL),
+        "q139_ab_test": Query(q139_ab_test, _Q139_SQL),
+    }
+)
