@@ -29,6 +29,13 @@ _TIME_FAMILY = [
     "q82_gap_filled_hours",
     "q89_scd2_history",
     "q94_snapshot_diff",
+    "q105_windowed_distinct",
+    "q120_compaction_plan",
+    "q125_ewma_smoothing",
+    "q131_ivm_agg",
+    "q133_cohort_matrix",
+    "q136_ewma_segmented",
+    "q137_sessions_segmented",
 ]
 
 
