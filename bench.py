@@ -147,6 +147,7 @@ HEADLINE = [
     "q137_sessions_segmented",
     "q138_cooccurrence",
     "q139_ab_test",
+    "q140_attribution",
 ]
 
 

@@ -821,3 +821,83 @@ QUERIES.update(
         "q139_ab_test": Query(q139_ab_test, _Q139_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# q140 — multi-touch attribution: every 'purchase' distributes credit
+# over the SAME user's preceding touches within a 7-day lookback —
+# last-touch (all credit to the latest) and linear (1/n each) models in
+# one pass. The touch↔conversion pairing is a per-user time-range join
+# (bounded by per-user history, never corpus×corpus); credits are exact
+# decimals (1/n rounded at 10) so both engines agree.
+# ---------------------------------------------------------------------------
+_Q140_LOOKBACK_US = 7 * 86_400 * 1_000_000
+
+
+def q140_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("conv_id"), F.col("t").alias("conv_t")
+    )
+    touch = ev.where(F.col("event_type") != "purchase").select(
+        "user_id", F.col("event_type").alias("touch_type"),
+        F.col("event_id").alias("touch_id"), F.col("t").alias("touch_t"),
+    )
+    pairs = touch.join(conv, "user_id").where(
+        (F.col("touch_t") < F.col("conv_t"))
+        & (F.col("touch_t") >= F.col("conv_t") - _Q140_LOOKBACK_US)
+    )
+    w = Window.partitionBy("conv_id")
+    wrank = Window.partitionBy("conv_id").orderBy(
+        F.desc("touch_t"), F.desc("touch_id")
+    )
+    credited = pairs.withColumn("n_touches", F.count(F.lit(1)).over(w)).withColumn(
+        "rk", F.row_number().over(wrank)
+    )
+    linear = F.round(F.lit(1).cast("decimal(30,10)") / F.col("n_touches"), 10)
+    credited = credited.select(
+        "touch_type",
+        "conv_id",
+        F.when(F.col("rk") == 1, F.lit(1)).otherwise(F.lit(0)).alias("last_touch"),
+        linear.alias("linear"),
+    )
+    return credited.groupBy("touch_type").agg(
+        F.countDistinct("conv_id").alias("n_conversions_touched"),
+        F.sum("last_touch").alias("last_touch_credit"),
+        F.round(F.sum("linear"), 6).cast("double").alias("linear_credit"),
+    )
+
+
+_Q140_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t FROM events
+), conv AS (
+  SELECT user_id, event_id AS conv_id, t AS conv_t FROM ev
+  WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id, event_type AS touch_type, event_id AS touch_id, t AS touch_t
+  FROM ev WHERE event_type <> 'purchase'
+), pairs AS (
+  SELECT touch_type, conv_id, touch_t, touch_id,
+    COUNT(*) OVER (PARTITION BY conv_id) AS n_touches,
+    row_number() OVER (PARTITION BY conv_id ORDER BY touch_t DESC, touch_id DESC)
+      AS rk
+  FROM touch JOIN conv USING (user_id)
+  WHERE touch_t < conv_t AND touch_t >= conv_t - {_Q140_LOOKBACK_US}
+)
+SELECT touch_type,
+  COUNT(DISTINCT conv_id) AS n_conversions_touched,
+  SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS last_touch_credit,
+  CAST(ROUND(SUM(ROUND(CAST(1 AS DECIMAL(30,10)) / n_touches, 10)), 6) AS DOUBLE)
+    AS linear_credit
+FROM pairs GROUP BY touch_type
+"""
+
+
+QUERIES.update(
+    {
+        "q140_attribution": Query(q140_attribution, _Q140_SQL),
+    }
+)
