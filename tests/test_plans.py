@@ -92,6 +92,17 @@ _PRUNED_SCANS = {
     "q96_kmv_distinct": ("events.parquet", {"event_type", "user_id"}),
     "q100_group_sample": ("documents.parquet", {"doc_id", "lang", "source"}),
     "q59_train_test_split": ("documents.parquet", {"doc_id", "lang"}),
+    "q117_bigram_perplexity": ("documents.parquet", {"doc_id", "lang", "text"}),
+    "q119_cdc_chunks": ("documents.parquet", {"doc_id", "lang", "text"}),
+    "q121_join_size_estimate": ("part.parquet", {"p_partkey"}),
+    "q127_curriculum_phases": ("documents.parquet", {"doc_id", "n_chars"}),
+    "q128_training_order": ("documents.parquet", {"doc_id", "n_chars"}),
+    "q130_skew_report": ("events.parquet", {"user_id"}),
+    "q133_cohort_matrix": ("events.parquet", {"user_id", "ts"}),
+    # (q134's 6-column lineitem pin is unverifiable — Spark truncates the
+    # ReadSchema string in plan output beyond ~5 columns)
+    "q137_sessions_segmented": ("events.parquet", {"user_id", "ts"}),
+    "q140_attribution": ("events.parquet", {"user_id", "event_id", "event_type", "ts"}),
 }
 
 
