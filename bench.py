@@ -148,6 +148,7 @@ HEADLINE = [
     "q138_cooccurrence",
     "q139_ab_test",
     "q140_attribution",
+    "q141_interpolated_hours",
 ]
 
 

@@ -901,3 +901,97 @@ QUERIES.update(
         "q140_attribution": Query(q140_attribution, _Q140_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# q141 — linear-interpolation gap fill (the TS-repair step between q82's
+# carry-forward fill and a model): missing hours on the spine get
+# prev + (next − prev)·(h − h_prev)/(h_next − h_prev); edges fall back
+# to the nearest observation. Two IGNORE NULLS window passes over the
+# SPINE (hours, not raw events) — per-row IEEE double arithmetic, engine
+# exact; observed averages come decimal-rounded from the aggregate.
+# ---------------------------------------------------------------------------
+_Q141_HOUR_US = 3_600_000_000
+
+
+def q141_interpolated_hours(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").where(F.col("event_type") == "purchase")
+    bucket = F.expr(f"unix_micros(ts) div {_Q141_HOUR_US} * {_Q141_HOUR_US}")
+    agg = ev.groupBy(bucket.alias("hour_us")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(30,6)")) / F.count(F.lit(1)), 6)
+        .cast("double")
+        .alias("avg_value"),
+    )
+    spine = agg.agg(F.min("hour_us").alias("lo"), F.max("hour_us").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi", F.lit(_Q141_HOUR_US))).alias("hour_us")
+    )
+    joined = spine.join(agg, "hour_us", "left")
+    w_back = Window.orderBy("hour_us").rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = Window.orderBy("hour_us").rowsBetween(0, Window.unboundedFollowing)
+    obs_h = F.when(F.col("avg_value").isNotNull(), F.col("hour_us"))
+    joined = joined.select(
+        "hour_us",
+        F.coalesce("n_events", F.lit(0).cast("bigint")).alias("n_events"),
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(w_back).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(w_back).alias("ph"),
+        F.first("avg_value", ignorenulls=True).over(w_fwd).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(w_fwd).alias("nh"),
+    )
+    frac = (F.col("hour_us") - F.col("ph")).cast("double") / (
+        F.col("nh") - F.col("ph")
+    ).cast("double")
+    interp = F.when(F.col("avg_value").isNotNull(), F.col("avg_value")).otherwise(
+        F.when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        ).otherwise(F.coalesce("pv", "nv"))
+    )
+    return joined.select(
+        "hour_us",
+        "n_events",
+        (F.col("avg_value").isNull()).alias("interpolated"),
+        dround(interp, 6).alias("value_filled"),
+    )
+
+
+_Q141_SQL = f"""
+WITH agg AS (
+  SELECT (epoch_us(ts) // {_Q141_HOUR_US}) * {_Q141_HOUR_US} AS hour_us,
+         COUNT(*) AS n_events,
+         CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))) / COUNT(*), 6) AS DOUBLE)
+           AS avg_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), spine AS (
+  SELECT unnest(range((SELECT MIN(hour_us) FROM agg),
+                      (SELECT MAX(hour_us) FROM agg) + 1,
+                      {_Q141_HOUR_US})) AS hour_us
+), joined AS (
+  SELECT s.hour_us, COALESCE(a.n_events, 0) AS n_events, a.avg_value,
+    last_value(a.avg_value IGNORE NULLS) OVER
+      (ORDER BY s.hour_us ROWS UNBOUNDED PRECEDING) AS pv,
+    last_value(CASE WHEN a.avg_value IS NOT NULL THEN s.hour_us END IGNORE NULLS)
+      OVER (ORDER BY s.hour_us ROWS UNBOUNDED PRECEDING) AS ph,
+    first_value(a.avg_value IGNORE NULLS) OVER
+      (ORDER BY s.hour_us ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN a.avg_value IS NOT NULL THEN s.hour_us END IGNORE NULLS)
+      OVER (ORDER BY s.hour_us ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      AS nh
+  FROM spine s LEFT JOIN agg a ON s.hour_us = a.hour_us
+)
+SELECT hour_us, n_events,
+  avg_value IS NULL AS interpolated,
+  {sql_dround('''CASE WHEN avg_value IS NOT NULL THEN avg_value
+       WHEN pv IS NOT NULL AND nv IS NOT NULL
+       THEN pv + (nv - pv) * (CAST(hour_us - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+       ELSE COALESCE(pv, nv) END''', 6)} AS value_filled
+FROM joined
+"""
+
+
+QUERIES.update(
+    {
+        "q141_interpolated_hours": Query(q141_interpolated_hours, _Q141_SQL),
+    }
+)
