@@ -149,6 +149,7 @@ HEADLINE = [
     "q139_ab_test",
     "q140_attribution",
     "q141_interpolated_hours",
+    "q142_rrf_fusion",
 ]
 
 

@@ -995,3 +995,90 @@ QUERIES.update(
         "q141_interpolated_hours": Query(q141_interpolated_hours, _Q141_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# q142 — reciprocal-rank fusion (RRF, Cormack et al.): combine the exact
+# cosine ranking (q26) with the LSH-bucketed ANN ranking (q32) into one
+# list — the standard ensemble step of a retrieval stack (dense + approx,
+# or dense + BM25). Fused score = Σ 1/(60 + rank) over the lists that
+# returned the candidate, as exact decimals; a full-outer join on
+# (query, neighbor) aligns the two bounded result lists (k·|queries|
+# rows — the fusion cost is independent of corpus size).
+# ---------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_TOP = 3
+
+
+def q142_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.queries.lifedata import (
+        q26_ann_cosine_topk,
+        q32_ann_lsh_bucketed,
+    )
+
+    contrib = lambda rn: F.round(  # noqa: E731
+        F.lit(1).cast("decimal(20,12)") / (F.lit(_RRF_K) + rn), 12
+    )
+    r1 = q26_ann_cosine_topk(spark, sf).select(
+        "q_id", "neighbor_id", contrib(F.col("rn")).alias("s1")
+    )
+    r2 = q32_ann_lsh_bucketed(spark, sf).select(
+        "q_id", "neighbor_id", contrib(F.col("rn")).alias("s2")
+    )
+    fused = r1.join(r2, ["q_id", "neighbor_id"], "full_outer").select(
+        "q_id",
+        "neighbor_id",
+        (
+            F.coalesce("s1", F.lit(0).cast("decimal(20,12)"))
+            + F.coalesce("s2", F.lit(0).cast("decimal(20,12)"))
+        ).alias("rrf"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("rrf"), F.asc("neighbor_id"))
+    return (
+        fused.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= _RRF_TOP)
+        .select(
+            "q_id",
+            "rn",
+            "neighbor_id",
+            # exact 1e-12 units: decimal→double conversion differs by 1 ulp
+            # between engines, so the score ships as an exact integer
+            (F.col("rrf") * F.lit(10**12)).cast("bigint").alias("rrf_score_e12"),
+        )
+    )
+
+
+def _q142_sql() -> str:
+    from job_etl_spark.queries.lifedata import QUERIES as _LQ
+
+    q26_sql = _LQ["q26_ann_cosine_topk"].oracle
+    q32_sql = _LQ["q32_ann_lsh_bucketed"].oracle
+    c = f"ROUND(CAST(1 AS DECIMAL(20,12)) / ({_RRF_K} + rn), 12)"
+    return f"""
+WITH r1 AS (
+  SELECT q_id, neighbor_id, {c} AS s1 FROM ({q26_sql})
+), r2 AS (
+  SELECT q_id, neighbor_id, {c} AS s2 FROM ({q32_sql})
+), fused AS (
+  SELECT COALESCE(r1.q_id, r2.q_id) AS q_id,
+    COALESCE(r1.neighbor_id, r2.neighbor_id) AS neighbor_id,
+    COALESCE(s1, 0) + COALESCE(s2, 0) AS rrf
+  FROM r1 FULL OUTER JOIN r2
+    ON r1.q_id = r2.q_id AND r1.neighbor_id = r2.neighbor_id
+), ranked AS (
+  SELECT q_id, neighbor_id, rrf,
+    CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, neighbor_id ASC)
+      AS INT) AS rn
+  FROM fused
+)
+SELECT q_id, rn, neighbor_id,
+  CAST(rrf * 1000000000000 AS BIGINT) AS rrf_score_e12
+FROM ranked WHERE rn <= {_RRF_TOP}
+"""
+
+
+QUERIES.update(
+    {
+        "q142_rrf_fusion": Query(q142_rrf_fusion, _q142_sql()),
+    }
+)

@@ -23,6 +23,7 @@ _BNLJ_OK = {
     "q51_top_supplier",  # 1-row global-max cross join
     "q57_inactive_rich_customers",  # 1-row global-avg cross join
     "q104_topk_bounds",  # 1-row kth-lb threshold cross join
+    "q142_rrf_fusion",  # composes q26's 10-row broadcast query set
 }
 
 
