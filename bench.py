@@ -150,6 +150,7 @@ HEADLINE = [
     "q140_attribution",
     "q141_interpolated_hours",
     "q142_rrf_fusion",
+    "q143_neardup_degree",
 ]
 
 

@@ -1082,3 +1082,51 @@ QUERIES.update(
         "q142_rrf_fusion": Query(q142_rrf_fusion, _q142_sql()),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# q143 — near-dup graph degree distribution (the corpus-clustering
+# diagnostic a curation run reads before choosing a dedup policy: a few
+# giant hubs ⇒ boilerplate/templates; uniform low degree ⇒ organic
+# near-dups). Composes q31's blocked simhash pairs; every doc (including
+# isolated ones) lands in a degree bucket. Pair volume is band-bounded
+# (q31), the rest is two hash aggs.
+# ---------------------------------------------------------------------------
+def q143_neardup_degree(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.queries.lifedata import q31_simhash_neardup
+
+    pairs = q31_simhash_neardup(spark, sf)
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    docs = table(spark, sf, "documents").select("doc_id")
+    all_deg = docs.join(deg, "doc_id", "left").select(
+        F.coalesce("degree", F.lit(0).cast("bigint")).alias("degree")
+    )
+    return all_deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _q143_sql() -> str:
+    from job_etl_spark.queries.lifedata import QUERIES as _LQ
+
+    q31_sql = _LQ["q31_simhash_neardup"].oracle
+    return f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({q31_sql})
+), ends AS (
+  SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs
+), deg AS (
+  SELECT doc_id, COUNT(*) AS degree FROM ends GROUP BY doc_id
+)
+SELECT COALESCE(deg.degree, 0) AS degree, COUNT(*) AS n_docs
+FROM documents d LEFT JOIN deg ON d.doc_id = deg.doc_id
+GROUP BY 1
+"""
+
+
+QUERIES.update(
+    {
+        "q143_neardup_degree": Query(q143_neardup_degree, _q143_sql()),
+    }
+)
