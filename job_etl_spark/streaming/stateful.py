@@ -169,3 +169,67 @@ def sessionize_stateful(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+_EWMA_OUT_SCHEMA = (
+    "user_id LONG, n_events LONG, ewma DOUBLE"
+)
+_EWMA_STATE_SCHEMA = "s DOUBLE, last_t LONG, n LONG"
+
+
+def _ewma_fn(alpha: float):
+    def fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state
+    ) -> Iterator[pd.DataFrame]:
+        user_id = key[0]
+        s, last_t, n = state.get if state.exists else (0.0, -1, 0)
+        rows: list[tuple[int, int, float]] = []
+        for pdf in pdfs:
+            rows.extend(
+                zip(
+                    pdf["ts_us"].astype("int64"),
+                    pdf["event_id"].astype("int64"),
+                    pdf["value"].astype("float64"),
+                )
+            )
+        rows.sort()
+        for _ts, _eid, x in rows:
+            s = alpha * x + (1.0 - alpha) * s
+            n += 1
+        if rows:
+            last_t = rows[-1][0]
+            state.update((s, last_t, n))
+            yield pd.DataFrame(
+                [(user_id, n, s)], columns=["user_id", "n_events", "ewma"]
+            )
+
+    return fn
+
+
+def ewma_stateful(
+    events: DataFrame,
+    alpha: float = 0.2,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Live per-entity EWMA (q136's zero-init recurrence as a stream):
+    each trigger folds the group's new rows — ordered by (ts, event_id),
+    the same total order as the batch operator — into (s, last_t, n)
+    state and emits the group's updated running value. In-order delivery
+    gives exact batch parity (asserted in tests); late rows fold at
+    arrival (standard EWMA-monitor behavior — the smoothing absorbs
+    them)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .withColumn("ts_us", F.unix_micros(ts_col))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _ewma_fn(alpha),
+            _EWMA_OUT_SCHEMA,
+            _EWMA_STATE_SCHEMA,
+            "append",  # each emission is a final per-trigger snapshot row
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -613,3 +613,59 @@ def test_stream_quantile_equals_batch_sketch(spark, tmp_path):
     a = sketch_quantiles(store.read("sk"), ["g"], qs, 0.0, 100.0, 32).collect()
     b = sketch_quantiles(full, ["g"], qs, 0.0, 100.0, 32).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_ewma_stateful_matches_batch_segmented(spark, tmp_path):
+    """Streaming per-user EWMA (applyInPandasWithState) after draining an
+    in-order file stream equals q136's batch zero-init fold."""
+    import os
+
+    from job_etl_spark.queries.observability import q136_ewma_segmented
+    from job_etl_spark.streaming.stateful import ewma_stateful
+    from job_etl_spark.tables import table as load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    # two time-ordered files → two in-order triggers
+    import pyspark.sql.functions as F
+
+    cut = ev.agg(F.expr("percentile(unix_micros(ts), 0.5)")).first()[0]
+    src = tmp_path / "src"
+    os.makedirs(src)
+    ev.where(F.unix_micros("ts") <= cut).coalesce(1).write.parquet(str(src / "f1"))
+    ev.where(F.unix_micros("ts") > cut).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out_dir = tmp_path / "out"
+    q = (
+        ewma_stateful(stream)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got_rows = spark.read.parquet(str(out_dir)).collect()
+    # keep each user's LAST emission (max n_events)
+    got = {}
+    for r in got_rows:
+        if r["user_id"] not in got or r["n_events"] > got[r["user_id"]][0]:
+            got[r["user_id"]] = (r["n_events"], r["ewma"])
+    want = {
+        r["user_id"]: (r["n_events"], r["ewma"])
+        for r in q136_ewma_segmented(spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    for uid, (n, e) in want.items():
+        gn, ge = got[uid]
+        assert gn == n, (uid, gn, n)
+        assert abs(ge - e) < 5e-7, (uid, ge, e)
