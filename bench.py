@@ -151,6 +151,7 @@ HEADLINE = [
     "q141_interpolated_hours",
     "q142_rrf_fusion",
     "q143_neardup_degree",
+    "q144_bm25",
 ]
 
 

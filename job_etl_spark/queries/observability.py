@@ -19,7 +19,8 @@ from pyspark.sql import functions as F
 from job_etl_spark.ml.dedup import hexint
 from job_etl_spark.operators.expectations import Check, dq_report, dq_report_sql
 from job_etl_spark.queries._util import Query, dround, sql_dround
-from job_etl_spark.tables import table
+from job_etl_spark.functions.chunking import tokens_expr
+from job_etl_spark.tables import parallel_table, table
 
 _SQL_HEXINT = "(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
@@ -1128,5 +1129,123 @@ GROUP BY 1
 QUERIES.update(
     {
         "q143_neardup_degree": Query(q143_neardup_degree, _q143_sql()),
+    }
+)
+
+
+# ---------------------------------------------------------------------------
+# q144 — BM25 ranked retrieval (Robertson/Spärck Jones): the lexical
+# scorer beside the ANN stack (q26/q32/q114) and under the RRF ensemble
+# (q142). One token explode filtered to the query's terms (the inverted-
+# index access pattern — at scale this is a q98 posting-list lookup, not
+# a corpus scan), then per-(doc, term) tf joins the tiny per-term df
+# frame and the global avgdl. ln() applies to a pre-rounded rational and
+# the per-term score is rounded at 8 before the exact decimal sum —
+# engine libm variance absorbed (the q117 discipline).
+# ---------------------------------------------------------------------------
+_Q144_TERMS = ["table", "query", "spark"]
+_Q144_K1 = 1.2
+_Q144_B = 0.75
+_Q144_TOP = 20
+
+
+def q144_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    docs = parallel_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    toks = docs.select("doc_id", tokens_expr("text").alias("toks"))
+    lens = toks.select("doc_id", F.size("toks").alias("dl"))
+    n_docs = lens.count()  # bounded scalar (oracle recomputes in SQL)
+    avgdl = lens.agg(
+        F.round(F.sum(F.col("dl").cast("decimal(30,8)")) / F.count(F.lit(1)), 8)
+        .cast("double")
+        .alias("a")
+    ).first()["a"]
+    terms = toks.select(
+        "doc_id", F.explode("toks").alias("term")
+    ).where(F.col("term").isin(_Q144_TERMS))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # idf = ln(1 + (N − df + 0.5)/(df + 0.5)) on a pre-rounded ratio
+    ratio = F.round(
+        (F.lit(n_docs) - F.col("df") + F.lit(0.5)).cast("decimal(30,12)")
+        / (F.col("df") + F.lit(0.5)),
+        12,
+    ).cast("double")
+    idf = dround(F.log(F.lit(1.0) + ratio), 8)
+    df_ = df_.select("term", idf.alias("idf"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(lens, "doc_id")
+        .withColumn(
+            "term_score",
+            dround(
+                F.col("idf")
+                * (F.col("tf") * (_Q144_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _Q144_K1
+                    * (1 - _Q144_B + _Q144_B * F.col("dl") / F.lit(float(avgdl)))
+                ),
+                8,
+            ),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.round(F.sum(F.col("term_score").cast("decimal(30,8)")), 6)
+        .cast("double")
+        .alias("bm25"),
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        per_doc.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= _Q144_TOP)
+        .select("rn", "doc_id", "n_terms_hit", "bm25")
+    )
+
+
+def _q144_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _Q144_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+), lens AS (
+  SELECT doc_id, len(toks) AS dl FROM toks
+), g AS (
+  SELECT COUNT(*) AS n_docs,
+    CAST(ROUND(SUM(CAST(dl AS DECIMAL(30,8))) / COUNT(*), 8) AS DOUBLE) AS avgdl
+  FROM lens
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(toks) AS term FROM toks
+  ) WHERE term IN ({terms}) GROUP BY 1, 2
+), idf AS (
+  SELECT term,
+    {sql_dround('''ln(1.0 + CAST(ROUND(
+      CAST(g.n_docs - df + 0.5 AS DECIMAL(30,12)) / (df + 0.5), 12) AS DOUBLE))''', 8)}
+      AS idf
+  FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term) CROSS JOIN g
+), scored AS (
+  SELECT tf.doc_id,
+    {sql_dround(f'''idf.idf * (tf.tf * ({_Q144_K1} + 1))
+      / (tf.tf + {_Q144_K1} * (1 - {_Q144_B} + {_Q144_B} * lens.dl / g.avgdl))''', 8)}
+      AS term_score
+  FROM tf JOIN idf USING (term) JOIN lens USING (doc_id) CROSS JOIN g
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_terms_hit,
+    CAST(ROUND(SUM(CAST(term_score AS DECIMAL(30,8))), 6) AS DOUBLE) AS bm25
+  FROM scored GROUP BY doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS rn,
+  doc_id, n_terms_hit, bm25
+FROM per_doc
+QUALIFY rn <= {_Q144_TOP}
+"""
+
+
+QUERIES.update(
+    {
+        "q144_bm25": Query(q144_bm25, _q144_sql()),
     }
 )
