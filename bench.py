@@ -152,6 +152,8 @@ HEADLINE = [
     "q142_rrf_fusion",
     "q143_neardup_degree",
     "q144_bm25",
+    "q145_snippets",
+    "q146_calibration",
 ]
 
 

@@ -1249,3 +1249,155 @@ QUERIES.update(
         "q144_bm25": Query(q144_bm25, _q144_sql()),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# q145 — snippet extraction (the result-rendering step after q144's
+# scoring): per matching doc, the 10-token window with the highest query-
+# term density (ties → earliest), returned as text. Entirely map-side
+# array arithmetic over each doc's term-hit positions — no joins, no
+# shuffle beyond the global top-20 rank.
+# ---------------------------------------------------------------------------
+_Q145_WIN = 10
+_Q145_TOP = 20
+
+
+def q145_snippets(spark: SparkSession, sf: str) -> DataFrame:
+    docs = parallel_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    toks = tokens_expr("text")
+    d = docs.select("doc_id", toks.alias("toks"))
+    hits = F.filter(
+        F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1))),
+        lambda i: F.element_at("toks", i).isin(_Q144_TERMS),
+    )
+    d = d.select("doc_id", "toks", hits.alias("hits")).where(F.size("hits") > 0)
+    best = F.array_max(
+        F.transform(
+            F.col("hits"),
+            lambda p: F.struct(
+                F.size(
+                    F.filter(
+                        F.col("hits"), lambda q: (q >= p) & (q <= p + _Q145_WIN - 1)
+                    )
+                ).alias("density"),
+                (-p).alias("np"),
+            ),
+        )
+    )
+    d = d.select(
+        "doc_id",
+        best.getField("density").alias("density"),
+        (-best.getField("np")).cast("bigint").alias("best_pos"),
+        F.concat_ws(
+            " ", F.slice("toks", -best.getField("np"), _Q145_WIN)
+        ).alias("snippet"),
+    )
+    w = Window.orderBy(F.desc("density"), F.asc("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= _Q145_TOP)
+        .select("rn", "doc_id", "density", "best_pos", "snippet")
+    )
+
+
+def _q145_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _Q144_TERMS)
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+), h AS (
+  SELECT doc_id, toks,
+    list_filter(range(1, len(toks) + 1), i -> toks[i] IN ({terms})) AS hits
+  FROM d
+), b AS (
+  SELECT doc_id, toks,
+    list_max(list_transform(hits, p -> {{
+      'density': len(list_filter(hits, q -> q >= p AND q <= p + {_Q145_WIN - 1})),
+      'np': -p}})) AS best
+  FROM h WHERE len(hits) > 0
+), s AS (
+  SELECT doc_id, best.density AS density,
+    CAST(-best.np AS BIGINT) AS best_pos,
+    array_to_string(toks[-best.np : -best.np + {_Q145_WIN - 1}], ' ') AS snippet
+  FROM b
+)
+SELECT CAST(row_number() OVER (ORDER BY density DESC, doc_id ASC) AS INT) AS rn,
+  doc_id, density, best_pos, snippet
+FROM s QUALIFY rn <= {_Q145_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q146 — score calibration curve (model-eval for the quality filters):
+# decile the corpus by the CHEAP screening score (q129's ttr×length) and
+# report the mean of an independent "gold" signal (1 − top-token share,
+# a repetition-based quality proxy) per decile — the monotonicity check
+# that tells a curator whether the cheap score ranks like the expensive
+# one. One pass computes both scores map-side; ntile + one agg.
+# ---------------------------------------------------------------------------
+def q146_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    docs = parallel_table(spark, sf, "documents").where(F.col("text").isNotNull())
+    toks = tokens_expr("text")
+    d = docs.select("doc_id", "n_chars", toks.alias("toks"))
+    n_tok = F.size("toks")
+    ttr = F.size(F.array_distinct("toks")).cast("decimal(30,8)") / n_tok
+    len_score = F.least(F.lit(1.0), F.col("n_chars") / F.lit(500.0)).cast(
+        "decimal(30,8)"
+    )
+    pred = F.round(ttr * len_score, 6).cast("double")
+    top_share = (
+        F.array_max(
+            F.transform(
+                F.array_distinct("toks"),
+                lambda t: F.size(F.filter("toks", lambda x: x == t)),
+            )
+        ).cast("decimal(30,8)")
+        / n_tok
+    )
+    gold = F.round(F.lit(1).cast("decimal(30,8)") - top_share, 6).cast("double")
+    scored = d.select("doc_id", pred.alias("pred"), gold.alias("gold"))
+    w = Window.orderBy("pred", "doc_id")
+    deciled = scored.withColumn("decile", F.ntile(10).over(w))
+    return deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum(F.col("pred").cast("decimal(30,6)")) / F.count(F.lit(1)), 6)
+        .cast("double")
+        .alias("avg_pred"),
+        F.round(F.sum(F.col("gold").cast("decimal(30,6)")) / F.count(F.lit(1)), 6)
+        .cast("double")
+        .alias("avg_gold"),
+    )
+
+
+_Q146_SQL = """
+WITH d AS (
+  SELECT doc_id, n_chars,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+), scored AS (
+  SELECT doc_id,
+    CAST(ROUND(CAST(len(list_distinct(toks)) AS DECIMAL(30,8)) / len(toks)
+      * CAST(least(1.0, n_chars / 500.0) AS DECIMAL(30,8)), 6) AS DOUBLE) AS pred,
+    CAST(ROUND(CAST(1 AS DECIMAL(30,8))
+      - CAST(list_max(list_transform(list_distinct(toks),
+          t -> len(list_filter(toks, x -> x = t)))) AS DECIMAL(30,8)) / len(toks),
+      6) AS DOUBLE) AS gold
+  FROM d
+), deciled AS (
+  SELECT *, ntile(10) OVER (ORDER BY pred, doc_id) AS decile FROM scored
+)
+SELECT decile, COUNT(*) AS n_docs,
+  CAST(ROUND(SUM(CAST(pred AS DECIMAL(30,6))) / COUNT(*), 6) AS DOUBLE) AS avg_pred,
+  CAST(ROUND(SUM(CAST(gold AS DECIMAL(30,6))) / COUNT(*), 6) AS DOUBLE) AS avg_gold
+FROM deciled GROUP BY decile
+"""
+
+
+QUERIES.update(
+    {
+        "q145_snippets": Query(q145_snippets, _q145_sql()),
+        "q146_calibration": Query(q146_calibration, _Q146_SQL),
+    }
+)
