@@ -154,6 +154,14 @@ HEADLINE = [
     "q144_bm25",
     "q145_snippets",
     "q146_calibration",
+    "q147_triangle_census",
+    "q148_pagerank",
+    "q149_seasonal_profile",
+    "q150_cusum_changepoint",
+    "q151_activity_streaks",
+    "q152_minhash_error",
+    "q153_hard_negatives",
+    "q154_centroid_separation",
 ]
 
 

@@ -30,6 +30,9 @@ from job_etl_spark.queries import (
     curation,
     modelprep,
     observability,
+    graphs,
+    timeseries,
+    evaluation,
 )
 
 
@@ -66,7 +69,19 @@ def _last_verified_round() -> dict[str, int]:
 
 def registry() -> dict[str, Query]:
     reg: dict[str, Query] = {}
-    for mod in (relational, domain, lifedata, scaleops, sketches, curation, modelprep, observability):
+    for mod in (
+        relational,
+        domain,
+        lifedata,
+        scaleops,
+        sketches,
+        curation,
+        modelprep,
+        observability,
+        graphs,
+        timeseries,
+        evaluation,
+    ):
         for name, q in mod.QUERIES.items():
             if name in reg:
                 raise ValueError(f"duplicate query name {name}")

@@ -1,0 +1,375 @@
+"""Pipeline-evaluation tranche: the "measure, don't guess" operators
+that audit the engine's own approximate components against exact ground
+truth — MinHash's Jaccard estimate vs the true shingle Jaccard (is the
+sketch calibrated?), hard-negative mining for contrastive training-data
+prep, and embedding-space centroid separation (are the labels even
+separable before we train on them?).
+
+Scale shapes: q152 evaluates only the LSH CANDIDATE pairs (the active
+set — never all-pairs); q153 is the q26 bounded-broadcast pattern (a
+literal-sized query set against the corpus); q154 reduces the corpus to
+per-(label, dim) centroids (labels × dims rows) and every join after the
+first aggregation is on that reduced frame, keyed on equi columns (dim),
+so nothing is quadratic in corpus size.
+
+Parity: per-row double arithmetic (incl. IEEE-correctly-rounded sqrt)
+is deterministic; all sums go through exact DECIMAL; ratios are rounded
+as decimals before averaging (queries._util discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from job_etl_spark.queries._util import Query, dround
+from job_etl_spark.tables import parallel_table, table
+
+QUERIES: dict[str, Query] = {}
+
+
+# ---------------------------------------------------------------------------
+# q152 — MinHash calibration audit: for every LSH candidate pair, the
+# signature-agreement estimate (matching components / k) against the
+# exact Jaccard of the shingle-hash sets, grouped by agreement level.
+# A calibrated sketch shows avg_exact ≈ avg_est per level; drift means
+# the permutation family or band layout needs retuning. This is the
+# evaluation loop that justifies every threshold the dedup pipeline
+# (q29/q58) runs with.
+#
+# Exact Jaccard is computed ONLY on candidate pairs (LSH's active set),
+# with the doc → (sig, shingle-set) frame built once and equi-joined to
+# both pair ends — never an all-pairs scan.
+# ---------------------------------------------------------------------------
+def q152_minhash_error(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.ml.dedup import (
+        MINHASH_K,
+        minhash_lsh_candidates,
+        minhash_signature_expr,
+        shingle_hashes_expr,
+        shingles_expr,
+        tokens_expr,
+    )
+
+    docs = parallel_table(spark, sf, "documents")
+    cand = minhash_lsh_candidates(docs, "doc_id", "text").select("doc_a", "doc_b")
+    sigs = (
+        docs.select(
+            "doc_id",
+            shingle_hashes_expr(shingles_expr(tokens_expr("text"))).alias("_hs"),
+        )
+        .select(
+            "doc_id",
+            F.array_distinct("_hs").alias("hs"),
+            minhash_signature_expr(F.col("_hs"), MINHASH_K).alias("sig"),
+        )
+        .where(F.col("sig").isNotNull())
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    pairs = cand.join(a, "doc_a").join(b, "doc_b")
+    m = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size(F.array_union("hs_a", "hs_b"))
+    # divisions run in IEEE double (identical in both engines), then are
+    # decimal-rounded — a decimal-by-integer division rounds the exact
+    # rational in Spark but falls to DOUBLE in DuckDB, and an exact .5 at
+    # the round digit flips between the two (hit in the wild by q154)
+    est = dround(m / F.lit(float(MINHASH_K)), 6)
+    exact = dround(inter / union.cast("double"), 6)
+    scored = pairs.select(
+        m.alias("n_matching"),
+        est.alias("est"),
+        exact.alias("exact"),
+        dround(F.abs(est - exact), 6).alias("abs_err"),
+    )
+    def _avg(c: str) -> F.Column:
+        return dround(
+            F.sum(F.col(c).cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias(f"avg_{c}")
+
+    return scored.groupBy("n_matching").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        _avg("est"),
+        _avg("exact"),
+        _avg("abs_err"),
+    )
+
+
+def _q152_sql() -> str:
+    from job_etl_spark.ml.dedup import MINHASH_K, MINHASH_PRIME, minhash_coefficients
+
+    a, b = minhash_coefficients(MINHASH_K)
+    a_sql = "[" + ", ".join(str(x) for x in a) + "]"
+    b_sql = "[" + ", ".join(str(x) for x in b) + "]"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_transform(
+      list_distinct(list_transform(range(1, len(toks) - 1),
+        i -> array_to_string(toks[i:i+2], ' '))),
+      g -> (('0x' || substr(md5(g), 1, 15))::BIGINT) % {MINHASH_PRIME}) AS hs
+  FROM tok WHERE len(toks) >= 3
+), sig AS (
+  SELECT doc_id, list_distinct(hs) AS hsd,
+    list_transform(range(0, {MINHASH_K}), s ->
+      list_min(list_transform(hs,
+        h -> (({a_sql})[s+1] * h + ({b_sql})[s+1]) % {MINHASH_PRIME}))) AS sig
+  FROM sh WHERE len(hs) > 0
+), banded AS (
+  SELECT doc_id, band,
+    md5(array_to_string(sig[band*4+1 : band*4+4], ',')) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bands
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), scored AS (
+  SELECT
+    len(list_filter(range(0, {MINHASH_K}),
+      s -> sa.sig[s+1] = sb.sig[s+1])) AS n_matching,
+    CAST(ROUND(CAST(len(list_filter(range(0, {MINHASH_K}),
+      s -> sa.sig[s+1] = sb.sig[s+1])) / CAST({MINHASH_K} AS DOUBLE)
+      AS DECIMAL(24,10)), 6) AS DOUBLE) AS est,
+    CAST(ROUND(CAST(CAST(len(list_intersect(sa.hsd, sb.hsd)) AS DOUBLE)
+      / len(list_distinct(sa.hsd || sb.hsd)) AS DECIMAL(24,10)), 6)
+      AS DOUBLE) AS exact
+  FROM cand
+  JOIN sig sa ON cand.doc_a = sa.doc_id
+  JOIN sig sb ON cand.doc_b = sb.doc_id
+)
+SELECT n_matching, COUNT(*) AS n_pairs,
+  CAST(ROUND(CAST(CAST(SUM(CAST(est AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+    AS DECIMAL(24,10)), 6) AS DOUBLE) AS avg_est,
+  CAST(ROUND(CAST(CAST(SUM(CAST(exact AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+    AS DECIMAL(24,10)), 6) AS DOUBLE) AS avg_exact,
+  CAST(ROUND(CAST(CAST(SUM(CAST(
+    CAST(ROUND(CAST(abs(est - exact) AS DECIMAL(24,10)), 6) AS DOUBLE)
+  AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS DECIMAL(24,10)), 6)
+    AS DOUBLE) AS avg_abs_err
+FROM scored GROUP BY n_matching
+"""
+
+
+# ---------------------------------------------------------------------------
+# q153 — hard-negative mining: for each query vector, the top-5 most
+# similar vectors with a DIFFERENT label — the contrastive-learning prep
+# step (hard negatives are what make embedding training data useful).
+# Same bounded-broadcast shape as q26: a literal-sized query set against
+# the corpus, never corpus × corpus.
+# ---------------------------------------------------------------------------
+def q153_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.ml.ann import cosine_expr
+
+    emb = parallel_table(spark, sf, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("vec").alias("q_vec"),
+    )
+    pairs = emb.crossJoin(F.broadcast(queries)).where(
+        F.col("label") != F.col("q_label")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("sim", cosine_expr(F.col("q_vec"), F.col("vec")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select(
+            "q_id",
+            "q_label",
+            "rn",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            dround(F.col("sim"), 6).alias("cosine"),
+        )
+    )
+
+
+_Q153_SQL = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS vec
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS q_id, label AS q_label, vec AS q_vec FROM e WHERE vec_id < 10
+), scored AS (
+  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+    list_dot_product(q.q_vec, e.vec)
+      / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+         * sqrt(list_dot_product(e.vec, e.vec))) AS sim
+  FROM e CROSS JOIN q WHERE e.label <> q.q_label
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT q_id, q_label, rn, vec_id AS negative_id, label AS negative_label,
+  CAST(ROUND(CAST(sim AS DECIMAL(24,10)), 6) AS DOUBLE) AS cosine
+FROM ranked WHERE rn <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# q154 — centroid separation: per label, the average cosine of members
+# to their own centroid vs the nearest OTHER centroid — the
+# dataset-quality gate before training a classifier on the labels
+# (margin ≤ 0 means the label geometry is not separable).
+#
+# The corpus collapses to per-(label, dim) centroids in one aggregation;
+# the member→centroid cosine re-joins on (label, dim) — a map-side-
+# prunable equi-join — and the centroid×centroid stage runs on the
+# labels × dims frame only, equi-keyed on dim (bounded: labels², never
+# corpus²).
+# ---------------------------------------------------------------------------
+def q154_centroid_separation(spark: SparkSession, sf: str) -> DataFrame:
+    emb = parallel_table(spark, sf, "embeddings").select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "val"),
+    )
+    # the mean is divided in IEEE double (exact-decimal sum / count), then
+    # decimal-rounded at 10: a decimal÷bigint here overflows Spark's 38-digit
+    # cap and silently demotes the result scale below the round target
+    cent = emb.groupBy("label", "dim").agg(
+        F.round(
+            (
+                F.sum(F.col("val").cast("decimal(30,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).cast("decimal(26,14)"),
+            10,
+        )
+        .cast("double")
+        .alias("c")
+    )
+    # member → own-centroid cosine
+    joined = emb.join(cent, ["label", "dim"])
+    per_vec = joined.groupBy("vec_id", "label").agg(
+        F.sum((F.col("val") * F.col("c")).cast("decimal(30,12)")).alias("dot"),
+        F.sum((F.col("val") * F.col("val")).cast("decimal(30,12)")).alias("v2"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(30,12)")).alias("c2"),
+    )
+    cos_own = F.col("dot").cast("double") / (
+        F.sqrt(F.col("v2").cast("double")) * F.sqrt(F.col("c2").cast("double"))
+    )
+    intra = per_vec.select(
+        "vec_id", "label", dround(cos_own, 6).alias("cos_own")
+    ).groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        dround(
+            F.sum(F.col("cos_own").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_intra_cos"),
+    )
+    # centroid × centroid (equi-join on dim; labels² pairs)
+    ca = cent.select(
+        F.col("label").alias("la"), "dim", F.col("c").alias("va")
+    )
+    cb = cent.select(
+        F.col("label").alias("lb"), "dim", F.col("c").alias("vb")
+    )
+    cpairs = ca.join(cb, "dim").where(F.col("la") != F.col("lb"))
+    cc = cpairs.groupBy("la", "lb").agg(
+        F.sum((F.col("va") * F.col("vb")).cast("decimal(30,12)")).alias("dot"),
+        F.sum((F.col("va") * F.col("va")).cast("decimal(30,12)")).alias("a2"),
+        F.sum((F.col("vb") * F.col("vb")).cast("decimal(30,12)")).alias("b2"),
+    )
+    cos_cc = F.col("dot").cast("double") / (
+        F.sqrt(F.col("a2").cast("double")) * F.sqrt(F.col("b2").cast("double"))
+    )
+    inter = (
+        cc.select(F.col("la").alias("label"), dround(cos_cc, 6).alias("cos_cc"))
+        .groupBy("label")
+        .agg(F.max("cos_cc").alias("max_inter_cos"))
+    )
+    return intra.join(inter, "label").select(
+        "label",
+        "n_vecs",
+        "avg_intra_cos",
+        "max_inter_cos",
+        dround(F.col("avg_intra_cos") - F.col("max_inter_cos"), 6).alias(
+            "margin"
+        ),
+    )
+
+
+_Q154_SQL = """
+WITH dims AS (
+  SELECT vec_id, label, CAST(u.d AS INT) AS dim, vec[u.d + 1] AS val
+  FROM (
+    SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS vec
+    FROM embeddings
+  ) e,
+  LATERAL (SELECT unnest(range(0, len(e.vec))) AS d) u
+), cent AS (
+  SELECT label, dim,
+    CAST(ROUND(CAST(
+      CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)
+    AS DECIMAL(26,14)), 10) AS DOUBLE) AS c
+  FROM dims GROUP BY 1, 2
+), per_vec AS (
+  SELECT d.vec_id, d.label,
+    SUM(CAST(d.val * c.c AS DECIMAL(30,12))) AS dot,
+    SUM(CAST(d.val * d.val AS DECIMAL(30,12))) AS v2,
+    SUM(CAST(c.c * c.c AS DECIMAL(30,12))) AS c2
+  FROM dims d JOIN cent c ON d.label = c.label AND d.dim = c.dim
+  GROUP BY 1, 2
+), intra AS (
+  SELECT label, COUNT(*) AS n_vecs,
+    CAST(ROUND(CAST(CAST(SUM(CAST(
+      CAST(ROUND(CAST(CAST(dot AS DOUBLE)
+        / (sqrt(CAST(v2 AS DOUBLE)) * sqrt(CAST(c2 AS DOUBLE)))
+      AS DECIMAL(24,10)), 6) AS DOUBLE)
+    AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS DECIMAL(24,10)), 6)
+      AS DOUBLE) AS avg_intra_cos
+  FROM per_vec GROUP BY label
+), cc AS (
+  SELECT a.label AS la, b.label AS lb,
+    SUM(CAST(a.c * b.c AS DECIMAL(30,12))) AS dot,
+    SUM(CAST(a.c * a.c AS DECIMAL(30,12))) AS a2,
+    SUM(CAST(b.c * b.c AS DECIMAL(30,12))) AS b2
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label <> b.label
+  GROUP BY 1, 2
+), inter AS (
+  SELECT la AS label,
+    MAX(CAST(ROUND(CAST(CAST(dot AS DOUBLE)
+      / (sqrt(CAST(a2 AS DOUBLE)) * sqrt(CAST(b2 AS DOUBLE)))
+    AS DECIMAL(24,10)), 6) AS DOUBLE)) AS max_inter_cos
+  FROM cc GROUP BY la
+)
+SELECT i.label, i.n_vecs, i.avg_intra_cos, x.max_inter_cos,
+  CAST(ROUND(CAST(i.avg_intra_cos - x.max_inter_cos AS DECIMAL(24,10)), 6)
+    AS DOUBLE) AS margin
+FROM intra i JOIN inter x ON i.label = x.label
+"""
+
+
+QUERIES.update(
+    {
+        "q152_minhash_error": Query(q152_minhash_error, _q152_sql()),
+        "q153_hard_negatives": Query(q153_hard_negatives, _Q153_SQL),
+        "q154_centroid_separation": Query(q154_centroid_separation, _Q154_SQL),
+    }
+)

@@ -36,6 +36,9 @@ _TIME_FAMILY = [
     "q133_cohort_matrix",
     "q136_ewma_segmented",
     "q137_sessions_segmented",
+    "q149_seasonal_profile",
+    "q150_cusum_changepoint",
+    "q151_activity_streaks",
 ]
 
 
