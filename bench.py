@@ -162,6 +162,9 @@ HEADLINE = [
     "q152_minhash_error",
     "q153_hard_negatives",
     "q154_centroid_separation",
+    "q155_quantile_normalize",
+    "q156_classifier_agreement",
+    "q157_dedup_method_agreement",
 ]
 
 

@@ -373,3 +373,256 @@ QUERIES.update(
         "q154_centroid_separation": Query(q154_centroid_separation, _Q154_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# q155 — per-source quantile normalization of quality scores: a raw
+# global threshold inherits every source's score-scale bias (one crawl's
+# "0.3" is another's top decile); mapping each doc to its within-source
+# percent_rank makes one selection rate comparable across sources — the
+# standard debiasing step before a global quality cut. Output contrasts
+# the two policies' per-source selection counts.
+#
+# percent_rank is (rank−1)/(n−1) in IEEE double over a TOTAL order
+# (score, doc_id) — identical in both engines. One shuffle to the
+# per-source windows, then one aggregation.
+# ---------------------------------------------------------------------------
+_Q155_TAU_RAW = 0.28  # ≈ corpus median of the raw score
+
+
+def q155_quantile_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents").where(F.col("text").isNotNull())
+    toks = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit("")
+    )
+    d = d.select("doc_id", "source", "n_chars", toks.alias("toks"))
+    ttr = F.size(F.array_distinct("toks")) / F.size("toks").cast("double")
+    len_score = F.least(F.lit(1.0), F.col("n_chars") / F.lit(500.0))
+    scored = d.select(
+        "doc_id", "source", dround(ttr * len_score, 6).alias("score")
+    )
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    ranked = scored.withColumn("pct", F.percent_rank().over(w))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("score") >= _Q155_TAU_RAW, 1)).alias(
+            "n_raw_selected"
+        ),
+        F.count(F.when(F.col("pct") >= 0.5, 1)).alias("n_norm_selected"),
+        dround(
+            F.sum(F.col("score").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_score"),
+    )
+
+
+_Q155_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, n_chars,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+), scored AS (
+  SELECT doc_id, source,
+    CAST(ROUND(CAST(
+      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+      * least(1.0, n_chars / 500.0)
+    AS DECIMAL(24,10)), 6) AS DOUBLE) AS score
+  FROM d
+), ranked AS (
+  SELECT *, percent_rank() OVER (
+    PARTITION BY source ORDER BY score, doc_id) AS pct
+  FROM scored
+)
+SELECT source, COUNT(*) AS n_docs,
+  COUNT(CASE WHEN score >= {_Q155_TAU_RAW} THEN 1 END) AS n_raw_selected,
+  COUNT(CASE WHEN pct >= 0.5 THEN 1 END) AS n_norm_selected,
+  CAST(ROUND(CAST(CAST(SUM(CAST(score AS DECIMAL(30,6))) AS DOUBLE)
+    / COUNT(*) AS DECIMAL(24,10)), 6) AS DOUBLE) AS avg_score
+FROM ranked GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# q156 — classifier agreement (Cohen's kappa): the cheap quality score
+# (q146's pred) vs the expensive proxy (its gold), both binarized at
+# their corpus medians. Kappa is the go/no-go for replacing the
+# expensive scorer with the cheap one at corpus scale — raw percent
+# agreement flatters any skewed label distribution; kappa subtracts the
+# chance floor.
+#
+# One map pass computes both scores; ONE aggregation yields the full
+# confusion matrix (count-FILTER), so kappa needs no join at all.
+# ---------------------------------------------------------------------------
+_Q156_TAU_A = 0.28
+_Q156_TAU_B = 0.90
+
+
+def q156_classifier_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents").where(F.col("text").isNotNull())
+    toks = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit("")
+    )
+    d = d.select("doc_id", "n_chars", toks.alias("toks"))
+    n_tok = F.size("toks")
+    ttr = F.size(F.array_distinct("toks")) / n_tok.cast("double")
+    len_score = F.least(F.lit(1.0), F.col("n_chars") / F.lit(500.0))
+    top_share = F.array_max(
+        F.transform(
+            F.array_distinct("toks"),
+            lambda t: F.size(F.filter("toks", lambda x: x == t)),
+        )
+    ) / n_tok.cast("double")
+    flags = d.select(
+        (dround(ttr * len_score, 6) >= _Q156_TAU_A).alias("a"),
+        (dround(F.lit(1.0) - top_share, 6) >= _Q156_TAU_B).alias("b"),
+    )
+    cm = flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("a") & F.col("b"), 1)).alias("n11"),
+        F.count(F.when(F.col("a") & ~F.col("b"), 1)).alias("n10"),
+        F.count(F.when(~F.col("a") & F.col("b"), 1)).alias("n01"),
+        F.count(F.when(~F.col("a") & ~F.col("b"), 1)).alias("n00"),
+    )
+    n = F.col("n_docs").cast("double")
+    po = (F.col("n11") + F.col("n00")) / n
+    pe = (
+        (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        + (F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00"))
+    ) / (n * n)
+    return cm.select(
+        "n_docs",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        dround(po, 6).alias("po"),
+        dround(pe, 6).alias("pe"),
+        dround((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
+_Q156_SQL = f"""
+WITH d AS (
+  SELECT doc_id, n_chars,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE text IS NOT NULL
+), flags AS (
+  SELECT
+    CAST(ROUND(CAST(
+      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+      * least(1.0, n_chars / 500.0)
+    AS DECIMAL(24,10)), 6) AS DOUBLE) >= {_Q156_TAU_A} AS a,
+    CAST(ROUND(CAST(
+      1.0 - CAST(list_max(list_transform(list_distinct(toks),
+        t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE) / len(toks)
+    AS DECIMAL(24,10)), 6) AS DOUBLE) >= {_Q156_TAU_B} AS b
+  FROM d
+), cm AS (
+  SELECT COUNT(*) AS n_docs,
+    COUNT(CASE WHEN a AND b THEN 1 END) AS n11,
+    COUNT(CASE WHEN a AND NOT b THEN 1 END) AS n10,
+    COUNT(CASE WHEN NOT a AND b THEN 1 END) AS n01,
+    COUNT(CASE WHEN NOT a AND NOT b THEN 1 END) AS n00
+  FROM flags
+)
+SELECT n_docs, n11, n10, n01, n00,
+  CAST(ROUND(CAST((n11 + n00) / CAST(n_docs AS DOUBLE)
+    AS DECIMAL(24,10)), 6) AS DOUBLE) AS po,
+  CAST(ROUND(CAST(
+    ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+    / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))
+  AS DECIMAL(24,10)), 6) AS DOUBLE) AS pe,
+  CAST(ROUND(CAST(
+    ((n11 + n00) / CAST(n_docs AS DOUBLE)
+     - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+       / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+    / (1.0 - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+       / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+  AS DECIMAL(24,10)), 6) AS DOUBLE) AS kappa
+FROM cm
+"""
+
+
+# ---------------------------------------------------------------------------
+# q157 — dedup-method agreement: the MinHash-LSH candidate pairs (q29)
+# against the SimHash pairs (q31) as a full-outer set comparison. The
+# two detectors have different failure modes (shingle-set vs weighted-
+# token-bit similarity); their pair-set Jaccard is the cross-check that
+# catches a silently broken band layout or threshold — if agreement
+# collapses between runs, one of the detectors regressed.
+#
+# Both pair generators are band-bounded; the comparison itself is one
+# equi full-outer join on the pair key and one aggregation.
+# ---------------------------------------------------------------------------
+def q157_dedup_method_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.queries.lifedata import (
+        q29_minhash_lsh,
+        q31_simhash_neardup,
+    )
+
+    mh = q29_minhash_lsh(spark, sf).select("doc_a", "doc_b").withColumn(
+        "m", F.lit(1)
+    )
+    sh = q31_simhash_neardup(spark, sf).select("doc_a", "doc_b").withColumn(
+        "s", F.lit(1)
+    )
+    j = mh.join(sh, ["doc_a", "doc_b"], "full_outer")
+    agg = j.agg(
+        F.count(F.when(F.col("m").isNotNull() & F.col("s").isNotNull(), 1)).alias(
+            "n_both"
+        ),
+        F.count(F.when(F.col("m").isNotNull() & F.col("s").isNull(), 1)).alias(
+            "n_minhash_only"
+        ),
+        F.count(F.when(F.col("m").isNull() & F.col("s").isNotNull(), 1)).alias(
+            "n_simhash_only"
+        ),
+    )
+    total = F.col("n_both") + F.col("n_minhash_only") + F.col("n_simhash_only")
+    return agg.select(
+        "n_both",
+        "n_minhash_only",
+        "n_simhash_only",
+        dround(F.col("n_both") / total.cast("double"), 6).alias("pair_jaccard"),
+    )
+
+
+def _q157_sql() -> str:
+    from job_etl_spark.queries.lifedata import _Q29_SQL, _Q31_SQL
+
+    return f"""
+WITH mh AS (SELECT doc_a, doc_b, 1 AS m FROM ({_Q29_SQL})),
+sh AS (SELECT doc_a, doc_b, 1 AS s FROM ({_Q31_SQL})),
+j AS (
+  SELECT COALESCE(mh.m, NULL) AS m, COALESCE(sh.s, NULL) AS s
+  FROM mh FULL OUTER JOIN sh
+    ON mh.doc_a = sh.doc_a AND mh.doc_b = sh.doc_b
+), agg AS (
+  SELECT
+    COUNT(CASE WHEN m IS NOT NULL AND s IS NOT NULL THEN 1 END) AS n_both,
+    COUNT(CASE WHEN m IS NOT NULL AND s IS NULL THEN 1 END) AS n_minhash_only,
+    COUNT(CASE WHEN m IS NULL AND s IS NOT NULL THEN 1 END) AS n_simhash_only
+  FROM j
+)
+SELECT n_both, n_minhash_only, n_simhash_only,
+  CAST(ROUND(CAST(
+    n_both / CAST(n_both + n_minhash_only + n_simhash_only AS DOUBLE)
+  AS DECIMAL(24,10)), 6) AS DOUBLE) AS pair_jaccard
+FROM agg
+"""
+
+
+QUERIES.update(
+    {
+        "q155_quantile_normalize": Query(
+            q155_quantile_normalize, _Q155_SQL
+        ),
+        "q156_classifier_agreement": Query(
+            q156_classifier_agreement, _Q156_SQL
+        ),
+        "q157_dedup_method_agreement": Query(
+            q157_dedup_method_agreement, _q157_sql()
+        ),
+    }
+)
