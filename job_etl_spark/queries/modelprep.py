@@ -517,25 +517,40 @@ def q122_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
         .limit(_Q122_C)
         .collect()
     ]
-    assigned = emb.withColumn("cid", assign_centroid(F.col("vec"), cents))
+    # The assignment table feeds four branches (banding, both vector
+    # fetch-backs, member counts); lazily checkpoint it so the per-vector
+    # centroid argmax runs once — at cluster scale this is the persisted
+    # IVF assignment table, not a bench trick.
+    assigned = emb.withColumn(
+        "cid", assign_centroid(F.col("vec"), cents)
+    ).localCheckpoint(eager=False)
     banded = assigned.select(
         "vec_id", "cid", F.explode(banded_bucket_expr(F.col("vec"), _q122_band_planes())).alias("bk")
     ).select("vec_id", "cid", F.col("bk.band_id").alias("band_id"), F.col("bk.bucket").alias("bucket"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Grouped in-bucket pair expansion (same shape as ml/dedup's LSH
+    # candidates): one pass over the band rows instead of a bucket-equality
+    # self-join that evaluates the banding subtree per side.
+    buckets = (
+        banded.groupBy("cid", "band_id", "bucket")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    n = F.size("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at(F.col("ids"), i).alias("vec_a"),
+                    F.element_at(F.col("ids"), j).alias("vec_b"),
+                ),
+            ),
+        )
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.cid") == F.col("b.cid"))
-            & (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.cid").alias("cid"),
-        )
+        buckets.select("cid", F.explode(pair_arr).alias("p"))
+        .select(F.col("p.vec_a").alias("vec_a"), F.col("p.vec_b").alias("vec_b"), "cid")
         .dropDuplicates(["vec_a", "vec_b"])
     )
     va = assigned.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
@@ -737,9 +752,12 @@ _Q127_PHASES = 4
 
 
 def q127_curriculum_phases(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.operators.ranks import global_ntile
+
     docs = parallel_table(spark, sf, "documents").select("doc_id", "n_chars")
-    w = Window.orderBy("n_chars", "doc_id")
-    phased = docs.withColumn("phase", F.ntile(_Q127_PHASES).over(w))
+    # exact ntile via range-partitioned ranks (operators/ranks.py) — the
+    # plain unpartitioned ntile window serializes the corpus in one task
+    phased = global_ntile(docs, ["n_chars", "doc_id"], _Q127_PHASES, "phase")
     return phased.groupBy("phase").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("n_chars").alias("min_chars"),

@@ -200,22 +200,29 @@ QUERIES: dict[str, Query] = {
 def q130_skew_report(spark: SparkSession, sf: str) -> DataFrame:
     ev = table(spark, sf, "events")
     per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.desc("n"), F.asc("user_id"))
-    ranked = per_key.withColumn("rk", F.row_number().over(w))
-    return ranked.agg(
+    # Totals and the top-10 mass are both bounded aggregates; ranking every
+    # key through one unpartitioned window task would serialize on NDV.
+    totals = per_key.agg(
         F.count(F.lit(1)).alias("ndv"),
         F.sum("n").alias("n_rows"),
         F.max("n").alias("max_freq"),
+    )
+    top10 = (
+        per_key.orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+        .agg(F.sum("n").alias("top10_n"))
+    )
+    return totals.crossJoin(top10).select(
+        "ndv",
+        "n_rows",
+        "max_freq",
         F.round(
-            F.max("n").cast("decimal(30,8)") * F.count(F.lit(1)) / F.sum("n"), 6
+            F.col("max_freq").cast("decimal(30,8)") * F.col("ndv") / F.col("n_rows"),
+            6,
         )
         .cast("double")
         .alias("skew_factor"),
-        F.round(
-            F.sum(F.when(F.col("rk") <= 10, F.col("n"))).cast("decimal(30,8)")
-            / F.sum("n"),
-            6,
-        )
+        F.round(F.col("top10_n").cast("decimal(30,8)") / F.col("n_rows"), 6)
         .cast("double")
         .alias("top10_share"),
     )
@@ -1195,11 +1202,12 @@ def q144_bm25(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("bm25"),
     )
+    # Top-K via orderBy+limit (TakeOrderedAndProject) so the unpartitioned
+    # rank window only ever sees _Q144_TOP rows.
+    top = per_doc.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(_Q144_TOP)
     w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-    return (
-        per_doc.withColumn("rn", F.row_number().over(w).cast("int"))
-        .where(F.col("rn") <= _Q144_TOP)
-        .select("rn", "doc_id", "n_terms_hit", "bm25")
+    return top.withColumn("rn", F.row_number().over(w).cast("int")).select(
+        "rn", "doc_id", "n_terms_hit", "bm25"
     )
 
 
@@ -1292,11 +1300,13 @@ def q145_snippets(spark: SparkSession, sf: str) -> DataFrame:
             " ", F.slice("toks", -best.getField("np"), _Q145_WIN)
         ).alias("snippet"),
     )
+    # Distributed top-K (TakeOrderedAndProject) first; the rank window then
+    # runs over ≤ _Q145_TOP rows. A bare row_number() over an unpartitioned
+    # window would funnel every matching doc through one task.
+    top = d.orderBy(F.desc("density"), F.asc("doc_id")).limit(_Q145_TOP)
     w = Window.orderBy(F.desc("density"), F.asc("doc_id"))
-    return (
-        d.withColumn("rn", F.row_number().over(w).cast("int"))
-        .where(F.col("rn") <= _Q145_TOP)
-        .select("rn", "doc_id", "density", "best_pos", "snippet")
+    return top.withColumn("rn", F.row_number().over(w).cast("int")).select(
+        "rn", "doc_id", "density", "best_pos", "snippet"
     )
 
 
@@ -1357,9 +1367,12 @@ def q146_calibration(spark: SparkSession, sf: str) -> DataFrame:
         / n_tok
     )
     gold = F.round(F.lit(1).cast("decimal(30,8)") - top_share, 6).cast("double")
+    from job_etl_spark.operators.ranks import global_ntile
+
     scored = d.select("doc_id", pred.alias("pred"), gold.alias("gold"))
-    w = Window.orderBy("pred", "doc_id")
-    deciled = scored.withColumn("decile", F.ntile(10).over(w))
+    # exact decile via range-partitioned ranks (operators/ranks.py) — no
+    # single-task global window
+    deciled = global_ntile(scored, ["pred", "doc_id"], 10, "decile")
     return deciled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.sum(F.col("pred").cast("decimal(30,6)")) / F.count(F.lit(1)), 6)

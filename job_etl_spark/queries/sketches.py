@@ -597,7 +597,14 @@ def q103_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
         hexint(F.concat(F.lit("inc|"), F.col("doc_id").cast("string"))) % 10 >= 8
     )
     meta = docs.select("doc_id", "source", is_new.alias("is_new"))
-    bands = minhash_bands(docs).join(meta.select("doc_id", "is_new"), "doc_id")
+    # is_new is a pure function of doc_id, so stamp it on the band rows
+    # directly (no join back to meta), and lazily checkpoint the band
+    # table: three branches (old side, new side, within-batch window) read
+    # it, and without materialization each branch re-runs the whole
+    # shingle→minhash→band pipeline. This IS the query's own state story —
+    # incremental dedup persists exactly this (doc, band, bucket) table.
+    bands = minhash_bands(docs).withColumn("is_new", is_new)
+    bands = bands.localCheckpoint(eager=False)
     old_b = bands.where(~F.col("is_new")).select(
         F.col("doc_id").alias("old_id"), "band", "bucket"
     )

@@ -29,7 +29,9 @@ def get_spark(app_name: str = "jobspark", shuffle_partitions: int | None = None)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("JOBSPARK_DRIVER_MEM", "8g"))
+        # local mode: the driver heap IS the executor heap for all worker
+        # threads — size it for 32 concurrent tasks, not a lone driver
+        .config("spark.driver.memory", os.environ.get("JOBSPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

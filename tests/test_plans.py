@@ -26,6 +26,7 @@ _BNLJ_OK = {
     "q142_rrf_fusion",  # composes q26's 10-row broadcast query set
     "q153_hard_negatives",  # q26's shape: 10-row broadcast query set
     "q147_triangle_census",  # 1-row × 1-row scalar-aggregate combine
+    "q130_skew_report",  # 1-row totals × 1-row top-10-mass combine
 }
 
 

@@ -323,3 +323,39 @@ def test_segmented_ewma_equals_plain_fold(spark):
         for _, _, x in sorted(seq):
             s = _Q136_ALPHA * x + (1 - _Q136_ALPHA) * s
         assert abs(got[uid] - s) < 5e-7, (uid, got[uid], s)
+
+
+def test_global_row_number_matches_window(spark):
+    from pyspark.sql import Window
+
+    from job_etl_spark.operators.ranks import global_row_number
+
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    got = global_row_number(docs, ["n_chars", "doc_id"], "rank")
+    w = Window.orderBy("n_chars", "doc_id")
+    want = docs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_global_ntile_matches_window(spark):
+    from pyspark.sql import Window
+
+    from job_etl_spark.operators.ranks import global_ntile
+
+    docs = table(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    for n in (3, 7, 10):
+        got = global_ntile(docs, ["n_chars", "doc_id"], n, "tile")
+        w = Window.orderBy("n_chars", "doc_id")
+        want = docs.withColumn("tile", F.ntile(n).over(w))
+        assert got.exceptAll(want).count() == 0, n
+        assert want.exceptAll(got).count() == 0, n
+
+
+def test_global_ntile_more_tiles_than_rows(spark):
+    from job_etl_spark.operators.ranks import global_ntile
+
+    five = table(spark, SF_SMOKE, "documents").select("doc_id", "n_chars").limit(5)
+    got = global_ntile(five, ["n_chars", "doc_id"], 100, "tile")
+    tiles = sorted(r["tile"] for r in got.collect())
+    assert tiles == [1, 2, 3, 4, 5]
