@@ -44,7 +44,7 @@ QUERIES: dict[str, Query] = {}
 def q152_minhash_error(spark: SparkSession, sf: str) -> DataFrame:
     from job_etl_spark.ml.dedup import (
         MINHASH_K,
-        minhash_lsh_candidates,
+        lsh_bands,
         minhash_signature_expr,
         shingle_hashes_expr,
         shingles_expr,
@@ -52,7 +52,10 @@ def q152_minhash_error(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     docs = parallel_table(spark, sf, "documents")
-    cand = minhash_lsh_candidates(docs, "doc_id", "text").select("doc_a", "doc_b")
+    # Build the (sig, shingle-set) frame ONCE and lazily checkpoint it:
+    # the candidate generation below and BOTH pair-end joins read it, and
+    # without materialization each branch re-runs the shingle→minhash
+    # pipeline (3 full passes instead of 1).
     sigs = (
         docs.select(
             "doc_id",
@@ -64,6 +67,31 @@ def q152_minhash_error(spark: SparkSession, sf: str) -> DataFrame:
             minhash_signature_expr(F.col("_hs"), MINHASH_K).alias("sig"),
         )
         .where(F.col("sig").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    banded = lsh_bands(sigs.select("doc_id", "sig"), "doc_id", "sig")
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    n = F.size("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at(F.col("ids"), i).alias("doc_a"),
+                    F.element_at(F.col("ids"), j).alias("doc_b"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
     )
     a = sigs.select(
         F.col("doc_id").alias("doc_a"),

@@ -62,14 +62,20 @@ def test_neardup_blocks_are_bounded(spark):
         "bucket" in ln and "band_id" in ln for ln in join_keys_27
     ), p27[:2000]
 
-    # q122 semantic dedup: the within-cluster candidate join must be banded
-    # (centroid, band, bucket) — a bare centroid key is an unbounded block
+    # q122 semantic dedup: candidates must come from bounded (centroid,
+    # band, bucket) blocks — a bare centroid key is an unbounded block.
+    # The grouped in-bucket expansion shows up as an aggregate KEYED on
+    # (cid, band_id, bucket) (collect_list per block); there is no
+    # candidate self-join left to inspect.
     p122 = _plan(_REG["q122_semantic_dedup"].fn(spark, SF_SMOKE))
-    join_keys_122 = [
-        ln for ln in p122.splitlines() if "HashJoin" in ln or "SortMergeJoin" in ln
+    agg_keys_122 = [
+        ln
+        for ln in p122.splitlines()
+        if ("HashAggregate" in ln or "ObjectHashAggregate" in ln or "SortAggregate" in ln)
+        and "keys=" in ln
     ]
-    assert join_keys_122 and any(
-        "bucket" in ln and "band_id" in ln for ln in join_keys_122
+    assert any(
+        "bucket" in ln and "band_id" in ln and "cid" in ln for ln in agg_keys_122
     ), p122[:2000]
 
 
