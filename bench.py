@@ -165,6 +165,7 @@ HEADLINE = [
     "q155_quantile_normalize",
     "q156_classifier_agreement",
     "q157_dedup_method_agreement",
+    "q158_kmeans_train",
 ]
 
 

@@ -162,7 +162,13 @@ def assign_centroid(
             for cid, cvec in centroids
         ]
     )
-    best = F.array_max(
+    return (-_best_centroid(vec, na, book).getField("n")).cast("int")
+
+
+def _best_centroid(vec: Column, na: Column, book: Column) -> Column:
+    """(s = best cosine, n = −winning id) struct for a literal codebook
+    array; shared by assign_centroid and assign_centroid_sim."""
+    return F.array_max(
         F.transform(
             book,
             lambda c: F.struct(
@@ -182,7 +188,32 @@ def assign_centroid(
             ),
         )
     )
-    return (-best.getField("n")).cast("int")
+
+
+def assign_centroid_sim(
+    vec: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """Like assign_centroid, but returns a struct ``(cid int, sim double)``
+    — the winning centroid AND its cosine, for consumers that need the
+    assignment quality (k-means inertia, residual coding)."""
+    na = F.sqrt(
+        F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    book = F.array(
+        *[
+            F.struct(
+                F.lit(cid).alias("i"),
+                F.lit(_py_norm(cvec)).alias("nb"),
+                F.array(*[F.lit(x) for x in cvec]).alias("v"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    best = _best_centroid(vec, na, book)
+    return F.struct(
+        (-best.getField("n")).cast("int").alias("cid"),
+        best.getField("s").alias("sim"),
+    )
 
 
 def ivf_topk(

@@ -1222,3 +1222,137 @@ FROM asg GROUP BY centroid_id
 
 
 QUERIES["q110_kmeans_step"] = Query(q110_kmeans_step, _q110_sql())
+
+
+# ---------------------------------------------------------------------------
+# q158 — k-means codebook TRAINING (multi-round Lloyd, the loop q110 is
+# one step of): deterministic init (the C smallest-id vectors), then R
+# rounds of { shuffle-free cosine assignment (ml/ann.assign_centroid) →
+# one hash agg recomputing every centroid as decimal-exact per-dim means
+# → bounded driver collect (C rows) re-broadcast as next round's literal
+# codebook }. Clusters that lose every member keep their previous vector
+# (no NaN centroids, engine-identical rule). Output: per final centroid,
+# member count + cosine inertia (Σ(1−cos), decimal-summed) + mean
+# assignment similarity — the convergence ledger a codebook trainer
+# actually monitors. Cost model at corpus scale: R × (one projection +
+# one partial-agg'd shuffle of C×dim cells); nothing is quadratic and
+# the only collects are C-row codebooks. Reference: the trained-IVF
+# deployment note in ml/ann.ivf_topk (q48 runs a fixed codebook; this
+# trains one).
+# ---------------------------------------------------------------------------
+_Q158_C = 8
+_Q158_ROUNDS = 3
+
+
+def q158_kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.ml.ann import assign_centroid, assign_centroid_sim
+
+    emb = parallel_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    cents = {
+        r["_cid"]: list(r["_cvec"])
+        for r in emb.select(F.col("vec_id").alias("_cid"), F.col("vec").alias("_cvec"))
+        .orderBy("_cid")
+        .limit(_Q158_C)
+        .collect()
+    }
+    dim = len(next(iter(cents.values())))
+    for _ in range(_Q158_ROUNDS):
+        assigned = emb.withColumn(
+            "cid", assign_centroid(F.col("vec"), sorted(cents.items()))
+        )
+        rows = assigned.groupBy("cid").agg(
+            *[
+                F.round(
+                    F.sum(F.element_at("vec", d + 1).cast("decimal(30,12)"))
+                    / F.count(F.lit(1)),
+                    6,
+                )
+                .cast("double")
+                .alias(f"m{d}")
+                for d in range(dim)
+            ]
+        ).collect()
+        # empty clusters keep their previous centroid
+        cents = {**cents, **{r["cid"]: [r[f"m{d}"] for d in range(dim)] for r in rows}}
+    final = emb.withColumn(
+        "a", assign_centroid_sim(F.col("vec"), sorted(cents.items()))
+    ).select("vec_id", F.col("a.cid").alias("centroid_id"), F.col("a.sim").alias("sim"))
+    return final.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(
+            F.sum(dround(1 - F.col("sim"), 6).cast("decimal(30,6)")), 6
+        )
+        .cast("double")
+        .alias("inertia"),
+        F.round(
+            F.sum(dround(F.col("sim"), 6).cast("decimal(30,6)")) / F.count(F.lit(1)),
+            6,
+        )
+        .cast("double")
+        .alias("avg_sim"),
+    )
+
+
+def _q158_sql() -> str:
+    dim = 64
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+    parts = [
+        f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings
+), c0 AS (
+  SELECT vec_id AS c_id, vec AS c_vec FROM e ORDER BY vec_id LIMIT {_Q158_C}
+)"""
+    ]
+    for r in range(_Q158_ROUNDS):
+        parts.append(
+            f""", a{r} AS (
+  SELECT vec_id, vec, c_id FROM (
+    SELECT e.vec_id, e.vec, c.c_id,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {cos.format(a='e.vec', b='c.c_vec')} DESC, c.c_id ASC) AS arn
+    FROM e CROSS JOIN c{r} c) t
+  WHERE arn = 1
+), m{r} AS (
+  SELECT c_id, ord,
+    CAST(ROUND(SUM(CAST(val AS DECIMAL(30,12))) / COUNT(*), 6) AS DOUBLE) AS m
+  FROM (
+    SELECT c_id, unnest(vec) AS val, unnest(range(1, {dim + 1})) AS ord FROM a{r}
+  ) GROUP BY c_id, ord
+), c{r + 1} AS (
+  SELECT c_id, list(m ORDER BY ord) AS c_vec FROM m{r} GROUP BY c_id
+  UNION ALL
+  SELECT c_id, c_vec FROM c{r} WHERE c_id NOT IN (SELECT c_id FROM m{r})
+)"""
+        )
+    last = f"c{_Q158_ROUNDS}"
+    parts.append(
+        f"""
+SELECT c_id AS centroid_id, COUNT(*) AS n_members,
+  CAST(ROUND(SUM(CAST(
+    CAST(ROUND(CAST(1 - sim AS DECIMAL(24,10)), 6) AS DOUBLE)
+  AS DECIMAL(30,6))), 6) AS DOUBLE) AS inertia,
+  CAST(ROUND(SUM(CAST(
+    CAST(ROUND(CAST(sim AS DECIMAL(24,10)), 6) AS DOUBLE)
+  AS DECIMAL(30,6))) / COUNT(*), 6) AS DOUBLE) AS avg_sim
+FROM (
+  SELECT vec_id, c_id, sim FROM (
+    SELECT e.vec_id, c.c_id,
+      {cos.format(a='e.vec', b='c.c_vec')} AS sim,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        {cos.format(a='e.vec', b='c.c_vec')} DESC, c.c_id ASC) AS arn
+    FROM e CROSS JOIN {last} c) t
+  WHERE arn = 1
+)
+GROUP BY c_id
+"""
+    )
+    return "".join(parts)
+
+
+QUERIES["q158_kmeans_train"] = Query(q158_kmeans_train, _q158_sql())
