@@ -389,21 +389,31 @@ def q27_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     banded = emb.select(
         "vec_id", "label", F.explode(bands).alias("bk")
     ).select("vec_id", "label", "bk.band_id", "bk.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # Grouped in-bucket pair expansion (ml/dedup's LSH-candidate shape):
+    # one groupBy shuffle of the id rows instead of a bucket-equality
+    # self-join that ships BOTH sides and re-evaluates the banding
+    # projection per side. Identical pair multiset.
+    buckets = (
+        banded.groupBy("label", "band_id", "bucket")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    n = F.size("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at(F.col("ids"), i).alias("vec_a"),
+                    F.element_at(F.col("ids"), j).alias("vec_b"),
+                ),
+            ),
+        )
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
-        )
+        buckets.select("label", F.explode(pair_arr).alias("p"))
+        .select(F.col("p.vec_a").alias("vec_a"), F.col("p.vec_b").alias("vec_b"), "label")
         # a pair sharing several bands appears once per band — dedup on the
         # pair key before fetching vectors / the (expensive) exact cosine
         .dropDuplicates(["vec_a", "vec_b"])

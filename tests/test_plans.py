@@ -56,10 +56,17 @@ def test_neardup_blocks_are_bounded(spark):
     join_keys_25 = [ln for ln in p25.splitlines() if "HashJoin" in ln or "SortMergeJoin" in ln]
     assert join_keys_25 and any("band" in ln for ln in join_keys_25), p25[:2000]
 
+    # q27: candidates come from the grouped in-bucket expansion — the
+    # bounded block is the aggregate key (label, band_id, bucket)
     p27 = _plan(_REG["q27_embedding_neardup"].fn(spark, SF_SMOKE))
-    join_keys_27 = [ln for ln in p27.splitlines() if "HashJoin" in ln or "SortMergeJoin" in ln]
-    assert join_keys_27 and any(
-        "bucket" in ln and "band_id" in ln for ln in join_keys_27
+    agg_keys_27 = [
+        ln
+        for ln in p27.splitlines()
+        if ("HashAggregate" in ln or "ObjectHashAggregate" in ln or "SortAggregate" in ln)
+        and "keys=" in ln
+    ]
+    assert any(
+        "bucket" in ln and "band_id" in ln and "label" in ln for ln in agg_keys_27
     ), p27[:2000]
 
     # q122 semantic dedup: candidates must come from bounded (centroid,
