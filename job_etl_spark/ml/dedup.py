@@ -139,14 +139,21 @@ def minhash_bands(
     the LSH pipeline. Persisting this table is what makes dedup
     incremental: a new batch joins its bands against the stored corpus
     bands (new×old, no old×old re-pairing) and then appends its own."""
-    # materialize base hashes as a column so the k permutations reuse them
+    # materialize base hashes as a column so the k permutations reuse them.
+    # The degenerate-doc filter is the CHEAP equivalent predicate
+    # (sig IS NULL ⟺ shingle set empty ⟺ fewer than 3 tokens): filtering on
+    # `sig.isNotNull()` lets Catalyst substitute the whole minhash pipeline
+    # into the predicate and sink it below the parallelizing exchange —
+    # the entire signature computation then runs (twice) inside the
+    # single-task scan stage on single-split inputs. The token-count form
+    # sinks harmlessly (one split per row) and prunes early at scale.
     sig = (
-        docs.select(
+        docs.where(F.size(tokens_expr(text_col)) >= 3)
+        .select(
             F.col(id_col),
             shingle_hashes_expr(shingles_expr(tokens_expr(text_col))).alias("_hs"),
         )
         .select(F.col(id_col), minhash_signature_expr(F.col("_hs"), k).alias("sig"))
-        .where(F.col("sig").isNotNull())
     )
     return lsh_bands(sig, id_col, "sig", bands, rows)
 

@@ -56,8 +56,12 @@ def q152_minhash_error(spark: SparkSession, sf: str) -> DataFrame:
     # the candidate generation below and BOTH pair-end joins read it, and
     # without materialization each branch re-runs the shingle→minhash
     # pipeline (3 full passes instead of 1).
+    # cheap equivalent of `sig.isNotNull()` (see ml/dedup.minhash_bands):
+    # a filter on the sig column would sink the whole minhash pipeline
+    # below the parallelizing exchange into the single-task scan stage
     sigs = (
-        docs.select(
+        docs.where(F.size(tokens_expr("text")) >= 3)
+        .select(
             "doc_id",
             shingle_hashes_expr(shingles_expr(tokens_expr("text"))).alias("_hs"),
         )
@@ -66,7 +70,6 @@ def q152_minhash_error(spark: SparkSession, sf: str) -> DataFrame:
             F.array_distinct("_hs").alias("hs"),
             minhash_signature_expr(F.col("_hs"), MINHASH_K).alias("sig"),
         )
-        .where(F.col("sig").isNotNull())
         .localCheckpoint(eager=False)
     )
     banded = lsh_bands(sigs.select("doc_id", "sig"), "doc_id", "sig")

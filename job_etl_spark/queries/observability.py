@@ -1273,12 +1273,19 @@ _Q145_TOP = 20
 def q145_snippets(spark: SparkSession, sf: str) -> DataFrame:
     docs = parallel_table(spark, sf, "documents").where(F.col("text").isNotNull())
     toks = tokens_expr("text")
-    d = docs.select("doc_id", toks.alias("toks"))
-    hits = F.filter(
-        F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1))),
-        lambda i: F.element_at("toks", i).isin(_Q144_TERMS),
+    # Hit positions via posexplode + a filter ON THE GENERATED COLUMN.
+    # The previous array-expression form (`where(size(hits) > 0)`) let
+    # Catalyst push the hits filter below the parallelizing exchange,
+    # re-running the whole tokenize pipeline single-task inside the scan
+    # stage; a predicate on a Generate output cannot sink below it, so the
+    # heavy per-token work stays in the post-exchange parallel stage.
+    hits_df = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.posexplode("toks").alias("p", "t"))
+        .where(F.col("t").isin(_Q144_TERMS))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.col("p") + 1)).alias("hits"))
     )
-    d = d.select("doc_id", "toks", hits.alias("hits")).where(F.size("hits") > 0)
     best = F.array_max(
         F.transform(
             F.col("hits"),
@@ -1292,20 +1299,27 @@ def q145_snippets(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
-    d = d.select(
+    scored = hits_df.select(
         "doc_id",
         best.getField("density").alias("density"),
         (-best.getField("np")).cast("bigint").alias("best_pos"),
+    )
+    # Distributed top-K (TakeOrderedAndProject) first; snippets are then
+    # rendered for ONLY the winning docs by broadcasting the 20-row result
+    # back against the corpus — tokenization runs twice over hit docs but
+    # only the winners' text is sliced.
+    top = scored.orderBy(F.desc("density"), F.asc("doc_id")).limit(_Q145_TOP)
+    joined = docs.select("doc_id", "text").join(F.broadcast(top), "doc_id")
+    out = joined.select(
+        "doc_id",
+        "density",
+        "best_pos",
         F.concat_ws(
-            " ", F.slice("toks", -best.getField("np"), _Q145_WIN)
+            " ", F.slice(toks, F.col("best_pos").cast("int"), _Q145_WIN)
         ).alias("snippet"),
     )
-    # Distributed top-K (TakeOrderedAndProject) first; the rank window then
-    # runs over ≤ _Q145_TOP rows. A bare row_number() over an unpartitioned
-    # window would funnel every matching doc through one task.
-    top = d.orderBy(F.desc("density"), F.asc("doc_id")).limit(_Q145_TOP)
     w = Window.orderBy(F.desc("density"), F.asc("doc_id"))
-    return top.withColumn("rn", F.row_number().over(w).cast("int")).select(
+    return out.withColumn("rn", F.row_number().over(w).cast("int")).select(
         "rn", "doc_id", "density", "best_pos", "snippet"
     )
 
