@@ -49,10 +49,19 @@ def _sql_r12(expr: str) -> str:
 
 
 def _edges(spark: SparkSession, sf: str) -> DataFrame:
-    """The near-dup pair graph: q31's simhash pairs as (doc_a < doc_b)."""
+    """The near-dup pair graph: q31's simhash pairs as (doc_a < doc_b).
+
+    Lazily checkpointed: every graph query reads the edge list more than
+    once (triangle census self-joins it 3×, PageRank reads it per power
+    iteration), and without materialization each read re-runs the whole
+    simhash signature + pair-expansion pipeline."""
     from job_etl_spark.queries.lifedata import q31_simhash_neardup
 
-    return q31_simhash_neardup(spark, sf).select("doc_a", "doc_b")
+    return (
+        q31_simhash_neardup(spark, sf)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
 
 
 def _edges_sql() -> str:
@@ -164,10 +173,18 @@ _PR_TOP = 20
 
 def q148_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     e = _edges(spark, sf)
+    # The edge list derives from the whole simhash near-dup pipeline; it
+    # (and the degree table) is read in EVERY power iteration, so
+    # materialize both once — without the checkpoint each iteration
+    # re-runs signature computation + pair expansion. checkpoint() to
+    # durable storage at cluster scale (ml/cluster.py's pattern).
     sym = e.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionAll(e.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    sym = sym.localCheckpoint(eager=False)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=False
+    )
     docs = table(spark, sf, "documents").select("doc_id")
     n = docs.count()  # bounded scalar (oracle recomputes in SQL)
     teleport = (1.0 - _PR_DAMP) / n
@@ -192,6 +209,9 @@ def q148_pagerank(spark: SparkSession, sf: str) -> DataFrame:
                 * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
             ).alias("rank"),
         )
+        # truncate the per-iteration lineage growth (the classic iterative
+        # plan blow-up); lazy, so no extra job per iteration
+        ranks = ranks.localCheckpoint(eager=False)
     return ranks.orderBy(F.desc("rank"), "doc_id").limit(_PR_TOP)
 
 
