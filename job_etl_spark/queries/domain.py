@@ -202,9 +202,11 @@ def q18_skills_extract(spark: SparkSession, sf: str) -> DataFrame:
     tokens = F.split(F.lower("text"), " ")
     dict_arr = F.array(*[F.lit(s) for s in _SKILL_DICT])
     skills = F.array_sort(F.array_intersect(tokens, dict_arr))
+    # driver output contract: no array columns (the driver's pandas
+    # canonicalizer cannot hash lists) — emit a '|'-joined string instead
     return docs.select(
         "doc_id",
-        skills.alias("skills"),
+        F.concat_ws("|", skills).alias("skills"),
         F.size(skills).cast("bigint").alias("n_skills"),
     )
 
@@ -212,8 +214,8 @@ def q18_skills_extract(spark: SparkSession, sf: str) -> DataFrame:
 _DICT_SQL = "[" + ", ".join(f"'{s}'" for s in _SKILL_DICT) + "]"
 _Q18_SQL = f"""
 SELECT doc_id,
-  list_sort(list_distinct(list_filter(string_split(lower(text), ' '),
-                                      x -> list_contains({_DICT_SQL}, x)))) AS skills,
+  array_to_string(list_sort(list_distinct(list_filter(string_split(lower(text), ' '),
+                                      x -> list_contains({_DICT_SQL}, x)))), '|') AS skills,
   len(list_distinct(list_filter(string_split(lower(text), ' '),
                                 x -> list_contains({_DICT_SQL}, x)))) AS n_skills
 FROM documents

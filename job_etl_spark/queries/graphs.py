@@ -143,7 +143,7 @@ deg AS (
     SELECT doc_a AS doc_id FROM e UNION ALL SELECT doc_b FROM e
   ) GROUP BY doc_id
 ),
-wed AS (SELECT SUM(CAST(deg * (deg - 1) / 2 AS BIGINT)) AS n_wedges FROM deg),
+wed AS (SELECT CAST(SUM(CAST(deg * (deg - 1) / 2 AS BIGINT)) AS BIGINT) AS n_wedges FROM deg),
 ne AS (SELECT COUNT(*) AS n_edges FROM e)
 SELECT ne.n_edges, tri.n_triangles, wed.n_wedges,
   CASE WHEN wed.n_wedges > 0 THEN

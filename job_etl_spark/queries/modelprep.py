@@ -398,7 +398,7 @@ WITH files AS (
       - size_bytes) / {_Q120_TARGET}) AS BIGINT) AS bin
   FROM files
 )
-SELECT event_type, bin, COUNT(*) AS n_files, SUM(size_bytes) AS total_bytes,
+SELECT event_type, bin, COUNT(*) AS n_files, CAST(SUM(size_bytes) AS BIGINT) AS total_bytes,
   MIN(hour) AS hour_from, MAX(hour) AS hour_to
 FROM binned GROUP BY event_type, bin
 """
@@ -461,8 +461,8 @@ WITH lc AS (
 ), merged AS (
   SELECT nl, np FROM lc FULL OUTER JOIN pc USING (k)
 ), agg AS (
-  SELECT COALESCE(SUM(nl * np), 0) AS actual_pairs,
-    SUM(nl) AS n_l, SUM(np) AS n_p,
+  SELECT CAST(COALESCE(SUM(nl * np), 0) AS BIGINT) AS actual_pairs,
+    CAST(SUM(nl) AS BIGINT) AS n_l, CAST(SUM(np) AS BIGINT) AS n_p,
     COUNT(nl) AS ndv_l, COUNT(np) AS ndv_p,
     MAX(nl) AS max_l_freq, MAX(np) AS max_p_freq
   FROM merged
@@ -731,8 +731,8 @@ WITH d0 AS (
     parts.append(
         f"""
 SELECT lang, COUNT(*) AS n_docs,
-  SUM(nb) AS tokens_before,
-  SUM(len(list_filter(string_split(s, ' '), x -> x <> ''))) AS tokens_after,
+  CAST(SUM(nb) AS BIGINT) AS tokens_before,
+  CAST(SUM(len(list_filter(string_split(s, ' '), x -> x <> ''))) AS BIGINT) AS tokens_after,
   CAST(ROUND(CAST(SUM(len(list_filter(string_split(s, ' '), x -> x <> '')))
     AS DECIMAL(30,8)) / SUM(nb), 6) AS DOUBLE) AS compression
 FROM {last} GROUP BY lang"""
@@ -773,7 +773,7 @@ WITH phased AS (
   FROM documents
 )
 SELECT phase, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
-  MAX(n_chars) AS max_chars, SUM(n_chars) AS total_chars
+  MAX(n_chars) AS max_chars, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM phased GROUP BY phase
 """
 
@@ -810,7 +810,7 @@ WITH sharded AS (
   FROM documents
 )
 SELECT k % {_Q128_SHARDS} AS shard, COUNT(*) AS n_docs,
-  SUM(n_chars) AS total_chars, MIN(k) AS first_key, MAX(k) AS last_key
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars, MIN(k) AS first_key, MAX(k) AS last_key
 FROM sharded GROUP BY 1
 """
 
@@ -867,7 +867,7 @@ WITH scored AS (
   ) t
   WHERE score >= t.threshold
 )
-SELECT threshold, COUNT(*) AS n_docs_kept, SUM(n_tok) AS tokens_kept
+SELECT threshold, COUNT(*) AS n_docs_kept, CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
 FROM kept GROUP BY threshold
 """
 

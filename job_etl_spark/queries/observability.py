@@ -234,7 +234,7 @@ WITH per_key AS (
 ), ranked AS (
   SELECT n, row_number() OVER (ORDER BY n DESC, user_id ASC) AS rk FROM per_key
 )
-SELECT COUNT(*) AS ndv, SUM(n) AS n_rows, MAX(n) AS max_freq,
+SELECT COUNT(*) AS ndv, CAST(SUM(n) AS BIGINT) AS n_rows, MAX(n) AS max_freq,
   CAST(ROUND(CAST(MAX(n) AS DECIMAL(30,8)) * COUNT(*) / SUM(n), 6) AS DOUBLE)
     AS skew_factor,
   CAST(ROUND(CAST(SUM(CASE WHEN rk <= 10 THEN n END) AS DECIMAL(30,8)) / SUM(n), 6)
@@ -401,8 +401,12 @@ FROM act GROUP BY cohort_week, offset_weeks
 # exact DECIMAL(38,0) — commutative, so partition order, file order, and
 # engine never matter, and two replicas compare with ONE scan each + an
 # 8-byte exchange. Columns are integer/char-rendered (no raw double →
-# string, whose rendering is engine-specific).
+# string, whose rendering is engine-specific). The exact sum is reduced
+# mod 2^61-1 to a BIGINT so the output type survives the driver's pandas
+# canonicalization (DECIMAL/HUGEINT render as object/float64 there); the
+# mod loses no reconciliation power for a checksum.
 # ---------------------------------------------------------------------------
+_CHECKSUM_MOD = (1 << 61) - 1
 def q134_table_checksum(spark: SparkSession, sf: str) -> DataFrame:
     li = table(spark, sf, "lineitem").select(
         "l_orderkey",
@@ -425,17 +429,19 @@ def q134_table_checksum(spark: SparkSession, sf: str) -> DataFrame:
     )
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(row_hash.cast("decimal(38,0)")).alias("checksum"),
+        (F.sum(row_hash.cast("decimal(38,0)")) % F.lit(_CHECKSUM_MOD))
+        .cast("bigint")
+        .alias("checksum"),
     )
 
 
 _Q134_SQL = f"""
 SELECT COUNT(*) AS n_rows,
-  SUM(CAST({_SQL_HEXINT.format(expr=(
+  CAST(SUM(CAST({_SQL_HEXINT.format(expr=(
       "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) || '|' || "
       "CAST(l_suppkey AS VARCHAR) || '|' || l_returnflag || '|' || l_linestatus "
       "|| '|' || CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)"
-  ))} AS DECIMAL(38,0))) AS checksum
+  ))} AS DECIMAL(38,0))) % {_CHECKSUM_MOD} AS BIGINT) AS checksum
 FROM lineitem
 """
 
@@ -559,7 +565,7 @@ WITH ev AS (
       (s, x) -> s * x) AS d_c
   FROM per_chunk
 ), merged AS (
-  SELECT user_id, SUM(n_c) AS n_events, COUNT(*) AS n_chunks,
+  SELECT user_id, CAST(SUM(n_c) AS BIGINT) AS n_events, COUNT(*) AS n_chunks,
     list_reduce(
       [{{'s': 0.0::DOUBLE, 'd': 1.0::DOUBLE}}] ||
       list({{'s': s_c, 'd': d_c}} ORDER BY chunk),
@@ -660,7 +666,7 @@ WITH ev AS (
          THEN 1 ELSE 0 END AS new_session
   FROM ev
 )
-SELECT user_id, COUNT(*) AS n_events, SUM(new_session) AS n_sessions
+SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_session) AS BIGINT) AS n_sessions
 FROM flagged GROUP BY user_id
 """
 
@@ -897,7 +903,7 @@ WITH ev AS (
 )
 SELECT touch_type,
   COUNT(DISTINCT conv_id) AS n_conversions_touched,
-  SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS last_touch_credit,
+  CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch_credit,
   CAST(ROUND(SUM(ROUND(CAST(1 AS DECIMAL(30,10)) / n_touches, 10)), 6) AS DOUBLE)
     AS linear_credit
 FROM pairs GROUP BY touch_type

@@ -415,7 +415,7 @@ WITH t AS (
   FROM t WHERE n_tokens > 0
 )
 SELECT CAST(floor((cum_tokens - 1) / {_Q93_BUDGET}.0) AS BIGINT) AS shard_id,
-  COUNT(*) AS n_docs, SUM(n_tokens) AS shard_tokens,
+  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
   MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM c GROUP BY 1
 """

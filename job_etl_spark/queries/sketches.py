@@ -259,7 +259,8 @@ def q98_inverted_index(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") <= _POSTINGS_CAP)
         .groupBy("term")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+        # driver contract: no array outputs — '|'-joined sorted posting list
+        .agg(F.concat_ws("|", F.sort_array(F.collect_list("doc_id"))).alias("postings"))
     )
     return stats.join(postings, "term")
 
@@ -273,8 +274,8 @@ WITH t AS (
 ), r AS (
   SELECT *, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM tf
 )
-SELECT term, COUNT(*) AS df, SUM(tf) AS tf_total,
-  list_sort(list(doc_id) FILTER (WHERE rn <= {_POSTINGS_CAP})) AS postings
+SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS tf_total,
+  array_to_string(list_sort(list(doc_id) FILTER (WHERE rn <= {_POSTINGS_CAP})), '|') AS postings
 FROM r GROUP BY term
 """
 
@@ -367,7 +368,8 @@ def q100_group_sample(spark: SparkSession, sf: str) -> DataFrame:
         docs, ["lang", "source"], "doc_id", k=_SAMPLE_K, seed="samp"
     )
     return s.groupBy("lang", "source").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("sampled_ids"),
+        # driver contract: no array outputs — '|'-joined sorted id list
+        F.concat_ws("|", F.sort_array(F.collect_list("doc_id"))).alias("sampled_ids"),
         F.count(F.lit(1)).alias("n_sampled"),
     )
 
@@ -382,7 +384,7 @@ WITH h AS (
     PARTITION BY lang, source ORDER BY hh, doc_id) AS rn
   FROM h
 )
-SELECT lang, source, list_sort(list(doc_id)) AS sampled_ids,
+SELECT lang, source, array_to_string(list_sort(list(doc_id)), '|') AS sampled_ids,
   COUNT(*) AS n_sampled
 FROM r WHERE rn <= {_SAMPLE_K} GROUP BY lang, source
 """
@@ -570,7 +572,7 @@ SELECT d.lang,
        WHEN {h_doc} % 100 < 80 THEN 'train'
        WHEN {h_doc} % 100 < 90 THEN 'val'
        ELSE 'test' END AS split,
-  COUNT(*) AS n_docs, SUM(d.n_tokens) AS sum_tokens
+  COUNT(*) AS n_docs, CAST(SUM(d.n_tokens) AS BIGINT) AS sum_tokens
 FROM scored d LEFT JOIN labeled l ON d.doc_id = l.node
 GROUP BY 1, 2
 """
@@ -780,8 +782,8 @@ WITH ev AS (
   SELECT DISTINCT user_id FROM kept
 ), bounds AS (
   SELECT c.user_id,
-    SUM(COALESCE(k.n, 0)) AS lb,
-    SUM(COALESCE(k.n, t.tau)) AS ub
+    CAST(SUM(COALESCE(k.n, 0)) AS BIGINT) AS lb,
+    CAST(SUM(COALESCE(k.n, t.tau)) AS BIGINT) AS ub
   FROM cand c CROSS JOIN tau t
   LEFT JOIN kept k ON k.shard = t.shard AND k.user_id = c.user_id
   GROUP BY c.user_id
@@ -996,7 +998,8 @@ def q107_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("_rn") <= _Q107_K)
     )
     return picked.groupBy("lang").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("sampled_ids"),
+        # driver contract: no array outputs — '|'-joined sorted id list
+        F.concat_ws("|", F.sort_array(F.collect_list("doc_id"))).alias("sampled_ids"),
         F.sum("w").alias("sampled_tokens"),
     )
 
@@ -1015,7 +1018,8 @@ WITH d AS (
 ), r AS (
   SELECT *, row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rn FROM p
 )
-SELECT lang, list_sort(list(doc_id)) AS sampled_ids, SUM(w) AS sampled_tokens
+SELECT lang, array_to_string(list_sort(list(doc_id)), '|') AS sampled_ids,
+  CAST(SUM(w) AS BIGINT) AS sampled_tokens
 FROM r WHERE rn <= {_Q107_K} GROUP BY lang
 """
 

@@ -1,7 +1,14 @@
 """Local oracle-parity harness — replicates the driver's correctness gate
 (row count + column names + order-insensitive value comparison against a
-DuckDB twin), but STRICTER: values must compare exactly equal after type
-normalization, so anything that passes here passes any laxer hash check.
+DuckDB twin) through BOTH channels:
+
+1. exact Python-value comparison of collected rows (catches any value
+   difference, stricter than a hash); and
+2. the driver's own canonicalization path — both results converted to
+   pandas (DuckDB via ``res.df()``, so HUGEINT→float64 artifacts surface),
+   ``sort_values`` over every column, then dtype-sensitive string
+   rendering — so a query that passes here cannot crash or hash-mismatch
+   the driver's pandas canonicalizer (the r02 q18/q93 failure class).
 """
 
 from __future__ import annotations
@@ -11,6 +18,7 @@ import math
 from dataclasses import dataclass
 
 import duckdb
+import pandas as pd
 
 from job_etl_spark.tables import TABLE_NAMES
 
@@ -53,9 +61,51 @@ class ParityResult:
     detail: str = ""
 
 
+def _canon_cell(v) -> str:
+    """Render a pandas cell the way the driver's hash sees it: integer
+    kinds (python int / numpy int64) and float kinds (python float /
+    float64) are distinct classes, so a DuckDB HUGEINT→float64 column
+    renders 'float:1977.0' against Spark's 'int:1977' and fails."""
+    try:
+        if v is None or pd.isna(v):  # None / NaN / NaT
+            return ""
+    except (TypeError, ValueError):
+        pass
+    import numpy as np
+
+    if isinstance(v, dt.datetime):  # incl. pd.Timestamp from DuckDB .df()
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, dt.date):
+        return f"ts:{dt.datetime(v.year, v.month, v.day).isoformat()}"
+    if isinstance(v, (bool, np.bool_)):
+        return f"bool:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"int:{int(v)}"
+    if isinstance(v, (float, np.floating)):
+        return f"float:{float(v)!r}"
+    return f"{type(v).__name__}:{v!r}"
+
+
+def _driver_canon(pdf: pd.DataFrame) -> list[str]:
+    """The driver's canonicalization: sort by all columns (crashes on
+    unhashable cells, exactly like the driver), then render each cell
+    dtype-sensitively (so bigint 1977 vs float64 1977.0 differ)."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    if len(pdf):
+        pdf = pdf.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    return [
+        "|".join(_canon_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+
+
 def check_query(spark, sf_dir: str, name: str, fn, oracle: str | None) -> ParityResult:
     sdf = fn(spark, sf_dir)
-    srows = sorted((tuple(_norm(v) for v in r) for r in sdf.collect()), key=_key)
+    collected = sdf.collect()
+    srows = sorted((tuple(_norm(v) for v in r) for r in collected), key=_key)
     if oracle is None:
         return ParityResult(name, True, f"rows-only: {len(srows)} rows")
     con = duck_connection(sf_dir)
@@ -63,6 +113,7 @@ def check_query(spark, sf_dir: str, name: str, fn, oracle: str | None) -> Parity
         res = con.execute(oracle)
         dcols = [d[0] for d in res.description]
         drows = sorted((tuple(_norm(v) for v in r) for r in res.fetchall()), key=_key)
+        dpdf = con.execute(oracle).df()
     finally:
         con.close()
     if sdf.columns != dcols:
@@ -73,5 +124,20 @@ def check_query(spark, sf_dir: str, name: str, fn, oracle: str | None) -> Parity
         if a != b:
             return ParityResult(
                 name, False, f"row {i} differs:\n  spark={a!r}\n  duck ={b!r}"
+            )
+    # driver-faithful pandas leg: both sides through pandas + sort + hash
+    spdf = pd.DataFrame([r.asDict() for r in collected], columns=sdf.columns)
+    try:
+        scanon = _driver_canon(spdf)
+        dcanon = _driver_canon(dpdf)
+    except TypeError as e:
+        return ParityResult(name, False, f"driver canonicalizer would crash: {e}")
+    for i, (a, b) in enumerate(zip(scanon, dcanon)):
+        if a != b:
+            return ParityResult(
+                name,
+                False,
+                f"driver-canon row {i} differs (pandas dtype artifact?):\n"
+                f"  spark={a}\n  duck ={b}",
             )
     return ParityResult(name, True, f"{len(srows)} rows match")
