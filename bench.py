@@ -218,7 +218,22 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    print(json.dumps(result))
+    # The driver captures only the LAST ~2000 chars of stdout (verified:
+    # BENCH_r01/r02 "tail" is exactly 2000 chars and starts MID-LINE, so
+    # the full 147-query line lost its front and parsed as null). Emit a
+    # line guaranteed to fit the tail window: headline numbers + the
+    # slowest queries, greedily added while the line stays under budget.
+    # Full per-query detail still lands in BENCH_HISTORY.jsonl.
+    budget = 1800
+    slow = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
+    out = {**result, "n_queries": len(timings), "detail": "BENCH_HISTORY.jsonl"}
+    out["queries"] = {}
+    for k, v in slow.items():
+        out["queries"][k] = v
+        if len(json.dumps(out)) > budget:
+            del out["queries"][k]
+            break
+    print(json.dumps(out))
     _append_history(result, runs)
     spark.stop()
 

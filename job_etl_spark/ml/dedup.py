@@ -265,16 +265,54 @@ def simhash_block_pairs(
     block_cols: tuple[str, ...] = ("lang", "source"),
     id_col: str = "doc_id",
     sig_col: str = "simhash",
-    max_hamming: int = 16,
+    max_hamming: int = 8,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
-    """Blocked near-dup pairs from simhash signatures: groupBy(block) →
-    sorted collect_list → in-array pair expansion with the hamming
-    threshold applied INSIDE the array expression, so non-matching pairs
-    are never rows. Signs each doc once (a bucket-equality self-join
-    would evaluate the signature subtree per side); identical pair
-    multiset. Returns (doc_a, doc_b, hamming) with doc_a < doc_b."""
-    blocks = (
-        sigs.groupBy(*block_cols)
+    """Blocked near-dup pairs from simhash signatures, pigeonhole-banded.
+
+    EXACT for the declared threshold: the signature is split into
+    ``max_hamming + 1`` contiguous bit-bands, so any pair with hamming
+    ≤ max_hamming must agree exactly on at least one band (pigeonhole).
+    Candidates are keyed on ``(block…, band_id, band_bits)`` — not on the
+    bare categorical block — then confirmed with an exact hamming check
+    inside the array expression and de-duplicated across bands. The pair
+    set is identical to the all-pairs-in-block formulation, but a hot
+    (lang='en', source='web') block at corpus scale fans out over
+    ``(max_hamming+1) · 2^band_width`` buckets instead of landing in ONE
+    ``collect_list`` task with an O(n²) in-array expansion.
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b, one row per pair.
+    """
+    nb = max_hamming + 1
+    base, extra = divmod(bits, nb)
+    sig = F.col(sig_col)
+    # Band values are computed ABOVE the explode, from the exploded band
+    # index — `_bval` depends on the Generate's output, so projection
+    # collapse cannot push it (and the signature expression it reads)
+    # below the explode: the signature is structurally guaranteed to
+    # evaluate ONCE per doc, not once per band. (Referencing the sig
+    # inside a per-band struct array lets CollapseProject substitute the
+    # whole simhash subtree into every band — measured 2× wall-clock.)
+    # Band i covers bits [i·base + min(i, extra), +base + (i < extra)).
+    bval_sql = (
+        f"shiftrightunsigned(`{sig_col}`, CAST(_band * {base} + least(_band, {extra}) AS INT)) "
+        f"& CAST(CASE WHEN _band < {extra} THEN {(1 << (base + 1)) - 1} "
+        f"ELSE {(1 << base) - 1} END AS BIGINT)"
+    )
+    # NO isNotNull pre-filter on the signature: Catalyst would substitute
+    # the whole signature pipeline into the predicate and sink it below
+    # the parallelizing exchange into the single-split scan task (the
+    # minhash_bands trap — measured ~2.5× on q31). NULL sigs ride to the
+    # buckets and are excluded by the NULL-propagating hamming filter,
+    # exactly as in the all-pairs formulation.
+    exploded = sigs.select(
+        *block_cols,
+        id_col,
+        sig_col,
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("_band"),
+    ).withColumn("_bval", F.expr(bval_sql))
+    buckets = (
+        exploded.groupBy(*block_cols, "_band", "_bval")
         .agg(F.array_sort(F.collect_list(F.struct(id_col, sig_col))).alias("xs"))
         .where(F.size("xs") >= 2)
     )
@@ -298,8 +336,9 @@ def simhash_block_pairs(
             ),
         )
     )
-    return blocks.select(F.explode(pairs).alias("p")).select(
-        F.col("p.doc_a").alias("doc_a"),
-        F.col("p.doc_b").alias("doc_b"),
-        F.col("p.hamming").alias("hamming"),
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        # a pair agreeing on k bands is generated k times — dedup on the key
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.min("p.hamming").alias("hamming"))
     )

@@ -263,9 +263,11 @@ def with_perceptual_hash(media: DataFrame) -> DataFrame:
 
 def image_neardup_pairs(media: DataFrame, max_hamming: int = 10) -> DataFrame:
     """Near-duplicate image pairs: perceptual hashes, then the same
-    blocked hamming comparison as text simhash (grouped expansion with
-    the threshold inside the array expression — no image×image pass).
-    Block key: the top byte of the hash (coarse gradient signature)."""
+    pigeonhole-banded hamming comparison as text simhash (candidates keyed
+    on (block, band, band_bits) — no image×image pass). The coarse
+    top-byte block alone would cap fan-out at 256 buckets (a skew bound at
+    corpus scale); the bit-bands inside each block remove that bound while
+    keeping the pair set exact for the declared threshold."""
     from pyspark.sql import functions as F
 
     from job_etl_spark.ml.dedup import simhash_block_pairs
@@ -279,4 +281,4 @@ def image_neardup_pairs(media: DataFrame, max_hamming: int = 10) -> DataFrame:
             F.col("phash").alias("simhash"),
         )
     )
-    return simhash_block_pairs(hashed, ("block",), max_hamming=max_hamming)
+    return simhash_block_pairs(hashed, ("block",), max_hamming=max_hamming, bits=64)

@@ -43,7 +43,15 @@ def global_row_number(
         if num_partitions
         else df.repartitionByRange(*cols)
     )
-    with_pid = ranged.withColumn(_PID, F.spark_partition_id())
+    # Materialize the range-partitioned frame ONCE: RangePartitioner samples
+    # with a seed derived from the RDD id (different per job) and AQE may
+    # coalesce the un-numbered range shuffle differently per job — without
+    # this the counts job and the window job can see DIFFERENT partition
+    # boundaries/ids, mismatching the broadcast offsets map (wrong or NULL
+    # global ranks).
+    with_pid = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
+        eager=False
+    )
     # bounded collect: one row PER PARTITION
     counts = {
         r[_PID]: r["n"]
@@ -96,7 +104,11 @@ def global_ntile(
     extra pass over the data."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     ranged = df.repartitionByRange(*cols)
-    with_pid = ranged.withColumn(_PID, F.spark_partition_id())
+    # same single-materialization as global_row_number: both jobs must read
+    # the same physical partitioning (per-job range-sampling seed + AQE)
+    with_pid = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
+        eager=False
+    )
     counts = {
         r[_PID]: r["n"]
         for r in with_pid.groupBy(_PID).agg(F.count(F.lit(1)).alias("n")).collect()

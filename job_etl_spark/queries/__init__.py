@@ -40,11 +40,13 @@ def _last_verified_round() -> dict[str, int]:
     """Map query name -> rotation key from the CORRECTNESS_r*.json history.
 
     The driver verifies only the first 50 registry entries per round, so
-    the registry is ordered: never-verified first (key −1), then queries
-    whose LATEST check was not green (key 0 — a failing query must re-enter
-    the window immediately, not wait out the rotation), then green queries
-    stalest-first (key = round of last green row). Every query cycles
-    through the window within two rounds without manual reordering.
+    the registry is ordered: queries whose LATEST check was not green
+    FIRST (key −2 — a failing query must re-enter the window immediately
+    so its fix lands in the next CORRECTNESS file, even when a backlog of
+    never-verified queries exists), then never-verified (key −1), then
+    green queries stalest-first (key = round of last green row). Every
+    query cycles through the window within a few rounds without manual
+    reordering.
     """
     root = Path(__file__).resolve().parents[2]
     latest: dict[str, tuple[int, bool]] = {}
@@ -63,7 +65,7 @@ def _last_verified_round() -> dict[str, int]:
             if name not in latest or rnd >= latest[name][0]:
                 latest[name] = (rnd, green)
     return {
-        name: (rnd if green else 0) for name, (rnd, green) in latest.items()
+        name: (rnd if green else -2) for name, (rnd, green) in latest.items()
     }
 
 

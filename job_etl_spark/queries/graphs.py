@@ -187,7 +187,10 @@ def q148_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
     docs = table(spark, sf, "documents").select("doc_id")
     n = docs.count()  # bounded scalar (oracle recomputes in SQL)
-    teleport = (1.0 - _PR_DAMP) / n
+    # literal 0.15, matching the SQL twin's CAST(0.15 AS DOUBLE) — the
+    # algebraic form (1.0 - 0.85) evaluates to 0.15000000000000002, a
+    # 1-ulp mismatch injected into every rank before the re-round
+    teleport = 0.15 / n
     ranks = docs.select("doc_id", _r12(F.lit(1.0 / n)).alias("rank"))
     for _ in range(_PR_ITERS):
         contribs = (

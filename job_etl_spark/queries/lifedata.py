@@ -748,21 +748,24 @@ FROM hh
 
 
 # ---------------------------------------------------------------------------
-# q31 — SimHash near-dup pairs (blocked, hamming ≤ 16)
+# q31 — SimHash near-dup pairs (blocked + pigeonhole-banded, hamming ≤ 8).
+# Threshold 8 is the corpus's true near-dup boundary: the pair-hamming
+# histogram at sf0.01 is a tiny tail at ≤8 (actual near-dups) against a
+# random background hump peaking at ~19, so ≤16 was mostly admitting
+# coincidence. 8 also makes pigeonhole banding selective: 9 bands of 6-7
+# bits key candidates on (lang, source, band, band_bits) — a hot
+# (en, web) block fans out over ~9·2^7 buckets instead of ONE
+# collect_list task — while the pair set stays EXACTLY
+# {pairs: hamming ≤ 8} (any such pair agrees on ≥1 of 9 bands).
 # ---------------------------------------------------------------------------
 def q31_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    # blocked pair generation via groupBy(block) → collect_list → in-array
-    # expansion: signs each doc ONCE (the equivalent self-join evaluates
-    # the simhash subtree per join side) and the hamming threshold filters
-    # INSIDE the array expression, so non-matching pairs are never rows.
-    # 3.5× faster than the self-join at sf0.1, identical pair multiset.
     from job_etl_spark.ml.dedup import simhash_block_pairs, with_simhash
 
     docs = parallel_table(spark, sf, "documents")
     sigs = with_simhash(docs, "text", "simhash").select(
         "doc_id", "lang", "source", "simhash"
     )
-    return simhash_block_pairs(sigs, ("lang", "source"), max_hamming=16)
+    return simhash_block_pairs(sigs, ("lang", "source"), max_hamming=8)
 
 
 _Q31_SQL = """
@@ -785,7 +788,7 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM sig a
 JOIN sig b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
 """
 
 

@@ -497,7 +497,9 @@ def q102_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     sigs = with_simhash(surv, "text", "simhash").select(
         "doc_id", "lang", "source", "simhash"
     )
-    pairs = simhash_block_pairs(sigs, ("lang", "source"), max_hamming=16)
+    # hamming ≤ 8 = the true near-dup boundary (see q31); banding is
+    # pigeonhole-exact for the declared threshold
+    pairs = simhash_block_pairs(sigs, ("lang", "source"), max_hamming=8)
     cc = connected_components(pairs.select("doc_a", "doc_b"))
     lab = scored.join(cc, scored.doc_id == cc.node, "left")
     bucket = hexint(F.col("doc_id").cast("string")) % 100
@@ -554,7 +556,7 @@ WITH RECURSIVE scored AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM sig a
   JOIN sig b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-  WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
 ), edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION
@@ -1184,10 +1186,17 @@ def q110_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
     assigned = emb.withColumn("centroid_id", assign_centroid(F.col("vec"), cents))
     aggs = [F.count(F.lit(1)).alias("n_members")]
     for d in range(_Q110_OUT_DIMS):
+        # decimal-exact sum → IEEE-double divide → decimal-round: a
+        # decimal÷bigint division rounds the exact rational in Spark but
+        # falls to DOUBLE in DuckDB — a .5 at the round digit would flip
         aggs.append(
             F.round(
-                F.sum(F.element_at("vec", d + 1).cast("decimal(30,12)"))
-                / F.count(F.lit(1)),
+                (
+                    F.sum(F.element_at("vec", d + 1).cast("decimal(30,12)")).cast(
+                        "double"
+                    )
+                    / F.count(F.lit(1))
+                ).cast("decimal(24,10)"),
                 6,
             )
             .cast("double")
@@ -1202,7 +1211,8 @@ def _q110_sql() -> str:
         "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
     )
     means = ",\n  ".join(
-        f"CAST(ROUND(SUM(CAST(vec[{d + 1}] AS DECIMAL(30,12))) / COUNT(*), 6) AS DOUBLE)"
+        f"CAST(ROUND(CAST(CAST(SUM(CAST(vec[{d + 1}] AS DECIMAL(30,12))) AS DOUBLE)"
+        f" / COUNT(*) AS DECIMAL(24,10)), 6) AS DOUBLE)"
         f" AS mean_{d}"
         for d in range(_Q110_OUT_DIMS)
     )
@@ -1246,6 +1256,7 @@ QUERIES["q110_kmeans_step"] = Query(q110_kmeans_step, _q110_sql())
 # ---------------------------------------------------------------------------
 _Q158_C = 8
 _Q158_ROUNDS = 3
+_Q158_DIM = 64  # embeddings fixture dimension; asserted at run time
 
 
 def q158_kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
@@ -1262,15 +1273,27 @@ def q158_kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
         .collect()
     }
     dim = len(next(iter(cents.values())))
+    # the SQL twin is rendered at import time and cannot probe the data —
+    # fail loudly if the fixture dimension ever drifts from the shared
+    # constant instead of silently training on a truncated unnest range
+    assert dim == _Q158_DIM, f"embeddings dim {dim} != declared {_Q158_DIM}"
     for _ in range(_Q158_ROUNDS):
         assigned = emb.withColumn(
             "cid", assign_centroid(F.col("vec"), sorted(cents.items()))
         )
         rows = assigned.groupBy("cid").agg(
             *[
+                # decimal-exact sum → IEEE-double divide → decimal-round
+                # (the q154 decimal÷bigint parity trap: each round's means
+                # become the next round's codebook LITERALS, so one flipped
+                # digit cascades through every later assignment)
                 F.round(
-                    F.sum(F.element_at("vec", d + 1).cast("decimal(30,12)"))
-                    / F.count(F.lit(1)),
+                    (
+                        F.sum(
+                            F.element_at("vec", d + 1).cast("decimal(30,12)")
+                        ).cast("double")
+                        / F.count(F.lit(1))
+                    ).cast("decimal(24,10)"),
                     6,
                 )
                 .cast("double")
@@ -1291,7 +1314,10 @@ def q158_kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("inertia"),
         F.round(
-            F.sum(dround(F.col("sim"), 6).cast("decimal(30,6)")) / F.count(F.lit(1)),
+            (
+                F.sum(dround(F.col("sim"), 6).cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).cast("decimal(24,10)"),
             6,
         )
         .cast("double")
@@ -1300,7 +1326,7 @@ def q158_kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _q158_sql() -> str:
-    dim = 64
+    dim = _Q158_DIM
     cos = (
         "list_dot_product({a}, {b}) / "
         "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
@@ -1324,7 +1350,8 @@ WITH e AS (
   WHERE arn = 1
 ), m{r} AS (
   SELECT c_id, ord,
-    CAST(ROUND(SUM(CAST(val AS DECIMAL(30,12))) / COUNT(*), 6) AS DOUBLE) AS m
+    CAST(ROUND(CAST(CAST(SUM(CAST(val AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*)
+      AS DECIMAL(24,10)), 6) AS DOUBLE) AS m
   FROM (
     SELECT c_id, unnest(vec) AS val, unnest(range(1, {dim + 1})) AS ord FROM a{r}
   ) GROUP BY c_id, ord
@@ -1341,9 +1368,9 @@ SELECT c_id AS centroid_id, COUNT(*) AS n_members,
   CAST(ROUND(SUM(CAST(
     CAST(ROUND(CAST(1 - sim AS DECIMAL(24,10)), 6) AS DOUBLE)
   AS DECIMAL(30,6))), 6) AS DOUBLE) AS inertia,
-  CAST(ROUND(SUM(CAST(
+  CAST(ROUND(CAST(CAST(SUM(CAST(
     CAST(ROUND(CAST(sim AS DECIMAL(24,10)), 6) AS DOUBLE)
-  AS DECIMAL(30,6))) / COUNT(*), 6) AS DOUBLE) AS avg_sim
+  AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS DECIMAL(24,10)), 6) AS DOUBLE) AS avg_sim
 FROM (
   SELECT vec_id, c_id, sim FROM (
     SELECT e.vec_id, c.c_id,

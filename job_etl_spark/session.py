@@ -17,6 +17,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """min(24g, half of MemAvailable), floored at 2g — big enough for 32
+    concurrent local tasks on this box, safe on small hosts."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(24, avail_gb // 2))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(app_name: str = "jobspark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     sp = shuffle_partitions or int(os.environ.get("JOBSPARK_SHUFFLE_PARTITIONS", "32"))
@@ -30,8 +44,10 @@ def get_spark(app_name: str = "jobspark", shuffle_partitions: int | None = None)
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # local mode: the driver heap IS the executor heap for all worker
-        # threads — size it for 32 concurrent tasks, not a lone driver
-        .config("spark.driver.memory", os.environ.get("JOBSPARK_DRIVER_MEM", "24g"))
+        # threads — size it for 32 concurrent tasks, not a lone driver,
+        # but never above what the host can actually back (a fixed 24g
+        # default fails JVM startup / swaps on smaller hosts)
+        .config("spark.driver.memory", os.environ.get("JOBSPARK_DRIVER_MEM") or _default_driver_mem())
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -63,3 +63,37 @@ def test_single_pass_plan(spark):
     ]
     plan = dq_report(df, checks)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("LocalTableScan") + plan.count("Scan ExistingRDD") <= 1
+
+
+def test_fk_relationship_violation_detected(spark):
+    """dbt `relationships` twin (reference dbt/job_dbt/models/marts/
+    schema.yml: fact_jobs.company_id -> dim_companies.company_id): a child
+    key with no parent is a violation; NULL child keys are not (dbt
+    semantics — nullability is the separate not_null test)."""
+    from job_etl_spark.operators.dq import check_relationships
+
+    fact = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "job_id INT, company_id INT"
+    )
+    dim = spark.createDataFrame([(10,), (20,)], "company_id INT")
+    bad = check_relationships(fact, "company_id", dim, "company_id")
+    assert [r.job_id for r in bad.collect()] == [3]
+
+
+def test_run_dq_reports_fk_violations(spark, tmp_path):
+    """e2e: run_dq must include the relationship check and count orphans."""
+    from job_etl_spark.pipeline.runner import TableStore, run_dq, run_pipeline
+
+    stats = run_pipeline(spark, warehouse=str(tmp_path / "wh"), num_jobs=20)
+    store = TableStore(spark, stats["warehouse"])
+    fact = store.read("fact_jobs")
+    # orphan a company_id: point one row at a key no dim row has
+    broken = fact.withColumn(
+        "company_id",
+        F.when(F.row_number().over(__import__("pyspark").sql.Window.orderBy("hash_key")) == 1,
+               F.lit("__orphan__")).otherwise(F.col("company_id")),
+    )
+    store.rewrite("fact_jobs", broken)
+    results = {r.name: r for r in run_dq(store)}
+    rel = results["fact_jobs.company_id.relationship"]
+    assert rel.violations == 1 and not rel.passed

@@ -85,6 +85,22 @@ def test_neardup_blocks_are_bounded(spark):
         "bucket" in ln and "band_id" in ln and "cid" in ln for ln in agg_keys_122
     ), p122[:2000]
 
+    # q31 simhash: candidates must come from pigeonhole bit-band buckets —
+    # the grouped expansion's aggregate key is (lang, source, _band, _bval),
+    # never the bare categorical (lang, source) block (one collect_list row
+    # per block = one O(n²) task on a hot block at corpus scale)
+    p31 = _plan(_REG["q31_simhash_neardup"].fn(spark, SF_SMOKE))
+    agg_keys_31 = [
+        ln
+        for ln in p31.splitlines()
+        if ("HashAggregate" in ln or "ObjectHashAggregate" in ln or "SortAggregate" in ln)
+        and "keys=" in ln
+        and "collect_list" in ln
+    ]
+    assert agg_keys_31 and all(
+        "_band" in ln and "_bval" in ln for ln in agg_keys_31
+    ), p31[:2000]
+
 
 def test_watermark_scan_pushes_filters(spark):
     """The incremental-scan shape must push its predicate into the
@@ -112,7 +128,6 @@ _PRUNED_SCANS = {
     "q117_bigram_perplexity": ("documents.parquet", {"doc_id", "lang", "text"}),
     "q119_cdc_chunks": ("documents.parquet", {"doc_id", "lang", "text"}),
     "q121_join_size_estimate": ("part.parquet", {"p_partkey"}),
-    "q127_curriculum_phases": ("documents.parquet", {"doc_id", "n_chars"}),
     "q128_training_order": ("documents.parquet", {"doc_id", "n_chars"}),
     "q130_skew_report": ("events.parquet", {"user_id"}),
     "q133_cohort_matrix": ("events.parquet", {"user_id", "ts"}),
@@ -121,6 +136,34 @@ _PRUNED_SCANS = {
     "q137_sessions_segmented": ("events.parquet", {"user_id", "ts"}),
     "q140_attribution": ("events.parquet", {"user_id", "event_id", "event_type", "ts"}),
 }
+
+
+# queries whose input goes through operators/ranks.py materialize the
+# range-partitioned frame (localCheckpoint — partition boundaries must be
+# identical for the counts job and the window job), so the parquet scan
+# lives in the checkpoint's own job, not the final plan. Pruning is
+# verified on the materialized RDD's schema instead: if projection hadn't
+# been pushed below the checkpoint, the RDD would carry every column.
+_PRUNED_CHECKPOINTS = {
+    "q127_curriculum_phases": {"doc_id", "n_chars", "_gr_pid"},
+    "q146_calibration": {"doc_id", "pred", "gold", "_gr_pid"},
+}
+
+
+@pytest.mark.parametrize("name", sorted(_PRUNED_CHECKPOINTS))
+def test_checkpointed_rank_input_is_pruned(spark, name):
+    expected = _PRUNED_CHECKPOINTS[name]
+    df = _REG[name].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "LogicalRDD" in ln]
+    assert scans, f"{name}: no checkpointed RDD scan in plan:\n{plan[:2000]}"
+    import re
+
+    for ln in scans:
+        cols = set(re.findall(r"(\w+)#\d+", ln))
+        assert cols <= expected, (
+            f"{name} checkpointed {cols - expected} beyond the needed {expected}"
+        )
 
 
 @pytest.mark.parametrize("name", sorted(_PRUNED_SCANS))
