@@ -8,6 +8,12 @@ Cross-engine determinism rules (empirically verified against DuckDB 1.0):
 - ``ROUND(double, n)`` differs between engines (Spark rounds the shortest
   decimal repr, DuckDB the binary value) → only ever round DECIMALs.
 - Per-row double arithmetic (+,-,*,/) is IEEE-deterministic and safe.
+- **Never divide a DECIMAL (or a COUNT cast to DECIMAL) by an integer**:
+  Spark rounds the exact rational while DuckDB's ``/`` falls to DOUBLE,
+  so an exact .5 at the round digit flips between engines (hit in the
+  wild by q154; reproduced: Spark 1e-06 vs DuckDB 0.0). Averages go
+  decimal-exact-sum → cast DOUBLE → IEEE divide → decimal-round — the
+  form ``davg``/``sql_davg`` implement.
 """
 
 from __future__ import annotations
@@ -37,8 +43,16 @@ def dsum(c: Column, scale: int = 2) -> Column:
 
 
 def davg(c: Column, scale: int = 6) -> Column:
-    """Exact decimal sum / non-null count, rounded — engine-exact average."""
-    return F.round(F.sum(c.cast(DEC)) / F.count(c), scale).cast("double")
+    """Engine-exact average: exact decimal sum → IEEE-double division by
+    the non-null count → decimal round (see module docstring: a raw
+    decimal÷count rounds differently in Spark vs DuckDB)."""
+    return (
+        F.round(
+            (F.sum(c.cast(DEC)).cast("double") / F.count(c)).cast("decimal(24,10)"),
+            scale,
+        )
+        .cast("double")
+    )
 
 
 def dround(c: Column, scale: int = 2) -> Column:
@@ -52,7 +66,8 @@ def sql_dsum(expr: str, scale: int = 2) -> str:
 
 def sql_davg(expr: str, scale: int = 6) -> str:
     return (
-        f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(30,6))) / COUNT({expr}), {scale}) AS DOUBLE)"
+        f"CAST(ROUND(CAST(CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE)"
+        f" / COUNT({expr}) AS DECIMAL(24,10)), {scale}) AS DOUBLE)"
     )
 
 

@@ -233,7 +233,12 @@ def q112_pq_codes(spark: SparkSession, sf: str) -> DataFrame:
     return pervec.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.countDistinct("code_str").alias("n_distinct_codes"),
-        F.round(F.sum("dist") / F.count(F.lit(1)), 6)
+        # decimal-exact per-vector distortions → IEEE divide → decimal
+        # round (a decimal÷count division rounds differently across engines)
+        F.round(
+            (F.sum("dist").cast("double") / F.count(F.lit(1))).cast("decimal(24,10)"),
+            6,
+        )
         .cast("double")
         .alias("avg_distortion"),
     )
@@ -273,7 +278,8 @@ def _q112_sql() -> str:
 )
 SELECT label, COUNT(*) AS n_vecs,
   COUNT(DISTINCT code_str) AS n_distinct_codes,
-  CAST(ROUND(SUM(dist) / COUNT(*), 6) AS DOUBLE) AS avg_distortion
+  CAST(ROUND(CAST(CAST(SUM(dist) AS DOUBLE) / COUNT(*) AS DECIMAL(24,10)), 6)
+    AS DOUBLE) AS avg_distortion
 FROM pervec GROUP BY label
 """
 

@@ -101,14 +101,26 @@ def q117_bigram_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("bits", bits)
         .groupBy("doc_id", "lang")
         .agg(
-            F.round(F.sum(F.col("bits").cast("decimal(30,8)")) / F.count(F.lit(1)), 6)
+            F.round(
+                (
+                    F.sum(F.col("bits").cast("decimal(30,8)")).cast("double")
+                    / F.count(F.lit(1))
+                ).cast("decimal(24,10)"),
+                6,
+            )
             .cast("double")
             .alias("doc_bits"),
         )
     )
     return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.sum(F.col("doc_bits").cast("decimal(30,6)")) / F.count(F.lit(1)), 6)
+        F.round(
+            (
+                F.sum(F.col("doc_bits").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).cast("decimal(24,10)"),
+            6,
+        )
         .cast("double")
         .alias("avg_bits"),
         F.count(F.when(F.col("doc_bits") > _Q117_FLAG_BITS, 1)).alias("n_flagged"),
@@ -132,14 +144,15 @@ occ AS (
   SELECT bg, COUNT(*) AS c2 FROM occ GROUP BY bg
 ), per_doc AS (
   SELECT occ.doc_id, occ.lang,
-    CAST(ROUND(SUM(CAST(
+    CAST(ROUND(CAST(CAST(SUM(CAST(
       {sql_dround("log2((c1 + v.v)::DOUBLE) - log2((c2 + 1)::DOUBLE)", 8)}
-      AS DECIMAL(30,8))) / COUNT(*), 6) AS DOUBLE) AS doc_bits
+      AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS DECIMAL(24,10)), 6) AS DOUBLE) AS doc_bits
   FROM occ JOIN big USING (bg) JOIN uni USING (w1) CROSS JOIN v
   GROUP BY occ.doc_id, occ.lang
 )
 SELECT lang, COUNT(*) AS n_docs,
-  CAST(ROUND(SUM(CAST(doc_bits AS DECIMAL(30,6))) / COUNT(*), 6) AS DOUBLE) AS avg_bits,
+  CAST(ROUND(CAST(CAST(SUM(CAST(doc_bits AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+    AS DECIMAL(24,10)), 6) AS DOUBLE) AS avg_bits,
   COUNT(CASE WHEN doc_bits > {_Q117_FLAG_BITS} THEN 1 END) AS n_flagged
 FROM per_doc GROUP BY lang
 """
@@ -310,7 +323,11 @@ def q119_cdc_chunks(spark: SparkSession, sf: str) -> DataFrame:
     return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.round(
-            F.sum(F.col("chunk_len").cast("decimal(30,6)")) / F.count(F.lit(1)), 6
+            (
+                F.sum(F.col("chunk_len").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).cast("decimal(24,10)"),
+            6,
         )
         .cast("double")
         .alias("avg_len"),
@@ -337,7 +354,8 @@ d AS (
   FROM b, LATERAL (SELECT unnest(range(1, len(bounds) + 1)) AS i) u
 )
 SELECT lang, COUNT(*) AS n_chunks,
-  CAST(ROUND(SUM(CAST(chunk_len AS DECIMAL(30,6))) / COUNT(*), 6) AS DOUBLE) AS avg_len,
+  CAST(ROUND(CAST(CAST(SUM(CAST(chunk_len AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+    AS DECIMAL(24,10)), 6) AS DOUBLE) AS avg_len,
   MAX(chunk_len) AS max_len
 FROM lens GROUP BY lang
 """

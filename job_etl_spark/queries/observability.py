@@ -80,8 +80,13 @@ UNPIVOT wide ON n_orders, total_price, max_price INTO NAME metric VALUE val
 # no Column is constructed before a SparkSession exists (oracle SQL is
 # rendered at import time; Columns only inside the query call)
 def _ratio(cond: "F.Column") -> "F.Column":
+    # counts are exact in double ≤ 2^53; IEEE divide then decimal-round —
+    # a DECIMAL÷COUNT division rounds differently in Spark vs DuckDB
     return F.round(
-        F.count(F.when(cond, 1)).cast("decimal(30,8)") / F.count(F.lit(1)), 6
+        (F.count(F.when(cond, 1)).cast("double") / F.count(F.lit(1))).cast(
+            "decimal(24,10)"
+        ),
+        6,
     ).cast("double")
 
 
@@ -89,31 +94,33 @@ _Q124_SPECS: list[tuple] = [
     (
         "completeness_orderdate",
         lambda: _ratio(F.col("o_orderdate").isNotNull()),
-        "CAST(ROUND(CAST(COUNT(CASE WHEN o_orderdate IS NOT NULL THEN 1 END) AS DECIMAL(30,8)) / COUNT(*), 6) AS DOUBLE)",
+        "CAST(ROUND(CAST(CAST(COUNT(CASE WHEN o_orderdate IS NOT NULL THEN 1 END) AS DOUBLE) / COUNT(*) AS DECIMAL(24,10)), 6) AS DOUBLE)",
         0.999,
         1.0,
     ),
     (
         "uniqueness_orderkey",
         lambda: F.round(
-            F.countDistinct("o_orderkey").cast("decimal(30,8)") / F.count(F.lit(1)),
+            (
+                F.countDistinct("o_orderkey").cast("double") / F.count(F.lit(1))
+            ).cast("decimal(24,10)"),
             6,
         ).cast("double"),
-        "CAST(ROUND(CAST(COUNT(DISTINCT o_orderkey) AS DECIMAL(30,8)) / COUNT(*), 6) AS DOUBLE)",
+        "CAST(ROUND(CAST(CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(*) AS DECIMAL(24,10)), 6) AS DOUBLE)",
         1.0,
         1.0,
     ),
     (
         "range_totalprice",
         lambda: _ratio((F.col("o_totalprice") > 0) & (F.col("o_totalprice") < 1e6)),
-        "CAST(ROUND(CAST(COUNT(CASE WHEN o_totalprice > 0 AND o_totalprice < 1e6 THEN 1 END) AS DECIMAL(30,8)) / COUNT(*), 6) AS DOUBLE)",
+        "CAST(ROUND(CAST(CAST(COUNT(CASE WHEN o_totalprice > 0 AND o_totalprice < 1e6 THEN 1 END) AS DOUBLE) / COUNT(*) AS DECIMAL(24,10)), 6) AS DOUBLE)",
         1.0,
         1.0,
     ),
     (
         "domain_orderstatus",
         lambda: _ratio(F.col("o_orderstatus").isin("O", "F", "P")),
-        "CAST(ROUND(CAST(COUNT(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 END) AS DECIMAL(30,8)) / COUNT(*), 6) AS DOUBLE)",
+        "CAST(ROUND(CAST(CAST(COUNT(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 END) AS DOUBLE) / COUNT(*) AS DECIMAL(24,10)), 6) AS DOUBLE)",
         1.0,
         1.0,
     ),
@@ -286,14 +293,19 @@ def q131_ivm_agg(spark: SparkSession, sf: str) -> DataFrame:
         "event_type",
         "n_events",
         F.round("sv", 2).cast("double").alias("total_value"),
-        F.round(F.col("sv") / F.col("n_events"), 6).cast("double").alias("avg_value"),
+        F.round(
+            (F.col("sv").cast("double") / F.col("n_events")).cast("decimal(24,10)"), 6
+        )
+        .cast("double")
+        .alias("avg_value"),
     )
 
 
 _Q131_SQL = """
 SELECT event_type, COUNT(*) AS n_events,
   CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))), 2) AS DOUBLE) AS total_value,
-  CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))) / COUNT(*), 6) AS DOUBLE) AS avg_value
+  CAST(ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+    AS DECIMAL(24,10)), 6) AS DOUBLE) AS avg_value
 FROM events GROUP BY event_type
 """
 
@@ -762,11 +774,16 @@ def q139_ab_test(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("sxx"),
         )
     )
-    mean = F.round(F.col("sx") / F.col("n"), 10).cast("double")
-    # sample variance: (Σx² − (Σx)²/n) / (n−1), decimal-exact then rounded
+    # decimal-exact sums → IEEE double arithmetic → decimal round (a
+    # decimal÷count division rounds differently in Spark vs DuckDB; the
+    # decimal product Σx·Σx also overflows DuckDB's 38-digit width)
+    sx_d = F.col("sx").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    mean = F.round((sx_d / F.col("n")).cast("decimal(24,10)"), 10).cast("double")
     var = F.round(
-        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
-        / (F.col("n") - 1),
+        (
+            (sxx_d - sx_d * sx_d / F.col("n")) / (F.col("n") - 1)
+        ).cast("decimal(24,10)"),
         10,
     ).cast("double")
     stats = stats.select("event_type", "arm", "n", mean.alias("m"), var.alias("v"))
@@ -807,11 +824,13 @@ WITH armed AS (
   FROM events
 ), stats AS (
   SELECT event_type, arm, COUNT(*) AS n,
-    CAST(ROUND(SUM(CAST(value AS DECIMAL(30,10))) / COUNT(*), 10) AS DOUBLE) AS m,
-    CAST(ROUND(
-      (SUM(CAST(value*value AS DECIMAL(30,10)))
-        - SUM(CAST(value AS DECIMAL(30,10))) * SUM(CAST(value AS DECIMAL(30,10))) / COUNT(*))
-      / (COUNT(*) - 1), 10) AS DOUBLE) AS v
+    CAST(ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*)
+      AS DECIMAL(24,10)), 10) AS DOUBLE) AS m,
+    CAST(ROUND(CAST(
+      (CAST(SUM(CAST(value*value AS DECIMAL(30,10))) AS DOUBLE)
+        - CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE)
+          * CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*))
+      / (COUNT(*) - 1) AS DECIMAL(24,10)), 10) AS DOUBLE) AS v
   FROM armed GROUP BY event_type, arm
 ), j AS (
   SELECT a.event_type,
@@ -933,7 +952,13 @@ def q141_interpolated_hours(spark: SparkSession, sf: str) -> DataFrame:
     bucket = F.expr(f"unix_micros(ts) div {_Q141_HOUR_US} * {_Q141_HOUR_US}")
     agg = ev.groupBy(bucket.alias("hour_us")).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum(F.col("value").cast("decimal(30,6)")) / F.count(F.lit(1)), 6)
+        F.round(
+            (
+                F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).cast("decimal(24,10)"),
+            6,
+        )
         .cast("double")
         .alias("avg_value"),
     )
@@ -974,8 +999,8 @@ _Q141_SQL = f"""
 WITH agg AS (
   SELECT (epoch_us(ts) // {_Q141_HOUR_US}) * {_Q141_HOUR_US} AS hour_us,
          COUNT(*) AS n_events,
-         CAST(ROUND(SUM(CAST(value AS DECIMAL(30,6))) / COUNT(*), 6) AS DOUBLE)
-           AS avg_value
+         CAST(ROUND(CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+           AS DECIMAL(24,10)), 6) AS DOUBLE) AS avg_value
   FROM events WHERE event_type = 'purchase' GROUP BY 1
 ), spine AS (
   SELECT unnest(range((SELECT MIN(hour_us) FROM agg),
@@ -1168,7 +1193,13 @@ def q144_bm25(spark: SparkSession, sf: str) -> DataFrame:
     lens = toks.select("doc_id", F.size("toks").alias("dl"))
     n_docs = lens.count()  # bounded scalar (oracle recomputes in SQL)
     avgdl = lens.agg(
-        F.round(F.sum(F.col("dl").cast("decimal(30,8)")) / F.count(F.lit(1)), 8)
+        F.round(
+            (
+                F.sum(F.col("dl").cast("decimal(30,8)")).cast("double")
+                / F.count(F.lit(1))
+            ).cast("decimal(24,10)"),
+            8,
+        )
         .cast("double")
         .alias("a")
     ).first()["a"]
@@ -1228,7 +1259,8 @@ WITH toks AS (
   SELECT doc_id, len(toks) AS dl FROM toks
 ), g AS (
   SELECT COUNT(*) AS n_docs,
-    CAST(ROUND(SUM(CAST(dl AS DECIMAL(30,8))) / COUNT(*), 8) AS DOUBLE) AS avgdl
+    CAST(ROUND(CAST(CAST(SUM(CAST(dl AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*)
+      AS DECIMAL(24,10)), 8) AS DOUBLE) AS avgdl
   FROM lens
 ), tf AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM (
@@ -1395,10 +1427,22 @@ def q146_calibration(spark: SparkSession, sf: str) -> DataFrame:
     deciled = global_ntile(scored, ["pred", "doc_id"], 10, "decile")
     return deciled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.sum(F.col("pred").cast("decimal(30,6)")) / F.count(F.lit(1)), 6)
+        F.round(
+            (
+                F.sum(F.col("pred").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).cast("decimal(24,10)"),
+            6,
+        )
         .cast("double")
         .alias("avg_pred"),
-        F.round(F.sum(F.col("gold").cast("decimal(30,6)")) / F.count(F.lit(1)), 6)
+        F.round(
+            (
+                F.sum(F.col("gold").cast("decimal(30,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).cast("decimal(24,10)"),
+            6,
+        )
         .cast("double")
         .alias("avg_gold"),
     )
@@ -1422,8 +1466,10 @@ WITH d AS (
   SELECT *, ntile(10) OVER (ORDER BY pred, doc_id) AS decile FROM scored
 )
 SELECT decile, COUNT(*) AS n_docs,
-  CAST(ROUND(SUM(CAST(pred AS DECIMAL(30,6))) / COUNT(*), 6) AS DOUBLE) AS avg_pred,
-  CAST(ROUND(SUM(CAST(gold AS DECIMAL(30,6))) / COUNT(*), 6) AS DOUBLE) AS avg_gold
+  CAST(ROUND(CAST(CAST(SUM(CAST(pred AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+    AS DECIMAL(24,10)), 6) AS DOUBLE) AS avg_pred,
+  CAST(ROUND(CAST(CAST(SUM(CAST(gold AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+    AS DECIMAL(24,10)), 6) AS DOUBLE) AS avg_gold
 FROM deciled GROUP BY decile
 """
 
