@@ -166,6 +166,7 @@ HEADLINE = [
     "q156_classifier_agreement",
     "q157_dedup_method_agreement",
     "q158_kmeans_train",
+    "q159_image_neardup",
 ]
 
 

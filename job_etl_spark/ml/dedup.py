@@ -267,6 +267,7 @@ def simhash_block_pairs(
     sig_col: str = "simhash",
     max_hamming: int = 8,
     bits: int = SIMHASH_BITS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Blocked near-dup pairs from simhash signatures, pigeonhole-banded.
 
@@ -280,6 +281,13 @@ def simhash_block_pairs(
     (lang='en', source='web') block at corpus scale fans out over
     ``(max_hamming+1) · 2^band_width`` buckets instead of landing in ONE
     ``collect_list`` task with an O(n²) in-array expansion.
+
+    ``max_bucket`` optionally drops degenerate buckets (same guard as
+    ``minhash_lsh_candidates``): a near-dup-DENSE block still costs
+    Σ_buckets B² with B ≈ n_block / 2^band_width, so for adversarial
+    density at corpus scale either cap buckets (approximate recall,
+    documented) or widen the signature (128-bit → ~14-bit bands). The
+    oracle-paired queries leave it None (exact recall).
 
     Returns (doc_a, doc_b, hamming) with doc_a < doc_b, one row per pair.
     """
@@ -316,6 +324,8 @@ def simhash_block_pairs(
         .agg(F.array_sort(F.collect_list(F.struct(id_col, sig_col))).alias("xs"))
         .where(F.size("xs") >= 2)
     )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("xs") <= max_bucket)
     n = F.size("xs")
 
     def pair(i, j):

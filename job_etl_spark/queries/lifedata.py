@@ -1244,6 +1244,112 @@ WHERE rk <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# q159 — image near-dup end-to-end THROUGH THE REAL CODEC: each doc's
+# 60-bit simhash is rendered as an 8×8 grayscale PNG on the executors
+# (Arrow-batched mapInPandas, ml/codecs.png_encode), perceptual-hashed
+# through the real PNG decoder (ml/codecs.perceptual_hash — 9×8 dHash),
+# and paired with the pigeonhole-banded hamming generator keyed on
+# (top-byte block, band, band_bits). Near-dup texts have hamming-close
+# signatures, hence near-identical images, hence dHash-close pairs.
+#
+# The ORACLE never touches a PNG: encode→decode round-trips losslessly,
+# so the dHash is an exact algebraic function of the signature bits —
+# dhash bit (8·gy+gx) = b(idx) AND NOT b(idx−1) under the decoder's 9→8
+# nearest-pixel resample — which DuckDB computes directly. This makes the
+# whole multimodal path (binary column, executor-side codec, banded
+# near-dup) driver hash-checkable, not rows-only.
+# ---------------------------------------------------------------------------
+# dHash over binary 8×8 images is coarse (P(bit)=¼): the pair-distance
+# histogram at sf0.01 is a background hump peaking at ~12 with the
+# near-identical-image tail at ≤2 — so 2 is the declared threshold
+# (3 pigeonhole bands, strong bucket selectivity)
+_Q159_MAX_HAMMING = 2
+_Q159_PAD = [0, 1, 0, 1]  # pixels 60..63 (constant for every doc)
+
+
+def q159_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.ml.dedup import with_simhash
+    from job_etl_spark.ml.multimodal import image_neardup_pairs
+
+    docs = parallel_table(spark, sf, "documents")
+    sigs = with_simhash(docs, "text", "simhash").select(
+        F.col("doc_id").alias("media_id"), "simhash"
+    )
+
+    def render(batches):
+        import pandas as pd
+
+        from job_etl_spark.ml.codecs import png_encode
+
+        pad = _Q159_PAD
+
+        def img(sig):
+            if sig is None:
+                return None
+            bits = [(int(sig) >> k) & 1 for k in range(60)] + pad
+            return png_encode(8, 8, 1, bytes(255 * b for b in bits))
+
+        for pdf in batches:
+            out = pdf[["media_id"]].copy()
+            out["payload"] = pdf["simhash"].map(img).astype("object")
+            yield out
+
+    media = sigs.mapInPandas(render, "media_id bigint, payload binary")
+    return image_neardup_pairs(media, max_hamming=_Q159_MAX_HAMMING)
+
+
+def _q159_sql() -> str:
+    # b(k): pixel k of the rendered image as a function of the signature
+    def b(k: int) -> str:
+        if k >= 60:
+            return str(_Q159_PAD[k - 60])
+        return f"((simhash >> {k}) & 1)"
+
+    # the decoder resamples the 8-wide row to 9 columns via nearest pixel
+    # (x = gx*8//9), so dHash column pairs are (0,0),(0,1),(1,2)…(6,7):
+    # bit (8·gy+gx) for gx≥1 compares adjacent pixels; gx=0 is always 0.
+    terms = []
+    for gy in range(8):
+        for gx in range(1, 8):
+            idx = gy * 8 + gx
+            cond = f"{b(idx)} = 1 AND {b(idx - 1)} = 0"
+            if idx == 63:
+                # sign bit of the signed 64-bit hash
+                terms.append(f"CASE WHEN {cond} THEN -9223372036854775808 ELSE 0 END")
+            else:
+                terms.append(f"CASE WHEN {cond} THEN {1 << idx}::BIGINT ELSE 0 END")
+    dhash = " + ".join(terms)
+    sig_cte = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), hh AS (
+  SELECT doc_id, len(toks) AS n,
+    list_transform(toks, t -> (('0x' || substr(md5(t), 1, 15))::BIGINT)) AS hs
+  FROM tok
+), sig AS (
+  SELECT doc_id,
+    CASE WHEN n > 0 THEN
+      CAST(list_sum(list_transform(range(0, 60), j ->
+        CASE WHEN list_sum(list_transform(hs, x -> ((x >> j) & 1) * 2 - 1)) > 0
+             THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT)
+    END AS simhash
+  FROM hh
+)"""
+    return f"""{sig_cte}, ph AS (
+  SELECT doc_id, CAST({dhash} AS BIGINT) AS phash
+  FROM sig WHERE simhash IS NOT NULL
+), blocked AS (
+  SELECT doc_id, (phash >> 56) & 255 AS block, phash FROM ph
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM blocked a
+JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {_Q159_MAX_HAMMING}
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q20_dedup_exact": Query(q20_dedup_exact, _Q20_SQL),
     "q21_token_stats": Query(q21_token_stats, _Q21_SQL),
@@ -1269,4 +1375,5 @@ QUERIES: dict[str, Query] = {
     "q84_stratified_sample": Query(q84_stratified_sample, _Q84_SQL),
     "q85_repetition_metrics": Query(q85_repetition_metrics, _Q85_SQL),
     "q86_distinctive_terms": Query(q86_distinctive_terms, _Q86_SQL),
+    "q159_image_neardup": Query(q159_image_neardup, _q159_sql()),
 }

@@ -105,13 +105,18 @@ def main() -> None:
     ap.add_argument("--queries", nargs="*", default=DEFAULT_QUERIES)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--rebuild", action="store_true")
-    ap.add_argument("--mode", choices=["scale", "skew"], default="scale")
+    ap.add_argument("--mode", choices=["scale", "skew", "docskew"], default="scale")
     args = ap.parse_args()
 
     if args.mode == "skew":
         if args.queries == DEFAULT_QUERIES:
             args.queries = None
         skew_main(args)
+        return
+    if args.mode == "docskew":
+        if args.queries == DEFAULT_QUERIES:
+            args.queries = None
+        docskew_main(args)
         return
 
     from job_etl_spark.queries import registry
@@ -191,6 +196,99 @@ def build_skewed(spark, base_sf: str, out_dir: str, hot_factor: int) -> None:
         if not os.path.exists(link):
             shutil.copytree(src, link) if os.path.isdir(src) else shutil.copy(src, link)
     print(f"built skewed events (+{hot_factor} full copies on ONE key)", flush=True)
+
+
+def build_docskew(spark, base_sf: str, out_dir: str, hot_factor: int) -> None:
+    """documents with a manufactured HOT CATEGORICAL BLOCK: ``hot_factor``
+    full copies of the table land in ONE (lang='en', source='web') block,
+    text salted per replica (distinct signatures — the block is hot, not
+    duplicated). This is the adversarial input for near-dup candidate
+    generation: an unbanded blocked pair generator collects the whole hot
+    block into a single O(n²) task, while the pigeonhole-banded one fans
+    it out over (band, band_bits) buckets."""
+    from pyspark.sql import functions as F
+
+    from job_etl_spark.tables import table
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs = table(spark, base_sf, "documents")
+    docs = docs.select(*[c for c in docs.columns if not c.startswith("_")])
+    reps = [docs]
+    for r in range(1, hot_factor + 1):
+        reps.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(r * (1 << 30)))
+            .withColumn("lang", F.lit("en"))
+            .withColumn("source", F.lit("web"))
+            .withColumn("text", F.concat(F.col("text"), F.lit(f" hotrep{r}")))
+        )
+    out = reps[0]
+    for rep in reps[1:]:
+        out = out.unionByName(rep)
+    dst = f"{out_dir}/documents.parquet"
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    out.repartition(spark.sparkContext.defaultParallelism).write.parquet(dst)
+    for name in _ID:
+        if name == "documents":
+            continue
+        src = f"{base_sf}/{name}.parquet"
+        link = f"{out_dir}/{name}.parquet"
+        if not os.path.exists(link):
+            shutil.copytree(src, link) if os.path.isdir(src) else shutil.copy(src, link)
+    print(f"built doc-skewed documents (+{hot_factor} full copies in ONE block)", flush=True)
+
+
+DOCSKEW_QUERIES = [
+    "q31_simhash_neardup",  # banded candidate generation under a hot block
+    "q88_dedup_keep_canonical",
+    "q102_curation_pipeline",
+]
+
+
+def docskew_main(args) -> None:
+    from job_etl_spark.queries import registry
+    from job_etl_spark.session import get_spark
+
+    spark = get_spark("jobspark-docskew")
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = f"{args.out}_docskew{args.scale}"
+    if args.rebuild or not os.path.exists(f"{out_dir}/documents.parquet"):
+        build_docskew(spark, args.sf, out_dir, args.scale)
+
+    reg = registry()
+    reg["q20_dedup_exact"].fn(spark, args.sf).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    n_base = spark.read.parquet(f"{args.sf}/documents.parquet").count()
+    n_skew = spark.read.parquet(f"{out_dir}/documents.parquet").count()
+    growth = n_skew / n_base
+    print(f"rows: base={n_base} skewed={n_skew} (x{growth:.1f}, all growth in ONE block)")
+    # the skew replicas are mutual near-dups, so the PAIR OUTPUT explodes
+    # far beyond the row growth — print it so time ratios are interpretable
+    p_base = reg["q31_simhash_neardup"].fn(spark, args.sf).count()
+    p_skew = reg["q31_simhash_neardup"].fn(spark, out_dir).count()
+    print(
+        f"q31 pairs: base={p_base} skewed={p_skew} "
+        f"(x{p_skew / max(p_base, 1):.0f} output growth)"
+    )
+    print(f"{'query':32s} {'t_base':>8s} {'t_skew':>8s} {'ratio':>7s} (linear-in-rows bound ≈ x{growth:.1f})")
+    for prefix in args.queries or DOCSKEW_QUERIES:
+        name = next((n for n in reg if n.startswith(prefix)), None)
+        if name is None:
+            continue
+        times = {}
+        for label, sfd in (("base", args.sf), ("skew", out_dir)):
+            best = float("inf")
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                reg[name].fn(spark, sfd).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            times[label] = best
+        print(
+            f"{name:32s} {times['base']:8.2f} {times['skew']:8.2f} "
+            f"{times['skew'] / times['base']:7.2f}",
+            flush=True,
+        )
 
 
 SKEW_QUERIES = [
