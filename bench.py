@@ -167,6 +167,7 @@ HEADLINE = [
     "q157_dedup_method_agreement",
     "q158_kmeans_train",
     "q159_image_neardup",
+    "q160_audio_neardup",
 ]
 
 

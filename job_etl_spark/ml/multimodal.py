@@ -261,6 +261,55 @@ def with_perceptual_hash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, out_schema)
 
 
+def with_audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Audio near-dup signal: adds the 64-bit energy-gradient fingerprint
+    (``afp``, NULL for undecodable payloads) via Arrow-batched
+    ``mapInPandas`` — the WAV twin of ``with_perceptual_hash``."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in media.schema.fields
+    ) + ", afp bigint"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from job_etl_spark.ml.codecs import MediaDecodeError, audio_fingerprint
+
+        for pdf in batches:
+            def fp(b):
+                if b is None:
+                    return None
+                try:
+                    h = audio_fingerprint(bytes(b))
+                    return h - (1 << 64) if h >= (1 << 63) else h
+                except (MediaDecodeError, ValueError, IndexError):
+                    return None
+
+            pdf = pdf.copy()
+            pdf["afp"] = pdf["payload"].map(fp).astype("object")
+            yield pdf
+
+    return media.mapInPandas(run, out_schema)
+
+
+def audio_neardup_pairs(media: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """Near-duplicate audio pairs: energy-gradient fingerprints through
+    the real WAV decoder, then the pigeonhole-banded hamming comparison
+    (candidates keyed on (top-byte block, band, band_bits) — no
+    clip×clip pass; exact pair set for the declared threshold)."""
+    from pyspark.sql import functions as F
+
+    from job_etl_spark.ml.dedup import simhash_block_pairs
+
+    hashed = (
+        with_audio_fingerprint(media)
+        .where(F.col("afp").isNotNull())
+        .select(
+            F.col("media_id").alias("doc_id"),
+            F.shiftrightunsigned("afp", 56).alias("block"),
+            F.col("afp").alias("simhash"),
+        )
+    )
+    return simhash_block_pairs(hashed, ("block",), max_hamming=max_hamming, bits=64)
+
+
 def image_neardup_pairs(media: DataFrame, max_hamming: int = 10) -> DataFrame:
     """Near-duplicate image pairs: perceptual hashes, then the same
     pigeonhole-banded hamming comparison as text simhash (candidates keyed

@@ -1350,6 +1350,97 @@ WHERE bit_count(xor(a.phash, b.phash)) <= {_Q159_MAX_HAMMING}
 """
 
 
+# ---------------------------------------------------------------------------
+# q160 — audio near-dup through the REAL codec (the WAV twin of q159):
+# each doc's signature is rendered as a PCM16 waveform on the executors
+# (ml/codecs.wav_encode — 65 two-sample windows, window w at amplitude
+# 1000·bit_w), fingerprinted through the real WAV decoder
+# (ml/codecs.audio_fingerprint — 65-window energy-gradient hash), and
+# paired with the banded hamming generator. Window w's mean |amplitude|
+# is exactly 1000·bit_w, so the fingerprint is an exact algebraic
+# function of the signature bits — fingerprint bit i = b(i+1) AND NOT
+# b(i) — which the oracle computes directly. Pad [0,1,0,1,0] keeps the
+# sign bit clear (fingerprint always non-negative).
+# ---------------------------------------------------------------------------
+_Q160_MAX_HAMMING = 2  # same background-vs-tail reasoning as q159
+_Q160_PAD = [0, 1, 0, 1, 0]  # windows 60..64 (constant for every doc)
+_Q160_RATE = 8000
+
+
+def q160_audio_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.ml.dedup import with_simhash
+    from job_etl_spark.ml.multimodal import audio_neardup_pairs
+
+    docs = parallel_table(spark, sf, "documents")
+    sigs = with_simhash(docs, "text", "simhash").select(
+        F.col("doc_id").alias("media_id"), "simhash"
+    )
+
+    def render(batches):
+        from job_etl_spark.ml.codecs import wav_encode
+
+        pad = _Q160_PAD
+
+        def wav(sig):
+            if sig is None:
+                return None
+            bits = [(int(sig) >> k) & 1 for k in range(60)] + pad
+            samples = []
+            for b in bits:
+                samples += [1000 * b, 1000 * b]
+            return wav_encode(_Q160_RATE, samples)
+
+        for pdf in batches:
+            out = pdf[["media_id"]].copy()
+            out["payload"] = pdf["simhash"].map(wav).astype("object")
+            yield out
+
+    media = sigs.mapInPandas(render, "media_id bigint, payload binary")
+    return audio_neardup_pairs(media, max_hamming=_Q160_MAX_HAMMING)
+
+
+def _q160_sql() -> str:
+    def b(k: int) -> str:
+        if k >= 60:
+            return str(_Q160_PAD[k - 60])
+        return f"((simhash >> {k}) & 1)"
+
+    # fingerprint bit i ⇔ energy[i+1] > energy[i] ⇔ b(i+1)=1 AND b(i)=0
+    terms = []
+    for i in range(64):
+        cond = f"{b(i + 1)} = 1 AND {b(i)} = 0"
+        terms.append(f"CASE WHEN {cond} THEN {1 << i}::BIGINT ELSE 0 END")
+    afp = " + ".join(terms)
+    sig_cte = """
+WITH tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+), hh AS (
+  SELECT doc_id, len(toks) AS n,
+    list_transform(toks, t -> (('0x' || substr(md5(t), 1, 15))::BIGINT)) AS hs
+  FROM tok
+), sig AS (
+  SELECT doc_id,
+    CASE WHEN n > 0 THEN
+      CAST(list_sum(list_transform(range(0, 60), j ->
+        CASE WHEN list_sum(list_transform(hs, x -> ((x >> j) & 1) * 2 - 1)) > 0
+             THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT)
+    END AS simhash
+  FROM hh
+)"""
+    return f"""{sig_cte}, fp AS (
+  SELECT doc_id, CAST({afp} AS BIGINT) AS afp
+  FROM sig WHERE simhash IS NOT NULL
+), blocked AS (
+  SELECT doc_id, (afp >> 56) & 255 AS block, afp FROM fp
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.afp, b.afp)) AS INT) AS hamming
+FROM blocked a
+JOIN blocked b ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= {_Q160_MAX_HAMMING}
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q20_dedup_exact": Query(q20_dedup_exact, _Q20_SQL),
     "q21_token_stats": Query(q21_token_stats, _Q21_SQL),
@@ -1376,4 +1467,5 @@ QUERIES: dict[str, Query] = {
     "q85_repetition_metrics": Query(q85_repetition_metrics, _Q85_SQL),
     "q86_distinctive_terms": Query(q86_distinctive_terms, _Q86_SQL),
     "q159_image_neardup": Query(q159_image_neardup, _q159_sql()),
+    "q160_audio_neardup": Query(q160_audio_neardup, _q160_sql()),
 }

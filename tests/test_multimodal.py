@@ -245,3 +245,25 @@ def test_audio_fingerprint_volume_invariant_and_discriminative():
     # halving volume halves every window energy — sign pattern unchanged
     assert bin(f1 ^ f2).count("1") <= 2
     assert bin(f1 ^ f3).count("1") > 8
+
+
+def test_audio_neardup_volume_invariance(spark):
+    """The energy-gradient fingerprint is sign-of-delta, so a uniformly
+    volume-scaled clip near-dups its original; an unrelated clip does not."""
+    from job_etl_spark.ml import codecs
+    from job_etl_spark.ml.multimodal import audio_neardup_pairs
+
+    import math
+    base = [int(10000 * math.sin(i / 7)) for i in range(650)]
+    quiet = [s // 3 for s in base]
+    other = [int(10000 * math.sin(i / 2 + 1)) for i in range(650)]
+    rows = [
+        (1, codecs.wav_encode(8000, base)),
+        (2, codecs.wav_encode(8000, quiet)),
+        (3, codecs.wav_encode(8000, other)),
+        (4, None),  # undecodable/null payloads are skipped, not fatal
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    pairs = {(r.doc_a, r.doc_b) for r in audio_neardup_pairs(media, max_hamming=4).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
