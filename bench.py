@@ -168,6 +168,7 @@ HEADLINE = [
     "q158_kmeans_train",
     "q159_image_neardup",
     "q160_audio_neardup",
+    "q161_wide_simhash_neardup",
 ]
 
 

@@ -260,6 +260,116 @@ def hamming_distance(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def with_simhash_wide(
+    df: DataFrame, text_col: str = "text",
+    hi_col: str = "sim_hi", lo_col: str = "sim_lo",
+) -> DataFrame:
+    """120-bit simhash as two independent 60-bit halves (md5 hex chars
+    1-15 and 16-30 per token — independent universal hashes from one md5).
+
+    The wide signature is the scale path for LARGER hamming thresholds:
+    pigeonhole banding needs max_hamming+1 bands, and 60 bits at h=16
+    gives 17 bands of ~3.5 bits (buckets divide a hot block by only ~11),
+    while 120 bits gives 17 bands of ~7 bits (÷~128) — real selectivity
+    at the same recall. NULL halves for empty token lists."""
+    toks = tokens_expr(text_col)
+    step = df.withColumn("_toks", toks).withColumn(
+        "_hs1", F.transform(F.col("_toks"), hexint)
+    ).withColumn(
+        "_hs2",
+        F.transform(
+            F.col("_toks"),
+            lambda t: F.conv(F.substring(F.md5(t), 16, 15), 16, 10).cast("bigint"),
+        ),
+    )
+    n = F.size("_toks")
+    out = step.withColumn(
+        hi_col, simhash_from_hashes_expr(F.col("_hs1"), n)
+    ).withColumn(lo_col, simhash_from_hashes_expr(F.col("_hs2"), n))
+    return out.drop("_toks", "_hs1", "_hs2")
+
+
+def simhash_wide_block_pairs(
+    sigs: DataFrame,
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    id_col: str = "doc_id",
+    hi_col: str = "sim_hi",
+    lo_col: str = "sim_lo",
+    max_hamming: int = 16,
+    word_bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Blocked near-dup pairs over the 120-bit signature, pigeonhole-
+    banded exactly like ``simhash_block_pairs`` but with the
+    ``max_hamming + 1`` bands spread across BOTH halves (a band never
+    crosses the word boundary: bits distribute per word proportionally).
+    Exact pair set for hamming(hi)+hamming(lo) ≤ max_hamming."""
+    nb = max_hamming + 1
+    # split the band count between the words proportionally to their bits
+    # (equal words → as equal as possible); pigeonhole still holds: a pair
+    # with ≤ max_hamming total differing bits agrees exactly on ≥1 of the
+    # nb bands, whichever word that band lives in
+    nb_hi = nb // 2
+    nb_lo = nb - nb_hi
+
+    def band_exprs(col_name: str, n_bands: int, band_base: int) -> str:
+        base, extra = divmod(word_bits, n_bands)
+        return (
+            f"transform(sequence(0, {n_bands - 1}), i -> named_struct("
+            f"'band', CAST(i + {band_base} AS INT), "
+            f"'bval', shiftrightunsigned(`{col_name}`, CAST(i * {base} + least(i, {extra}) AS INT)) "
+            f"& CAST(CASE WHEN i < {extra} THEN {(1 << (base + 1)) - 1} "
+            f"ELSE {(1 << base) - 1} END AS BIGINT)))"
+        )
+
+    both = f"concat({band_exprs(hi_col, nb_hi, 0)}, {band_exprs(lo_col, nb_lo, nb_hi)})"
+    exploded = sigs.select(
+        *block_cols, id_col, hi_col, lo_col, F.explode(F.expr(both)).alias("_b")
+    ).select(
+        *block_cols,
+        id_col,
+        hi_col,
+        lo_col,
+        F.col("_b.band").alias("_band"),
+        F.col("_b.bval").alias("_bval"),
+    )
+    buckets = (
+        exploded.groupBy(*block_cols, "_band", "_bval")
+        .agg(
+            F.array_sort(F.collect_list(F.struct(id_col, hi_col, lo_col))).alias("xs")
+        )
+        .where(F.size("xs") >= 2)
+    )
+    n = F.size("xs")
+
+    def pair(i, j):
+        a = F.element_at(F.col("xs"), i)
+        b = F.element_at(F.col("xs"), j)
+        ham = (
+            F.bit_count(a[hi_col].bitwiseXOR(b[hi_col]))
+            + F.bit_count(a[lo_col].bitwiseXOR(b[lo_col]))
+        )
+        return F.struct(
+            a[id_col].alias("doc_a"),
+            b[id_col].alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.filter(
+                F.transform(F.sequence(i + 1, n), lambda j: pair(i, j)),
+                lambda p: p["hamming"] <= max_hamming,
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.min("p.hamming").alias("hamming"))
+    )
+
+
 def simhash_block_pairs(
     sigs: DataFrame,
     block_cols: tuple[str, ...] = ("lang", "source"),

@@ -1441,6 +1441,64 @@ WHERE bit_count(xor(a.afp, b.afp)) <= {_Q160_MAX_HAMMING}
 """
 
 
+# ---------------------------------------------------------------------------
+# q161 — WIDE-signature near-dup (120-bit simhash, hamming ≤ 16): the
+# scale path for larger thresholds. 60 bits at h=16 pigeonholes into 17
+# bands of ~3.5 bits (a hot block divides by only ~11); two independent
+# 60-bit halves (md5 hex chars 1-15 / 16-30 per token) give 17 bands of
+# ~7 bits (÷~128) at the same exact recall. Random-pair background over
+# 120 bits has mean hamming 60 (σ≈5.5), so ≤16 admits essentially no
+# coincidental pairs — the wide threshold is SEMANTICALLY the permissive
+# one (catches more distant true near-dups than q31's 8-of-60) while
+# staying selective.
+# ---------------------------------------------------------------------------
+_Q161_MAX_HAMMING = 16
+
+
+def q161_wide_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.ml.dedup import simhash_wide_block_pairs, with_simhash_wide
+
+    docs = parallel_table(spark, sf, "documents")
+    sigs = with_simhash_wide(docs, "text").select(
+        "doc_id", "lang", "source", "sim_hi", "sim_lo"
+    )
+    return simhash_wide_block_pairs(
+        sigs, ("lang", "source"), max_hamming=_Q161_MAX_HAMMING
+    )
+
+
+_Q161_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, lang, source, string_split(lower(text), ' ') AS toks FROM documents
+), hh AS (
+  SELECT doc_id, lang, source, len(toks) AS n,
+    list_transform(toks, t -> (('0x' || substr(md5(t), 1, 15))::BIGINT)) AS hs1,
+    list_transform(toks, t -> (('0x' || substr(md5(t), 16, 15))::BIGINT)) AS hs2
+  FROM tok
+), sig AS (
+  SELECT doc_id, lang, source,
+    CASE WHEN n > 0 THEN
+      CAST(list_sum(list_transform(range(0, 60), j ->
+        CASE WHEN list_sum(list_transform(hs1, x -> ((x >> j) & 1) * 2 - 1)) > 0
+             THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT)
+    END AS sim_hi,
+    CASE WHEN n > 0 THEN
+      CAST(list_sum(list_transform(range(0, 60), j ->
+        CASE WHEN list_sum(list_transform(hs2, x -> ((x >> j) & 1) * 2 - 1)) > 0
+             THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT)
+    END AS sim_lo
+  FROM hh
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+     + bit_count(xor(a.sim_lo, b.sim_lo)) AS INT) AS hamming
+FROM sig a
+JOIN sig b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim_hi, b.sim_hi))
+    + bit_count(xor(a.sim_lo, b.sim_lo)) <= {_Q161_MAX_HAMMING}
+"""
+
+
 QUERIES: dict[str, Query] = {
     "q20_dedup_exact": Query(q20_dedup_exact, _Q20_SQL),
     "q21_token_stats": Query(q21_token_stats, _Q21_SQL),
@@ -1468,4 +1526,5 @@ QUERIES: dict[str, Query] = {
     "q86_distinctive_terms": Query(q86_distinctive_terms, _Q86_SQL),
     "q159_image_neardup": Query(q159_image_neardup, _q159_sql()),
     "q160_audio_neardup": Query(q160_audio_neardup, _q160_sql()),
+    "q161_wide_simhash_neardup": Query(q161_wide_simhash_neardup, _Q161_SQL),
 }

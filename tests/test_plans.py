@@ -101,6 +101,19 @@ def test_neardup_blocks_are_bounded(spark):
         "_band" in ln and "_bval" in ln for ln in agg_keys_31
     ), p31[:2000]
 
+    # q161 wide (120-bit) simhash: same banded-key invariant
+    p161 = _plan(_REG["q161_wide_simhash_neardup"].fn(spark, SF_SMOKE))
+    agg_keys_161 = [
+        ln
+        for ln in p161.splitlines()
+        if ("HashAggregate" in ln or "ObjectHashAggregate" in ln or "SortAggregate" in ln)
+        and "keys=" in ln
+        and "collect_list" in ln
+    ]
+    assert agg_keys_161 and all(
+        "_band" in ln and "_bval" in ln for ln in agg_keys_161
+    ), p161[:2000]
+
 
 def test_watermark_scan_pushes_filters(spark):
     """The incremental-scan shape must push its predicate into the
