@@ -169,6 +169,7 @@ HEADLINE = [
     "q159_image_neardup",
     "q160_audio_neardup",
     "q161_wide_simhash_neardup",
+    "q162_mmr_diverse_topk",
 ]
 
 

@@ -657,3 +657,117 @@ QUERIES.update(
         ),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# q162 — MMR diverse top-k selection (maximal marginal relevance): the
+# standard eval-set / demo-set curation operator — greedily pick the item
+# maximizing  rel(v) − λ·max_{s∈S} sim(v, s), so the selected set is
+# relevant to the query but not redundant. Query vector = vec_id 0;
+# λ = 0.5; k = 8.
+#
+# Scale shape: each greedy step is ONE map-only pass (the selected
+# vectors are ≤ k bounded literals — the q158/q48 codebook pattern) and a
+# 1-row TakeOrdered collect; k steps = k passes, nothing quadratic in the
+# corpus, no shuffle beyond the 1-row top-k.
+#
+# Parity: rel and every pairwise sim are dround'ed at 6 BEFORE any
+# comparison or arithmetic; score = rel − 0.5·max(sims) is IEEE double on
+# those rounded inputs (0.5· is exact binary scaling) — engine-identical,
+# so the greedy trajectory and the emitted scores match the unrolled SQL
+# twin bit-for-bit. Ties break on vec_id.
+# ---------------------------------------------------------------------------
+_Q162_K = 8
+_Q162_LAMBDA = 0.5
+
+
+def q162_mmr_diverse_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.queries.lifedata import _cosine
+
+    emb = parallel_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    qvec = emb.where(F.col("vec_id") == 0).select("vec").first()["vec"]
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    cand = emb.where(F.col("vec_id") > 0).withColumn(
+        "rel", dround(_cosine(qlit, F.col("vec")), 6)
+    )
+    selected: list[tuple] = []  # (vec_id, rel, score, vec)
+    for rank in range(1, _Q162_K + 1):
+        if not selected:
+            scored = cand.withColumn("score", F.col("rel"))
+        else:
+            sims = [
+                dround(_cosine(F.array(*[F.lit(float(x)) for x in s[3]]), F.col("vec")), 6)
+                for s in selected
+            ]
+            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            scored = cand.withColumn(
+                "score", F.col("rel") - F.lit(_Q162_LAMBDA) * maxsim
+            )
+        taken = {s[0] for s in selected}
+        row = (
+            scored.where(~F.col("vec_id").isin(taken) if taken else F.lit(True))
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .select("vec_id", "rel", "score", "vec")
+            .first()
+        )
+        selected.append((row["vec_id"], row["rel"], row["score"], row["vec"]))
+    return spark.createDataFrame(
+        [(i + 1, s[0], s[1], s[2]) for i, s in enumerate(selected)],
+        "rank int, vec_id bigint, rel double, score double",
+    )
+
+
+def _q162_sql() -> str:
+    cos = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+    def dr(expr: str) -> str:
+        return f"CAST(ROUND(CAST({expr} AS DECIMAL(24,10)), 6) AS DOUBLE)"
+
+    parts = [
+        f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings
+), qv AS (
+  SELECT vec FROM e WHERE vec_id = 0
+), cand AS MATERIALIZED (
+  SELECT e.vec_id, e.vec, {dr(cos.format(a='q.vec', b='e.vec'))} AS rel
+  FROM e CROSS JOIN qv q WHERE e.vec_id > 0
+), sel1 AS MATERIALIZED (
+  SELECT 1 AS rank, vec_id, rel, rel AS score, vec
+  FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+)"""
+    ]
+    for t in range(2, _Q162_K + 1):
+        prev = f"sel{t - 1}"
+        parts.append(
+            f""", pick{t} AS MATERIALIZED (
+  SELECT c.vec_id, c.rel,
+    c.rel - {_Q162_LAMBDA} * MAX({dr(cos.format(a='c.vec', b='s.vec'))}) AS score,
+    c.vec
+  FROM cand c JOIN {prev} s ON c.vec_id NOT IN (SELECT vec_id FROM {prev})
+  GROUP BY c.vec_id, c.rel, c.vec
+  ORDER BY score DESC, c.vec_id LIMIT 1
+), sel{t} AS MATERIALIZED (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT {t} AS rank, vec_id, rel, score, vec FROM pick{t}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT rank, vec_id, rel, score FROM sel{_Q162_K} ORDER BY rank
+"""
+    )
+    return "".join(parts)
+
+
+QUERIES.update(
+    {
+        "q162_mmr_diverse_topk": Query(q162_mmr_diverse_topk, _q162_sql()),
+    }
+)
