@@ -62,3 +62,32 @@ def test_output_contract(spark, duck, name):
                     f"oracle col {col} is {dtype} but spark is {st} (pandas dtype mismatch)"
                 )
     assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_bench_headline_covers_registry():
+    """Every declared query is benchmarked unless explicitly excluded —
+    a new query that forgets to register in bench.HEADLINE fails here
+    instead of silently missing from BENCH_HISTORY."""
+    import bench
+
+    # fast sub-second queries whose work is fully covered by a benched
+    # superset query (kept out of HEADLINE to keep the suite's wall-clock
+    # signal concentrated on distinct execution shapes)
+    excluded = {
+        "q04_priority_stats",
+        "q06_customers_without_orders",
+        "q07_active_customers_by_segment",
+        "q10_union_sources",
+        "q16_normalize_semantics",
+        "q17_fuzzy_match",
+        "q22_quality_score",
+        "q23_lang_id",
+        "q28_multimodal_bytes",
+        "q30_simhash",
+        "q35_approx_distinct",
+    }
+    reg = set(_REG)
+    head = set(bench.HEADLINE)
+    assert head <= reg, f"headline entries not in registry: {sorted(head - reg)}"
+    missing = reg - head - excluded
+    assert not missing, f"registry queries missing from bench.HEADLINE: {sorted(missing)}"
