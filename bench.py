@@ -173,6 +173,20 @@ HEADLINE = [
 ]
 
 
+def _spin_ms(n: int = 2_000_000) -> float:
+    """Single-thread spin calibration: a fixed pure-Python workload whose
+    wall-clock is a cheap load proxy for the (shared) box. Recorded
+    before and after each session in BENCH_HISTORY.jsonl so min-of-N
+    comparisons (scripts/bench_diff.py) can flag contended sessions
+    instead of reading uniform ~40% drift as a regression."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(n):
+        s += i * i
+    del s
+    return round((time.perf_counter() - t0) * 1000, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -191,6 +205,7 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
+    spin_before = _spin_ms()
     runs = int(os.environ.get("JOBSPARK_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     import gc as _gc
@@ -221,6 +236,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "spin_ms": [spin_before, _spin_ms()],
     }
     # The driver captures only the LAST ~2000 chars of stdout (verified:
     # BENCH_r01/r02 "tail" is exactly 2000 chars and starts MID-LINE, so

@@ -32,6 +32,21 @@ def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
 
 
+def py_cosine(a: list[float], b: list[float]) -> float | None:
+    """Driver-side bit-exact replica of ``cosine_expr`` for bounded
+    collected vectors: the dot is the same left-to-right IEEE fold as the
+    Spark aggregate, the norms are ``_py_norm``, and the final division/
+    multiplication are single IEEE ops on identical operands. Returns
+    None where the expression yields NaN (a zero-norm side)."""
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+    denom = _py_norm(a) * _py_norm(b)
+    if denom == 0.0:
+        return None
+    return dot / denom
+
+
 def _py_norm(vec: list[float]) -> float:
     # same left-to-right IEEE fold as the Spark aggregate, so the literal
     # is bit-identical to sqrt(aggregate(transform(v, x->x*x), 0.0, +))

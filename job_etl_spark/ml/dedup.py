@@ -307,8 +307,11 @@ def simhash_wide_block_pairs(
     # split the band count between the words proportionally to their bits
     # (equal words → as equal as possible); pigeonhole still holds: a pair
     # with ≤ max_hamming total differing bits agrees exactly on ≥1 of the
-    # nb bands, whichever word that band lives in
-    nb_hi = nb // 2
+    # nb bands, whichever word that band lives in. Degenerate nb == 1
+    # (max_hamming == 0): a single band on the hi word alone stays exact —
+    # equal signatures agree on it, and the hamming ≤ 0 post-filter
+    # removes hi-equal/lo-different collisions.
+    nb_hi = max(1, nb // 2)
     nb_lo = nb - nb_hi
 
     def band_exprs(col_name: str, n_bands: int, band_base: int) -> str:
@@ -321,7 +324,10 @@ def simhash_wide_block_pairs(
             f"ELSE {(1 << base) - 1} END AS BIGINT)))"
         )
 
-    both = f"concat({band_exprs(hi_col, nb_hi, 0)}, {band_exprs(lo_col, nb_lo, nb_hi)})"
+    if nb_lo:
+        both = f"concat({band_exprs(hi_col, nb_hi, 0)}, {band_exprs(lo_col, nb_lo, nb_hi)})"
+    else:
+        both = band_exprs(hi_col, nb_hi, 0)
     exploded = sigs.select(
         *block_cols, id_col, hi_col, lo_col, F.explode(F.expr(both)).alias("_b")
     ).select(

@@ -60,6 +60,27 @@ def dround(c: Column, scale: int = 2) -> Column:
     return F.round(c.cast("decimal(24,10)"), scale).cast("double")
 
 
+def py_dround(x: float | None, scale: int = 2) -> float | None:
+    """Driver-side bit-exact replica of ``dround`` for bounded collected
+    values (e.g. q162's greedy loop). Spark's double→DECIMAL cast goes
+    through the shortest round-trip decimal repr (java BigDecimal.valueOf
+    → Double.toString), which ``repr(float)`` reproduces; changePrecision
+    and ROUND both use HALF_UP. Property-tested against the Spark
+    expression in tests/test_property.py."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if x is None or math.isnan(x) or math.isinf(x):
+        return None  # cast to decimal yields NULL
+    if abs(x) >= 1e14:
+        return None  # overflows DECIMAL(24,10) → NULL
+    d = Decimal(repr(float(x))).quantize(
+        Decimal(1).scaleb(-10), rounding=ROUND_HALF_UP
+    )
+    d = d.quantize(Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP)
+    return float(d)
+
+
 def sql_dsum(expr: str, scale: int = 2) -> str:
     return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(30,6))), {scale}) AS DOUBLE)"
 

@@ -666,53 +666,95 @@ QUERIES.update(
 # relevant to the query but not redundant. Query vector = vec_id 0;
 # λ = 0.5; k = 8.
 #
-# Scale shape: each greedy step is ONE map-only pass (the selected
-# vectors are ≤ k bounded literals — the q158/q48 codebook pattern) and a
-# 1-row TakeOrdered collect; k steps = k passes, nothing quadratic in the
-# corpus, no shuffle beyond the 1-row top-k.
+# Scale shape: ONE corpus pass — a TakeOrderedAndProject top-POOL
+# relevance prefilter (POOL = 256 ≫ k = 8; MMR is defined over a bounded
+# top-N retrieval pool, and at λ = 0.5 the diversity penalty spans at
+# most the [−0.5, +0.5] similarity range, so a pool two orders of
+# magnitude deeper than k leaves no realistic promotion path from below
+# it). The greedy loop then runs entirely driver-side over the
+# collected pool: per step, one 64-dim cosine per remaining candidate
+# against the newly selected vector (≤ POOL·k ≈ 2k cosines total,
+# microseconds each) with a running max-sim — zero further corpus scans,
+# zero per-step Catalyst planning, nothing quadratic in the corpus.
 #
-# Parity: rel and every pairwise sim are dround'ed at 6 BEFORE any
-# comparison or arithmetic; score = rel − 0.5·max(sims) is IEEE double on
-# those rounded inputs (0.5· is exact binary scaling) — engine-identical,
-# so the greedy trajectory and the emitted scores match the unrolled SQL
-# twin bit-for-bit. Ties break on vec_id.
+# Parity: the SQL twin applies the identical pool prefilter (same
+# ORDER BY rel DESC, vec_id LIMIT). rel comes from the dround'ed
+# Catalyst cosine in the corpus pass; the in-pool sims use the
+# bit-exact driver replicas ``py_cosine`` (same left-to-right IEEE fold
+# as ``cosine_expr`` — the `_py_norm` precedent) + ``py_dround``
+# (property-tested against the Spark expression). score =
+# rel − 0.5·max(sims) on those rounded doubles (0.5· is exact binary
+# scaling, one multiply + one subtract = deterministic IEEE ops on
+# identical operands) — engine-identical, so the greedy trajectory and
+# the emitted scores match the unrolled SQL twin bit-for-bit. Ties
+# break on vec_id.
 # ---------------------------------------------------------------------------
 _Q162_K = 8
 _Q162_LAMBDA = 0.5
+_Q162_POOL = 256
 
 
-def q162_mmr_diverse_topk(spark: SparkSession, sf: str) -> DataFrame:
+def _q162_pool(spark: SparkSession, sf: str) -> DataFrame:
+    """The single corpus pass: top-POOL candidates by dround'ed cosine
+    relevance (plan-guarded as TakeOrderedAndProject in test_plans)."""
     from job_etl_spark.queries.lifedata import _cosine
 
     emb = parallel_table(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
     )
-    qvec = emb.where(F.col("vec_id") == 0).select("vec").first()["vec"]
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
-    cand = emb.where(F.col("vec_id") > 0).withColumn(
-        "rel", dround(_cosine(qlit, F.col("vec")), 6)
+    qrow = emb.where(F.col("vec_id") == 0).select("vec").first()
+    assert qrow is not None, "q162: query vector vec_id=0 missing from embeddings"
+    qlit = F.array(*[F.lit(float(x)) for x in qrow["vec"]])
+    return (
+        emb.where(F.col("vec_id") > 0)
+        .withColumn("rel", dround(_cosine(qlit, F.col("vec")), 6))
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_Q162_POOL)
     )
-    selected: list[tuple] = []  # (vec_id, rel, score, vec)
-    for rank in range(1, _Q162_K + 1):
-        if not selected:
-            scored = cand.withColumn("score", F.col("rel"))
-        else:
-            sims = [
-                dround(_cosine(F.array(*[F.lit(float(x)) for x in s[3]]), F.col("vec")), 6)
-                for s in selected
-            ]
-            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
-            scored = cand.withColumn(
-                "score", F.col("rel") - F.lit(_Q162_LAMBDA) * maxsim
-            )
-        taken = {s[0] for s in selected}
-        row = (
-            scored.where(~F.col("vec_id").isin(taken) if taken else F.lit(True))
-            .orderBy(F.desc("score"), F.asc("vec_id"))
-            .select("vec_id", "rel", "score", "vec")
-            .first()
-        )
-        selected.append((row["vec_id"], row["rel"], row["score"], row["vec"]))
+
+
+def q162_mmr_diverse_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.ml.ann import py_cosine
+    from job_etl_spark.queries._util import py_dround
+
+    pool = _q162_pool(spark, sf).collect()
+    # driver-side greedy with a running max-sim per candidate; items with
+    # NULL rel/sim (zero vectors — outside the data domain) are skipped
+    # rather than crashing
+    items = [
+        (r["vec_id"], r["rel"], [float(x) for x in r["vec"]])
+        for r in pool
+        if r["rel"] is not None
+    ]
+    maxsim: dict[int, float | None] = {vid: None for vid, _, _ in items}
+    selected: list[tuple[int, float, float]] = []  # (vec_id, rel, score)
+    taken: set[int] = set()
+    for _rank in range(1, _Q162_K + 1):
+        best = None
+        best_vec = None
+        for vid, rel, vec in items:
+            if vid in taken:
+                continue
+            ms = maxsim[vid]
+            if not selected:
+                score = rel
+            elif ms is None:  # all sims to selected were NULL: skip
+                continue
+            else:
+                score = rel - _Q162_LAMBDA * ms
+            if best is None or score > best[2] or (score == best[2] and vid < best[0]):
+                best = (vid, rel, score)
+                best_vec = vec
+        if best is None:  # corpus shorter than k: return what exists
+            break
+        selected.append(best)
+        taken.add(best[0])
+        for vid, _rel, vec in items:
+            if vid in taken:
+                continue
+            s = py_dround(py_cosine(vec, best_vec), 6)
+            if s is not None and (maxsim[vid] is None or s > maxsim[vid]):
+                maxsim[vid] = s
     return spark.createDataFrame(
         [(i + 1, s[0], s[1], s[2]) for i, s in enumerate(selected)],
         "rank int, vec_id bigint, rel double, score double",
@@ -735,8 +777,10 @@ WITH e AS (
 ), qv AS (
   SELECT vec FROM e WHERE vec_id = 0
 ), cand AS MATERIALIZED (
-  SELECT e.vec_id, e.vec, {dr(cos.format(a='q.vec', b='e.vec'))} AS rel
-  FROM e CROSS JOIN qv q WHERE e.vec_id > 0
+  SELECT vec_id, vec, rel FROM (
+    SELECT e.vec_id, e.vec, {dr(cos.format(a='q.vec', b='e.vec'))} AS rel
+    FROM e CROSS JOIN qv q WHERE e.vec_id > 0
+  ) ORDER BY rel DESC, vec_id LIMIT {_Q162_POOL}
 ), sel1 AS MATERIALIZED (
   SELECT 1 AS rank, vec_id, rel, rel AS score, vec
   FROM cand ORDER BY rel DESC, vec_id LIMIT 1

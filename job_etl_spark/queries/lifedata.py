@@ -1268,6 +1268,26 @@ _Q159_MAX_HAMMING = 2
 _Q159_PAD = [0, 1, 0, 1]  # pixels 60..63 (constant for every doc)
 
 
+def _q159_render(batches):
+    import pandas as pd
+
+    from job_etl_spark.ml.codecs import png_encode
+
+    pad = _Q159_PAD
+
+    def img(sig):
+        # under Arrow a NULL bigint arrives as float64 NaN, not None
+        if sig is None or pd.isna(sig):
+            return None
+        bits = [(int(sig) >> k) & 1 for k in range(60)] + pad
+        return png_encode(8, 8, 1, bytes(255 * b for b in bits))
+
+    for pdf in batches:
+        out = pdf[["media_id"]].copy()
+        out["payload"] = pdf["simhash"].map(img).astype("object")
+        yield out
+
+
 def q159_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
     from job_etl_spark.ml.dedup import with_simhash
     from job_etl_spark.ml.multimodal import image_neardup_pairs
@@ -1276,26 +1296,7 @@ def q159_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
     sigs = with_simhash(docs, "text", "simhash").select(
         F.col("doc_id").alias("media_id"), "simhash"
     )
-
-    def render(batches):
-        import pandas as pd
-
-        from job_etl_spark.ml.codecs import png_encode
-
-        pad = _Q159_PAD
-
-        def img(sig):
-            if sig is None:
-                return None
-            bits = [(int(sig) >> k) & 1 for k in range(60)] + pad
-            return png_encode(8, 8, 1, bytes(255 * b for b in bits))
-
-        for pdf in batches:
-            out = pdf[["media_id"]].copy()
-            out["payload"] = pdf["simhash"].map(img).astype("object")
-            yield out
-
-    media = sigs.mapInPandas(render, "media_id bigint, payload binary")
+    media = sigs.mapInPandas(_q159_render, "media_id bigint, payload binary")
     return image_neardup_pairs(media, max_hamming=_Q159_MAX_HAMMING)
 
 
@@ -1367,6 +1368,29 @@ _Q160_PAD = [0, 1, 0, 1, 0]  # windows 60..64 (constant for every doc)
 _Q160_RATE = 8000
 
 
+def _q160_render(batches):
+    import pandas as pd
+
+    from job_etl_spark.ml.codecs import wav_encode
+
+    pad = _Q160_PAD
+
+    def wav(sig):
+        # under Arrow a NULL bigint arrives as float64 NaN, not None
+        if sig is None or pd.isna(sig):
+            return None
+        bits = [(int(sig) >> k) & 1 for k in range(60)] + pad
+        samples = []
+        for b in bits:
+            samples += [1000 * b, 1000 * b]
+        return wav_encode(_Q160_RATE, samples)
+
+    for pdf in batches:
+        out = pdf[["media_id"]].copy()
+        out["payload"] = pdf["simhash"].map(wav).astype("object")
+        yield out
+
+
 def q160_audio_neardup(spark: SparkSession, sf: str) -> DataFrame:
     from job_etl_spark.ml.dedup import with_simhash
     from job_etl_spark.ml.multimodal import audio_neardup_pairs
@@ -1375,27 +1399,7 @@ def q160_audio_neardup(spark: SparkSession, sf: str) -> DataFrame:
     sigs = with_simhash(docs, "text", "simhash").select(
         F.col("doc_id").alias("media_id"), "simhash"
     )
-
-    def render(batches):
-        from job_etl_spark.ml.codecs import wav_encode
-
-        pad = _Q160_PAD
-
-        def wav(sig):
-            if sig is None:
-                return None
-            bits = [(int(sig) >> k) & 1 for k in range(60)] + pad
-            samples = []
-            for b in bits:
-                samples += [1000 * b, 1000 * b]
-            return wav_encode(_Q160_RATE, samples)
-
-        for pdf in batches:
-            out = pdf[["media_id"]].copy()
-            out["payload"] = pdf["simhash"].map(wav).astype("object")
-            yield out
-
-    media = sigs.mapInPandas(render, "media_id bigint, payload binary")
+    media = sigs.mapInPandas(_q160_render, "media_id bigint, payload binary")
     return audio_neardup_pairs(media, max_hamming=_Q160_MAX_HAMMING)
 
 

@@ -314,19 +314,28 @@ FROM events GROUP BY event_type
 # q132 — column profiling (the ANALYZE TABLE statistics a cost-based
 # planner and a data catalog both consume): per column, NDV, null count,
 # and min/max rendered to text. ONE aggregation pass computes every
-# per-column statistic (exact NDVs add their distinct expansion; swap
-# approx_count_distinct at deployment scale), then a map-side literal
-# explode reshapes to long — same one-pass shape as q124.
+# per-column statistic, then a map-side literal explode reshapes to long
+# — same one-pass shape as q124.
+#
+# The declared (oracle-paired) query uses exact NDV; at 100 TB exact
+# NDV×N-columns is the cost driver (each countDistinct adds an Expand
+# duplication of the scan rows), so ``approx=True`` swaps every NDV to
+# approx_count_distinct (HyperLogLog++, mergeable, no Expand — the same
+# one-pass map-side-partial shape as plain aggregates). Accuracy- and
+# plan-asserted in tests/test_approx.py.
 # ---------------------------------------------------------------------------
 _Q132_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
 
 
-def q132_profile_table(spark: SparkSession, sf: str) -> DataFrame:
+def q132_profile_table(
+    spark: SparkSession, sf: str, approx: bool = False, rsd: float = 0.05
+) -> DataFrame:
     df = table(spark, sf, "orders")
+    ndv = (lambda c: F.approx_count_distinct(c, rsd)) if approx else F.countDistinct
     aggs = []
     for c in _Q132_COLS:
         aggs += [
-            F.countDistinct(c).alias(f"{c}__ndv"),
+            ndv(c).alias(f"{c}__ndv"),
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
             F.min(F.col(c).cast("string")).alias(f"{c}__min"),
             F.max(F.col(c).cast("string")).alias(f"{c}__max"),

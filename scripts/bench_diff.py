@@ -28,15 +28,30 @@ def main() -> None:
     by_sf: dict = {}
     for r in runs:
         by_sf.setdefault(r.get("sf"), []).append(r)
+    # contention baseline: the fastest spin sample ever recorded at this
+    # box approximates the idle single-thread speed; a session whose spin
+    # is >1.3× that ran under load and its per-query moves are noise
+    spins = [s for r in runs for s in r.get("spin_ms", []) if s]
+    spin_base = min(spins) if spins else None
+
+    def contended(r) -> str:
+        ss = [s for s in r.get("spin_ms", []) if s]
+        if not ss or spin_base is None:
+            return ""
+        ratio = max(ss) / spin_base
+        return f" [CONTENDED spin x{ratio:.1f}]" if ratio > 1.3 else ""
+
     for sf, rs in sorted(by_sf.items(), key=lambda kv: str(kv[0])):
         if len(rs) < 2:
             continue
         prev, cur = rs[-2], rs[-1]
         print(
-            f"sf={sf}: total {prev['value']:.1f}s ({prev.get('rev')}) -> "
-            f"{cur['value']:.1f}s ({cur.get('rev')}), "
+            f"sf={sf}: total {prev['value']:.1f}s ({prev.get('rev')}{contended(prev)}) -> "
+            f"{cur['value']:.1f}s ({cur.get('rev')}{contended(cur)}), "
             f"{len(cur['queries'])} queries"
         )
+        if contended(prev) or contended(cur):
+            print("  note: a compared session ran contended; treat moves as noise")
         moved = [
             (name, prev["queries"].get(name), t)
             for name, t in sorted(cur["queries"].items())

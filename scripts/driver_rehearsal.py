@@ -38,6 +38,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--window", type=int, default=None)
+    ap.add_argument("--all", action="store_true", help="check every query (the default)")
     args = ap.parse_args()
 
     import duckdb

@@ -55,7 +55,9 @@ _ID = {
 }
 
 
-def build_scaled(spark, base_sf: str, out_dir: str, scale: int) -> None:
+def build_scaled(
+    spark, base_sf: str, out_dir: str, scale: int, tables: list[str] | None = None
+) -> None:
     from pyspark.sql import functions as F
 
     from job_etl_spark.tables import TABLE_NAMES, table
@@ -63,6 +65,13 @@ def build_scaled(spark, base_sf: str, out_dir: str, scale: int) -> None:
     os.makedirs(out_dir, exist_ok=True)
     for name in TABLE_NAMES:
         dst = f"{out_dir}/{name}.parquet"
+        if tables is not None and name not in tables:
+            # probe only touches `tables`: link the base copy for the rest
+            # (a 64× lineitem build would dominate the probe's wall-clock)
+            src = f"{base_sf}/{name}.parquet"
+            if not os.path.exists(dst):
+                shutil.copytree(src, dst) if os.path.isdir(src) else shutil.copy(src, dst)
+            continue
         if os.path.exists(dst):
             shutil.rmtree(dst)
         base = table(spark, base_sf, name)
@@ -106,6 +115,12 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--rebuild", action="store_true")
     ap.add_argument("--mode", choices=["scale", "skew", "docskew"], default="scale")
+    ap.add_argument(
+        "--tables",
+        nargs="*",
+        default=None,
+        help="only materialize these tables at Nx (others link the base copy)",
+    )
     args = ap.parse_args()
 
     if args.mode == "skew":
@@ -126,7 +141,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     out_dir = f"{args.out}_x{args.scale}"
     if args.rebuild or not os.path.exists(f"{out_dir}/documents.parquet"):
-        build_scaled(spark, args.sf, out_dir, args.scale)
+        build_scaled(spark, args.sf, out_dir, args.scale, tables=args.tables)
 
     reg = registry()
     # warm the JVM

@@ -27,3 +27,26 @@ def test_approx_distinct_within_tolerance(spark):
             r["approx"],
             r["exact"],
         )
+
+
+def test_q132_profile_approx_ndv(spark):
+    """q132's approx=True must (a) stay within HLL tolerance of the exact
+    NDVs and (b) drop the Expand duplication exact countDistinct plans —
+    the 100 TB cost driver for N-column profiling."""
+    from job_etl_spark.queries.observability import q132_profile_table
+
+    exact = {r["column"]: r["ndv"] for r in q132_profile_table(spark, SF_ORACLE).collect()}
+    approx_df = q132_profile_table(spark, SF_ORACLE, approx=True)
+    approx = {r["column"]: r["ndv"] for r in approx_df.collect()}
+    assert set(approx) == set(exact)
+    for c, e in exact.items():
+        assert abs(approx[c] - e) <= max(2, 0.15 * e), (c, approx[c], e)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    exact_plan = (
+        q132_profile_table(spark, SF_ORACLE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in exact_plan  # the cost the flag removes

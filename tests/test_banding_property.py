@@ -97,7 +97,9 @@ def _brute_wide(rows, max_hamming):
         min_size=2,
         max_size=20,
     ),
-    max_hamming=st.sampled_from([4, 16]),
+    # 0 and 1 pin the degenerate band splits: nb=1 → all bands on the hi
+    # word (was a ZeroDivisionError), nb=2 → one band per word
+    max_hamming=st.sampled_from([0, 1, 4, 16]),
 )
 @settings(**_SETTINGS)
 def test_wide_banded_equals_bruteforce(spark, sigs, max_hamming):

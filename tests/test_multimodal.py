@@ -267,3 +267,23 @@ def test_audio_neardup_volume_invariance(spark):
     pairs = {(r.doc_a, r.doc_b) for r in audio_neardup_pairs(media, max_hamming=4).collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_render_null_simhash_yields_null_payload(spark):
+    """A NULL simhash (NULL text doc) reaches the q159/q160 renderers as
+    float64 NaN under Arrow, not None — it must render to a NULL payload,
+    not crash the batch (ADVICE r3)."""
+    from job_etl_spark.queries.lifedata import _q159_render, _q160_render
+
+    sigs = spark.createDataFrame(
+        [(1, 123456789), (2, None)], "media_id bigint, simhash bigint"
+    )
+    for render in (_q159_render, _q160_render):
+        rows = {
+            r.media_id: r.payload
+            for r in sigs.mapInPandas(
+                render, "media_id bigint, payload binary"
+            ).collect()
+        }
+        assert rows[2] is None
+        assert rows[1] is not None

@@ -115,6 +115,17 @@ def test_neardup_blocks_are_bounded(spark):
     ), p161[:2000]
 
 
+def test_q162_single_bounded_corpus_scan(spark):
+    """q162's only corpus pass must be a bounded top-POOL TakeOrdered —
+    the greedy loop afterwards runs over the collected local relation, so
+    this plan is the query's entire at-scale cost."""
+    from job_etl_spark.queries.evaluation import _Q162_K, _Q162_POOL, _q162_pool
+
+    assert _Q162_POOL >= 32 * _Q162_K  # pool must dwarf k for MMR semantics
+    plan = _plan(_q162_pool(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
 def test_watermark_scan_pushes_filters(spark):
     """The incremental-scan shape must push its predicate into the
     parquet scan (PushedFilters on the raw ns column)."""

@@ -375,3 +375,70 @@ def test_zorder_key_matches_python_interleave(spark, cells):
     df = spark.createDataFrame(cells, "xb int, yb int")
     got = df.select("xb", "yb", zorder_key(["xb", "yb"], bits=8).alias("z")).collect()
     assert all(r["z"] == py_z(r["xb"], r["yb"]) for r in got)
+
+
+@given(
+    xs=st.lists(
+        st.floats(
+            min_value=-1.5, max_value=1.5, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(**_SETTINGS)
+def test_py_dround_matches_spark_expr(spark, xs):
+    """q162's driver-side greedy rounds with py_dround; it must be
+    bit-identical to the dround Catalyst expression (and, transitively,
+    to the DuckDB oracle's CAST(ROUND(...)) that 162 queries pin)."""
+    from job_etl_spark.queries._util import dround, py_dround
+
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i int, x double")
+    got = {
+        r["i"]: r["y"]
+        for r in df.select("i", dround(F.col("x"), 6).alias("y")).collect()
+    }
+    for i, x in enumerate(xs):
+        assert got[i] == py_dround(x, 6), (x, got[i], py_dround(x, 6))
+
+
+# zero-norm vectors are outside the embedding domain (and raise under
+# ANSI division) — keep every component's magnitude in [1e-3, 2] or 0,
+# with at least one nonzero per vector
+_VEC_COMPONENT = st.one_of(
+    st.just(0.0),
+    st.floats(min_value=1e-3, max_value=2.0),
+    st.floats(min_value=-2.0, max_value=-1e-3),
+)
+_VEC = st.lists(_VEC_COMPONENT, min_size=8, max_size=8).filter(
+    lambda v: any(x != 0.0 for x in v)
+)
+
+
+@given(vecs=st.lists(_VEC, min_size=2, max_size=12))
+@settings(**_SETTINGS)
+def test_py_cosine_matches_spark_expr(spark, vecs):
+    """py_cosine (driver-side sequential fold) must be bit-identical to
+    cosine_expr's aggregate fold on the same vectors."""
+    from job_etl_spark.ml.ann import cosine_expr, py_cosine
+
+    q = vecs[0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs[1:])], "i int, v array<double>"
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", cosine_expr(qlit, F.col("v")).alias("c")
+        ).collect()
+    }
+    import math
+
+    for i, v in enumerate(vecs[1:]):
+        expect = py_cosine(q, v)
+        g = got[i]
+        if g is None or (isinstance(g, float) and math.isnan(g)):
+            assert expect is None, (q, v, g, expect)
+        else:
+            assert g == expect, (q, v, g, expect)
