@@ -72,8 +72,10 @@ def build_scaled(
             if not os.path.exists(dst):
                 shutil.copytree(src, dst) if os.path.isdir(src) else shutil.copy(src, dst)
             continue
-        if os.path.exists(dst):
+        if os.path.isdir(dst):
             shutil.rmtree(dst)
+        elif os.path.exists(dst):  # a prior --tables run linked a single file
+            os.remove(dst)
         base = table(spark, base_sf, name)
         # drop loader-derived helper columns; keep the raw scan shape
         base = base.select(
