@@ -364,30 +364,44 @@ _Q27_PLANES_PER_BAND = 4
 _Q27_THRESHOLD = 0.40
 
 
-def _q27_band_planes():
+def _q27_band_planes(bands: int = _Q27_BANDS, planes_per_band: int = _Q27_PLANES_PER_BAND):
     from job_etl_spark.ml.ann import plane_matrix
 
-    planes = plane_matrix(_Q27_BANDS * _Q27_PLANES_PER_BAND, 64)
+    planes = plane_matrix(bands * planes_per_band, 64)
     return [
-        planes[i * _Q27_PLANES_PER_BAND : (i + 1) * _Q27_PLANES_PER_BAND]
-        for i in range(_Q27_BANDS)
+        planes[i * planes_per_band : (i + 1) * planes_per_band]
+        for i in range(bands)
     ]
 
 
-def q27_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
+def q27_embedding_neardup(
+    spark: SparkSession,
+    sf: str,
+    bands: int = _Q27_BANDS,
+    planes_per_band: int = _Q27_PLANES_PER_BAND,
+    threshold: float = _Q27_THRESHOLD,
+) -> DataFrame:
+    # The (bands, planes_per_band, threshold) kwargs are the standard LSH
+    # density re-tune — defaults are the declared oracle-paired setting.
+    # At higher corpus density the 2^planes bucket space must grow to keep
+    # per-bucket B (and the B² candidate expansion) bounded: the 64× probe
+    # showed the default 4-bit bands saturating on a 65×-dup-dense corpus
+    # (~10⁸ candidates at ~1% precision spilled past local disk), while
+    # bands=16/planes=8/θ=0.9 — the production near-dup operating point,
+    # re-tuned for that density — completes it comfortably (SCALING.md).
     from job_etl_spark.ml.ann import banded_bucket_expr
 
     emb = parallel_table(spark, sf, "embeddings").select(
         "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
     )
-    bands = banded_bucket_expr(F.col("vec"), _q27_band_planes())
+    bands_expr = banded_bucket_expr(F.col("vec"), _q27_band_planes(bands, planes_per_band))
     # The banded self-join shuffles each row once per band (8×). Carry only
     # (vec_id, label) through it — shipping the 64-dim vector would multiply
     # shuffle bytes ~20×; the vectors are re-attached AFTER pair-dedup, when
     # each survives exactly once. At 100 TB this is the difference between
     # shuffling ids and shuffling the embedding corpus eight times over.
     banded = emb.select(
-        "vec_id", "label", F.explode(bands).alias("bk")
+        "vec_id", "label", F.explode(bands_expr).alias("bk")
     ).select("vec_id", "label", "bk.band_id", "bk.bucket")
     # Grouped in-bucket pair expansion (ml/dedup's LSH-candidate shape):
     # one groupBy shuffle of the id rows instead of a bucket-equality
@@ -424,7 +438,7 @@ def q27_embedding_neardup(spark: SparkSession, sf: str) -> DataFrame:
     sim = _cosine(F.col("va"), F.col("vb"))
     return (
         cand.withColumn("sim", sim)
-        .where(F.col("sim") >= _Q27_THRESHOLD)
+        .where(F.col("sim") >= threshold)
         .select("vec_a", "vec_b", "label", dround(F.col("sim"), 6).alias("cosine"))
     )
 
