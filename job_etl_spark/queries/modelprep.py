@@ -512,17 +512,27 @@ _Q122_PLANES = 4
 _Q122_THRESHOLD = 0.40
 
 
-def _q122_band_planes():
+def _q122_band_planes(bands: int = _Q122_BANDS, planes_per_band: int = _Q122_PLANES):
     from job_etl_spark.ml.ann import plane_matrix
 
-    planes = plane_matrix(_Q122_BANDS * _Q122_PLANES, 64)
+    planes = plane_matrix(bands * planes_per_band, 64)
     return [
-        planes[i * _Q122_PLANES : (i + 1) * _Q122_PLANES]
-        for i in range(_Q122_BANDS)
+        planes[i * planes_per_band : (i + 1) * planes_per_band]
+        for i in range(bands)
     ]
 
 
-def q122_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+def q122_semantic_dedup(
+    spark: SparkSession,
+    sf: str,
+    bands: int = _Q122_BANDS,
+    planes_per_band: int = _Q122_PLANES,
+    threshold: float = _Q122_THRESHOLD,
+) -> DataFrame:
+    # (bands, planes_per_band, threshold) are the q27 density re-tune —
+    # 2^planes must track in-cluster density or the in-bucket B² expansion
+    # saturates (measured on the 64× dup-dense corpus; SCALING.md). The
+    # defaults are the declared oracle-paired setting.
     from job_etl_spark.ml.ann import assign_centroid, banded_bucket_expr, cosine_expr
 
     emb = parallel_table(spark, sf, "embeddings").select(
@@ -543,7 +553,7 @@ def q122_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
         "cid", assign_centroid(F.col("vec"), cents)
     ).localCheckpoint(eager=False)
     banded = assigned.select(
-        "vec_id", "cid", F.explode(banded_bucket_expr(F.col("vec"), _q122_band_planes())).alias("bk")
+        "vec_id", "cid", F.explode(banded_bucket_expr(F.col("vec"), _q122_band_planes(bands, planes_per_band))).alias("bk")
     ).select("vec_id", "cid", F.col("bk.band_id").alias("band_id"), F.col("bk.bucket").alias("bucket"))
     # Grouped in-bucket pair expansion (same shape as ml/dedup's LSH
     # candidates): one pass over the band rows instead of a bucket-equality
@@ -576,7 +586,7 @@ def q122_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
     dropped = (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
-        .where(cosine_expr(F.col("va"), F.col("vb")) >= _Q122_THRESHOLD)
+        .where(cosine_expr(F.col("va"), F.col("vb")) >= threshold)
         .select("cid", F.col("vec_b").alias("vec_id"))
         .distinct()
     )
