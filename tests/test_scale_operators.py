@@ -359,3 +359,37 @@ def test_global_ntile_more_tiles_than_rows(spark):
     got = global_ntile(five, ["n_chars", "doc_id"], 100, "tile")
     tiles = sorted(r["tile"] for r in got.collect())
     assert tiles == [1, 2, 3, 4, 5]
+
+
+def test_lsh_density_retune_is_sound(spark):
+    """The q27/q122 (bands, planes_per_band, threshold) kwargs are the
+    density re-tune for dup-dense corpora (SCALING.md 64x probe). Any
+    setting must stay SOUND: every emitted pair really has cosine >=
+    threshold (banding only generates candidates; the exact filter
+    decides), i.e. the re-tuned output is a subset of the brute-force
+    threshold pairs. Recall may drop (LSH S-curve) - soundness may not."""
+    import itertools
+
+    from job_etl_spark.ml.ann import py_cosine
+    from job_etl_spark.queries.lifedata import q27_embedding_neardup
+    from tests.conftest import SF_SMOKE
+
+    theta = 0.3
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in q27_embedding_neardup(
+            spark, SF_SMOKE, bands=16, planes_per_band=6, threshold=theta
+        ).collect()
+    }
+    emb = {
+        r["vec_id"]: ([float(x) for x in r["embedding"]], r["label"])
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    }
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(emb), 2)
+        if emb[a][1] == emb[b][1]
+        and (py_cosine(emb[a][0], emb[b][0]) or -1.0) >= theta
+    }
+    assert got, "re-tuned setting found no pairs at theta=0.3 (fixture drift?)"
+    assert got <= brute, got - brute
