@@ -71,9 +71,11 @@ def py_dround(x: float | None, scale: int = 2) -> float | None:
     from decimal import ROUND_HALF_UP, Decimal
 
     if x is None or math.isnan(x) or math.isinf(x):
-        return None  # cast to decimal yields NULL
+        return None  # cast to decimal yields NULL (NaN/Inf → NULL even under ANSI)
     if abs(x) >= 1e14:
-        return None  # overflows DECIMAL(24,10) → NULL
+        # DECIMAL(24,10) holds < 1e14; under ANSI (Spark 4 default) the
+        # cast THROWS rather than nulling — mirror that, don't diverge
+        raise ValueError(f"py_dround: {x!r} overflows DECIMAL(24,10) (ANSI cast error)")
     d = Decimal(repr(float(x))).quantize(
         Decimal(1).scaleb(-10), rounding=ROUND_HALF_UP
     )
