@@ -380,6 +380,7 @@ def q27_embedding_neardup(
     bands: int = _Q27_BANDS,
     planes_per_band: int = _Q27_PLANES_PER_BAND,
     threshold: float = _Q27_THRESHOLD,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     # The (bands, planes_per_band, threshold) kwargs are the standard LSH
     # density re-tune — defaults are the declared oracle-paired setting.
@@ -389,6 +390,9 @@ def q27_embedding_neardup(
     # (~10⁸ candidates at ~1% precision spilled past local disk), while
     # bands=16/planes=8/θ=0.9 — the production near-dup operating point,
     # re-tuned for that density — completes it comfortably (SCALING.md).
+    # ``max_bucket`` is the same degenerate-bucket guard as the simhash/
+    # minhash paths: drop buckets over the cap (approximate recall,
+    # bounded worst task) — for collision-driven skew, not dup-dense data.
     from job_etl_spark.ml.ann import banded_bucket_expr
 
     emb = parallel_table(spark, sf, "embeddings").select(
@@ -412,6 +416,8 @@ def q27_embedding_neardup(
         .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("ids") <= max_bucket)
     n = F.size("ids")
     pair_arr = F.flatten(
         F.transform(

@@ -528,11 +528,13 @@ def q122_semantic_dedup(
     bands: int = _Q122_BANDS,
     planes_per_band: int = _Q122_PLANES,
     threshold: float = _Q122_THRESHOLD,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     # (bands, planes_per_band, threshold) are the q27 density re-tune —
     # 2^planes must track in-cluster density or the in-bucket B² expansion
     # saturates (measured on the 64× dup-dense corpus; SCALING.md). The
-    # defaults are the declared oracle-paired setting.
+    # defaults are the declared oracle-paired setting; ``max_bucket`` is
+    # the same degenerate-bucket guard as the simhash/minhash paths.
     from job_etl_spark.ml.ann import assign_centroid, banded_bucket_expr, cosine_expr
 
     emb = parallel_table(spark, sf, "embeddings").select(
@@ -563,6 +565,8 @@ def q122_semantic_dedup(
         .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("ids") <= max_bucket)
     n = F.size("ids")
     pair_arr = F.flatten(
         F.transform(

@@ -393,3 +393,30 @@ def test_lsh_density_retune_is_sound(spark):
     }
     assert got, "re-tuned setting found no pairs at theta=0.3 (fixture drift?)"
     assert got <= brute, got - brute
+
+
+def test_lsh_max_bucket_guard_drops_only_capped_buckets(spark):
+    """max_bucket on q27/q122 must (a) leave the default None path
+    byte-identical and (b) with a cap, emit a subset of the uncapped
+    pairs (dropping a bucket can only remove candidates)."""
+    from job_etl_spark.queries.lifedata import q27_embedding_neardup
+    from job_etl_spark.queries.modelprep import q122_semantic_dedup
+    from tests.conftest import SF_SMOKE
+
+    base27 = {
+        (r["vec_a"], r["vec_b"]) for r in q27_embedding_neardup(spark, SF_SMOKE).collect()
+    }
+    capped27 = {
+        (r["vec_a"], r["vec_b"])
+        for r in q27_embedding_neardup(spark, SF_SMOKE, max_bucket=3).collect()
+    }
+    assert capped27 <= base27
+    # q122 output is per-cluster stats; with a cap the dropped count per
+    # cluster can only stay equal or shrink
+    base122 = {r["cid"]: r["n_dropped"] for r in q122_semantic_dedup(spark, SF_SMOKE).collect()}
+    capped122 = {
+        r["cid"]: r["n_dropped"]
+        for r in q122_semantic_dedup(spark, SF_SMOKE, max_bucket=3).collect()
+    }
+    assert set(capped122) <= set(base122)
+    assert all(capped122[c] <= base122[c] for c in capped122)
