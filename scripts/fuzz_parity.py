@@ -1,0 +1,216 @@
+"""Deep fuzz of the cross-engine bit-parity invariants.
+
+The committed hypothesis tests run small example counts (suite-time
+budget); this harness runs the same invariants at a configurable depth
+for between-round confidence sweeps:
+
+  1. py_dround(x, s) == Spark dround(x, s)   (driver-replica rounding)
+  2. py_cosine(a, b) == cosine_expr(a, b)     (driver-replica cosine)
+  3. simhash_block_pairs == brute-force pairs (pigeonhole banding, 60-bit)
+  4. simhash_wide_block_pairs == brute force  (120-bit two-word banding)
+
+Usage: python scripts/fuzz_parity.py [--examples 2000] [--seed 0]
+Prints one PASS/FAIL line per invariant; exits non-zero on any FAIL.
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import random
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def fuzz_dround(spark, rng: random.Random, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from job_etl_spark.queries._util import dround, py_dround
+
+    xs = []
+    for _ in range(n):
+        kind = rng.random()
+        if kind < 0.5:
+            xs.append(rng.uniform(-2.0, 2.0))  # the cosine domain
+        elif kind < 0.8:
+            xs.append(rng.uniform(-1e13, 1e13))  # wide but in-range
+        elif kind < 0.9:
+            xs.append(rng.uniform(-1e-9, 1e-9))  # subnormal-ish small
+        else:
+            xs.append(float(rng.randint(-10**12, 10**12)))  # integers
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "i int, x double"
+    )
+    bad = 0
+    for scale in (2, 6):
+        got = {
+            r["i"]: r["y"]
+            for r in df.select("i", dround(F.col("x"), scale).alias("y")).collect()
+        }
+        for i, x in enumerate(xs):
+            if got[i] != py_dround(x, scale):
+                bad += 1
+                print(f"  dround mismatch: x={x!r} scale={scale} "
+                      f"spark={got[i]!r} py={py_dround(x, scale)!r}")
+    return bad
+
+
+def fuzz_cosine(spark, rng: random.Random, n: int) -> int:
+    from pyspark.sql import functions as F
+
+    from job_etl_spark.ml.ann import cosine_expr, py_cosine
+
+    def vec(dim: int) -> list[float]:
+        return [
+            0.0 if rng.random() < 0.1 else rng.uniform(-2.0, 2.0)
+            for _ in range(dim)
+        ]
+
+    dim = 64
+    pairs = []
+    while len(pairs) < n:
+        a, b = vec(dim), vec(dim)
+        if any(a) and any(b):
+            pairs.append((a, b))
+    q = pairs[0][0]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "i int, a array<double>, b array<double>",
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", cosine_expr(F.col("a"), F.col("b")).alias("c")
+        ).collect()
+    }
+    bad = 0
+    for i, (a, b) in enumerate(pairs):
+        expect = py_cosine(a, b)
+        g = got[i]
+        if g is None or (isinstance(g, float) and math.isnan(g)):
+            ok = expect is None
+        else:
+            ok = g == expect
+        if not ok:
+            bad += 1
+            print(f"  cosine mismatch at {i}: spark={g!r} py={expect!r}")
+    del q
+    return bad
+
+
+def _brute(rows, max_hamming):
+    out = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            (ia, ba, sa), (ib, bb, sb) = rows[i], rows[j]
+            if ba == bb and bin((sa ^ sb) & ((1 << 64) - 1)).count("1") <= max_hamming:
+                out.add((min(ia, ib), max(ia, ib)))
+    return out
+
+
+def fuzz_banding(spark, rng: random.Random, rounds: int) -> int:
+    from job_etl_spark.ml.dedup import simhash_block_pairs
+
+    bad = 0
+    for _ in range(rounds):
+        n = rng.randint(2, 24)
+        mh = rng.choice([0, 1, 4, 8])
+        rows = []
+        sigs = []
+        for i in range(n):
+            if sigs and rng.random() < 0.5:  # force near-dups
+                base = rng.choice(sigs)
+                flip = 0
+                for _ in range(rng.randint(0, mh + 2)):
+                    flip |= 1 << rng.randrange(60)
+                sig = base ^ flip
+            else:
+                sig = rng.getrandbits(60)
+            sigs.append(sig)
+            rows.append((i, rng.choice("ab"), sig))
+        df = spark.createDataFrame(rows, "doc_id long, blk string, simhash long")
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in simhash_block_pairs(
+                df, ("blk",), max_hamming=mh, bits=60
+            ).collect()
+        }
+        want = _brute(rows, mh)
+        if got != want:
+            bad += 1
+            print(f"  banding mismatch: n={n} mh={mh} extra={got - want} missing={want - got}")
+    return bad
+
+
+def fuzz_wide_banding(spark, rng: random.Random, rounds: int) -> int:
+    from job_etl_spark.ml.dedup import simhash_wide_block_pairs
+
+    bad = 0
+    for _ in range(rounds):
+        n = rng.randint(2, 16)
+        mh = rng.choice([0, 1, 4, 16])
+        rows = []
+        prev = []
+        for i in range(n):
+            if prev and rng.random() < 0.5:
+                hi, lo = rng.choice(prev)
+                for _ in range(rng.randint(0, mh + 2)):
+                    b = rng.randrange(120)
+                    if b < 60:
+                        lo ^= 1 << b
+                    else:
+                        hi ^= 1 << (b - 60)
+            else:
+                hi, lo = rng.getrandbits(60), rng.getrandbits(60)
+            prev.append((hi, lo))
+            rows.append((i, rng.choice("ab"), hi, lo))
+        df = spark.createDataFrame(rows, "doc_id long, blk string, sig_hi long, sig_lo long")
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in simhash_wide_block_pairs(
+                df, ("blk",), hi_col="sig_hi", lo_col="sig_lo",
+                max_hamming=mh, word_bits=60,
+            ).collect()
+        }
+        want = set()
+        for i in range(n):
+            for j in range(i + 1, n):
+                (ia, ba, ha, la), (ib, bb, hb, lb) = rows[i], rows[j]
+                ham = bin(ha ^ hb).count("1") + bin(la ^ lb).count("1")
+                if ba == bb and ham <= mh:
+                    want.add((min(ia, ib), max(ia, ib)))
+        if got != want:
+            bad += 1
+            print(f"  wide-banding mismatch: n={n} mh={mh} extra={got - want} missing={want - got}")
+    return bad
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--examples", type=int, default=2000)
+    ap.add_argument("--rounds", type=int, default=200, help="banding rounds (1 Spark job each)")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    from job_etl_spark.session import get_spark
+
+    spark = get_spark("jobspark-fuzz")
+    spark.sparkContext.setLogLevel("ERROR")
+    rng = random.Random(args.seed)
+    failures = 0
+    for name, fn, depth in (
+        ("py_dround==dround", fuzz_dround, args.examples),
+        ("py_cosine==cosine_expr", fuzz_cosine, args.examples),
+        ("banded==bruteforce (60-bit)", fuzz_banding, args.rounds),
+        ("wide banded==bruteforce (120-bit)", fuzz_wide_banding, args.rounds),
+    ):
+        bad = fn(spark, rng, depth)
+        print(f"{'FAIL' if bad else 'PASS'} {name} ({depth} cases, {bad} mismatches)", flush=True)
+        failures += bad
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
