@@ -9,6 +9,7 @@ are pushed down into the parquet scan by Catalyst (verified via
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,12 +28,43 @@ TABLE_NAMES = [
 ]
 
 
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _stamp(path: str):
+    """Freshness stamp for the cache key: (mtime_ns, size) of the table path.
+    A rebuilt table (new file content, or files renamed into/out of a
+    directory table) changes the stamp, so stale plans — whose FileIndex was
+    resolved against the old listing — are never served."""
+    try:
+        st = os.stat(path)
+        return (st.st_mtime_ns, st.st_size)
+    except OSError:
+        return None
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Analyzed-once table loader. ``spark.read.parquet`` costs ~80 ms of
+    driver-side analysis (footer read + FileIndex) per call; a catalog
+    (metastore) amortizes that in a real deployment, and this per-session
+    memo is the local equivalent. Keyed by (session, path, freshness stamp):
+    sessions don't leak (weak key) and rebuilt paths re-resolve."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    if name == "events":
-        return _events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    # events' NTZ→instant re-render resolves current_timezone() during
+    # analysis, so a session-tz flip must miss the cache (the tz probes
+    # flip it mid-session; a real session never does)
+    tz = spark.conf.get("spark.sql.session.timeZone") if name == "events" else None
+    key = (sf_dir, name, _stamp(path), tz)
+    per = _TABLE_CACHE.setdefault(spark, {})
+    df = per.get(key)
+    if df is None:
+        df = _events(spark, sf_dir) if name == "events" else spark.read.parquet(path)
+        per[key] = df
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -123,3 +123,26 @@ def test_events_spark_written_directory_layout(spark, tmp_path):
     cut = a[len(a) // 2]
     n_after = out.where(ts_strictly_after(out, cut)).count()
     assert n_after == sum(1 for x in a if x > cut)
+
+
+def test_table_memo_hit_and_staleness_miss(spark, tmp_path):
+    """``table()`` memoizes the analyzed DataFrame per (session, path,
+    freshness stamp): repeat calls return the same object (no ~80 ms
+    re-analysis), and a rebuilt file (new mtime) re-resolves so a stale
+    FileIndex is never served."""
+    import shutil
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    p = tmp_path / "region.parquet"
+    shutil.copy("/root/testdata/sf0.001/region.parquet", p)
+    a = table(spark, str(tmp_path), "region")
+    assert table(spark, str(tmp_path), "region") is a  # memo hit
+    n0 = a.count()
+    assert n0 == 5
+    _pq.write_table(_pq.read_table(str(p)).slice(0, 2), str(p))
+    _os.utime(p)  # make the mtime tick observable on coarse filesystems
+    b = table(spark, str(tmp_path), "region")
+    assert b is not a  # stamp changed -> fresh analysis
+    assert b.count() == 2
