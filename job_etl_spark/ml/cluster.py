@@ -32,9 +32,21 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    collect_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """(node, cluster_id) for every node in ``edges``; cluster_id is the
-    smallest node id in the component. Edges are undirected."""
+    smallest node id in the component. Edges are undirected.
+
+    Hybrid execution, same spirit as a broadcast-join threshold: the
+    near-dup ACTIVE SET (docs that collide at all) is usually orders of
+    magnitude smaller than the corpus, and below ``collect_max_edges``
+    (2M edges ≈ 32 MB — well under any driver heap) a single bounded
+    collect + driver union-find replaces 3-5 multi-stage label-propagation
+    jobs whose cost is pure scheduling overhead at that size (measured
+    3.7 s → <0.3 s on q58's 1.1k-edge graph at sf0.1). Above the bound —
+    the genuine 100 TB path — the distributed loop below runs unchanged.
+    Both paths reach the same unique fixpoint (component minimum), so the
+    switch is invisible to results."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -50,6 +62,8 @@ def connected_components(
     # session's configured width.
     sym = sym.localCheckpoint(eager=False)
     n_edges = sym.count()
+    if n_edges <= collect_max_edges:
+        return _driver_union_find(sym)
     spark = edges.sparkSession
     session_width = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     width = max(1, min(session_width, -(-n_edges // 250_000)))
@@ -62,6 +76,49 @@ def connected_components(
         return _propagate(sym, labels, max_iter)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_width)
+
+
+def _driver_union_find(sym: DataFrame) -> DataFrame:
+    """Small-graph path: bounded collect of the (already materialized)
+    edge list, classic union-find with path compression, labels relabeled
+    to the component MINIMUM — the same unique fixpoint the distributed
+    loop converges to, independent of union order."""
+    import pandas as pd
+
+    pdf = sym.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    # .tolist() → native Python scalars (int/str), so node ids of any
+    # orderable type work (runner's near-dup CC keys on string hash_key)
+    for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    root_min: dict = {}
+    for n in parent:
+        r = find(n)
+        m = root_min.get(r)
+        if m is None or n < m:
+            root_min[r] = n
+    nodes = sorted(parent)
+    out = pd.DataFrame(
+        {"node": nodes, "cluster_id": [root_min[find(n)] for n in nodes]}
+    )
+    spark = sym.sparkSession
+    node_t = sym.schema["a"].dataType.simpleString()
+    return spark.createDataFrame(out, schema=f"node {node_t}, cluster_id {node_t}")
 
 
 def _propagate(sym: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:

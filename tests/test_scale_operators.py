@@ -420,3 +420,42 @@ def test_lsh_max_bucket_guard_drops_only_capped_buckets(spark):
     }
     assert set(capped122) <= set(base122)
     assert all(capped122[c] <= base122[c] for c in capped122)
+
+
+def test_connected_components_hybrid_paths_agree(spark):
+    """The small-graph driver union-find and the distributed label
+    propagation reach the same fixpoint (component minimum) — the
+    ``collect_max_edges`` switch must be invisible to results."""
+    import random
+
+    from job_etl_spark.ml.cluster import connected_components
+
+    rng = random.Random(4242)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(80)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        small = {
+            (r["node"], r["cluster_id"])
+            for r in connected_components(df).collect()
+        }
+        dist = {
+            (r["node"], r["cluster_id"])
+            for r in connected_components(df, collect_max_edges=0).collect()
+        }
+        assert small == dist and small
+
+
+def test_connected_components_string_node_ids(spark):
+    """Node ids need only be orderable — the pipeline's near-dup CC keys
+    on a string hash_key."""
+    from job_etl_spark.ml.cluster import connected_components
+
+    df = spark.createDataFrame(
+        [("kb", "ka"), ("kb", "kc"), ("kx", "ky")], "doc_a string, doc_b string"
+    )
+    got = {r["node"]: r["cluster_id"] for r in connected_components(df).collect()}
+    assert got == {"ka": "ka", "kb": "ka", "kc": "ka", "kx": "kx", "ky": "kx"}
