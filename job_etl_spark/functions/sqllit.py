@@ -1,0 +1,70 @@
+"""Fast wide-literal construction via rendered SQL.
+
+Building wide float literals with per-element ``F.lit`` costs one py4j
+round trip per element: an 8x64 k-means codebook is ~500 driver calls
+(~0.7 s measured on local[32]) before Catalyst even sees the plan, and
+iterative queries (q158 k-means, q110, q122, PQ/ADC) pay it once per
+round. Rendering the same literal as ONE SQL string and parsing it with
+``F.expr`` is ~100x cheaper on the driver and yields an identically
+evaluating expression.
+
+Bit-exactness: ``CAST('<repr(x)>' AS DOUBLE)`` round-trips every double
+bit-for-bit — Python ``repr`` emits the shortest decimal that uniquely
+identifies the IEEE value, and Java's ``Double.parseDouble`` (behind
+Spark's string→double cast) is correctly rounded, so parse(repr(x)) == x
+for all finite doubles, denormals, ±0.0, and full-precision values;
+±Infinity/NaN go through their Java spellings. Verified in
+``tests/test_sqllit.py`` (hypothesis property + construction-equality
+against the per-element ``F.lit`` form).
+
+Integer fields use plain SQL int literals, matching ``F.lit(int)``'s
+py4j Integer/Long auto-widening: values within int32 render bare (INT,
+like py4j's Integer conversion), wider values render with an ``L``
+suffix (BIGINT).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_INT32_MIN = -(1 << 31)
+_INT32_MAX = (1 << 31) - 1
+
+
+def sql_double(x: float | None) -> str:
+    """SQL fragment evaluating to exactly the double ``x`` (or NULL)."""
+    if x is None:
+        return "CAST(NULL AS DOUBLE)"
+    x = float(x)
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(x):
+        return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def sql_int(x: int) -> str:
+    """SQL int literal matching ``F.lit(x)``'s Integer/Long widening."""
+    x = int(x)
+    return str(x) if _INT32_MIN <= x <= _INT32_MAX else f"{x}L"
+
+
+def sql_bigint(x: int) -> str:
+    return f"CAST({int(x)} AS BIGINT)"
+
+
+def sql_double_array(vals: Iterable[float | None]) -> str:
+    return "array(" + ",".join(sql_double(v) for v in vals) + ")"
+
+
+def lit_double_array(vals: Iterable[float | None]) -> Column:
+    """array<double> literal — one driver call regardless of width."""
+    return F.expr(sql_double_array(vals))
+
+
+def lit_bigint_array(vals: Iterable[int]) -> Column:
+    return F.expr("array(" + ",".join(sql_bigint(v) for v in vals) + ")")

@@ -18,6 +18,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from job_etl_spark.functions.sqllit import sql_double, sql_double_array, sql_int
+
 DEFAULT_PLANES = 8
 
 
@@ -77,15 +79,16 @@ def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     Shaped as ONE higher-order transform over a literal (weight, plane)
     array rather than P unrolled aggregates: the dot-product lambda is
     codegen'd once and looped, so plan analysis + janino compile stay
-    O(1) in P instead of O(P) — same IEEE arithmetic, same bucket ids."""
-    mat = F.array(
-        *[
-            F.struct(
-                F.lit(1 << p).alias("w"),
-                F.array(*[F.lit(x) for x in plane]).alias("v"),
-            )
+    O(1) in P instead of O(P) — same IEEE arithmetic, same bucket ids.
+    The literal array is rendered as one SQL string (functions/sqllit.py)
+    so driver-side construction is one call, not P×dim py4j round trips."""
+    mat = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('w',{sql_int(1 << p)},'v',{sql_double_array(plane)})"
             for p, plane in enumerate(planes)
-        ]
+        )
+        + ")"
     )
     bits = F.transform(
         mat, lambda e: F.when(_dot(vec, e["v"]) > 0, e["w"]).otherwise(F.lit(0))
@@ -98,22 +101,18 @@ def banded_bucket_expr(vec: Column, band_planes: list[list[list[float]]]) -> Col
     Nested transform over a literal (band → (weight, plane)) structure —
     the dot-product lambda is compiled once, looped bands × planes times.
     Per-band bucket ids are identical to ``bucket_expr`` on that band."""
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_id"),
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(1 << p).alias("w"),
-                            F.array(*[F.lit(x) for x in plane]).alias("v"),
-                        )
-                        for p, plane in enumerate(band)
-                    ]
-                ).alias("planes"),
+    bands = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('band_id',{sql_int(i)},'planes',array("
+            + ",".join(
+                f"named_struct('w',{sql_int(1 << p)},'v',{sql_double_array(plane)})"
+                for p, plane in enumerate(band)
             )
+            + "))"
             for i, band in enumerate(band_planes)
-        ]
+        )
+        + ")"
     )
     return F.transform(
         bands,
@@ -167,17 +166,23 @@ def assign_centroid(
     na = F.sqrt(
         F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
     )
-    book = F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("i"),
-                F.lit(_py_norm(cvec)).alias("nb"),
-                F.array(*[F.lit(x) for x in cvec]).alias("v"),
-            )
+    return (-_best_centroid(vec, na, _lit_book(centroids)).getField("n")).cast("int")
+
+
+def _lit_book(centroids: list[tuple[int, list[float]]]) -> Column:
+    """Literal codebook array<struct<i,nb,v>> rendered as ONE SQL string —
+    one driver call instead of C×(dim+2) py4j round trips (sqllit.py);
+    ``nb`` is the precomputed ``_py_norm``, bit-identical to the in-plan
+    fold."""
+    return F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('i',{sql_int(cid)},'nb',{sql_double(_py_norm(cvec))},"
+            f"'v',{sql_double_array(cvec)})"
             for cid, cvec in centroids
-        ]
+        )
+        + ")"
     )
-    return (-_best_centroid(vec, na, book).getField("n")).cast("int")
 
 
 def _best_centroid(vec: Column, na: Column, book: Column) -> Column:
@@ -214,17 +219,7 @@ def assign_centroid_sim(
     na = F.sqrt(
         F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
     )
-    book = F.array(
-        *[
-            F.struct(
-                F.lit(cid).alias("i"),
-                F.lit(_py_norm(cvec)).alias("nb"),
-                F.array(*[F.lit(x) for x in cvec]).alias("v"),
-            )
-            for cid, cvec in centroids
-        ]
-    )
-    best = _best_centroid(vec, na, book)
+    best = _best_centroid(vec, na, _lit_book(centroids))
     return F.struct(
         (-best.getField("n")).cast("int").alias("cid"),
         best.getField("s").alias("sim"),

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from job_etl_spark.functions.sqllit import lit_bigint_array
+
 MINHASH_K = 16
 LSH_BANDS = 4
 LSH_ROWS = 4
@@ -79,8 +81,8 @@ def minhash_signature_expr(hashes: Column, k: int = MINHASH_K) -> Column:
     cost center; the permutations are integer multiply-adds inside codegen.
     NULL-safe: empty shingle set → NULL signature."""
     a, b = minhash_coefficients(k)
-    a_arr = F.array(*[F.lit(x).cast("bigint") for x in a])
-    b_arr = F.array(*[F.lit(x).cast("bigint") for x in b])
+    a_arr = lit_bigint_array(a)
+    b_arr = lit_bigint_array(b)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
         lambda s: F.array_min(
@@ -218,7 +220,7 @@ def simhash_from_hashes_expr(hs: Column, n_tokens: Column, bits: int = SIMHASH_B
     faster than the per-bit 60-fold version it replaces — higher-order
     functions evaluate interpreted, so array traversals, not arithmetic,
     are the cost center. NULL for empty token lists."""
-    powers = F.array(*[F.lit(1 << j).cast("bigint") for j in range(bits)])
+    powers = lit_bigint_array(1 << j for j in range(bits))
 
     def merge(acc, h):
         contrib = F.transform(

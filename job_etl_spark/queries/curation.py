@@ -15,6 +15,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from job_etl_spark.functions.chunking import tokens_expr
+from job_etl_spark.functions.sqllit import (
+    lit_double_array,
+    sql_double,
+    sql_double_array,
+    sql_int,
+)
 from job_etl_spark.ml.dedup import hexint
 from job_etl_spark.queries._util import Query, dround, sql_dround
 from job_etl_spark.tables import parallel_table, table
@@ -194,19 +200,17 @@ def _pq_encode_exprs(book: list[list[float]]):
         a2 = F.aggregate(
             F.transform(a_m, lambda x: x * x), F.lit(0.0), lambda s, x: s + x
         )
-        mat = F.array(
-            *[
-                F.struct(
-                    F.array(
-                        *[F.lit(x) for x in cvec[m * _PQ_D : (m + 1) * _PQ_D]]
-                    ).alias("v"),
-                    F.lit(0.5 * _py_sumsq(cvec[m * _PQ_D : (m + 1) * _PQ_D])).alias(
-                        "h"
-                    ),
-                    F.lit(-cid).alias("n"),
-                )
+        # one rendered SQL literal per subspace codebook (sqllit.py):
+        # one driver call instead of K×(_PQ_D+2) py4j round trips
+        mat = F.expr(
+            "array("
+            + ",".join(
+                f"named_struct('v',{sql_double_array(cvec[m * _PQ_D : (m + 1) * _PQ_D])},"
+                f"'h',{sql_double(0.5 * _py_sumsq(cvec[m * _PQ_D : (m + 1) * _PQ_D]))},"
+                f"'n',{sql_int(-cid)})"
                 for cid, cvec in enumerate(book)
-            ]
+            )
+            + ")"
         )
         cands = F.transform(
             mat,
@@ -406,7 +410,7 @@ def q114_adc_search(spark: SparkSession, sf: str) -> DataFrame:
     for q_id, per_m in tables:
         dist = None
         for m in range(_PQ_M):
-            lut = F.array(*[F.lit(v) for v in per_m[m]])
+            lut = lit_double_array(per_m[m])
             term = F.element_at(lut, F.col(f"code_{m}") + 1).cast("decimal(30,12)")
             dist = term if dist is None else dist + term
         pairs.append(F.struct(F.lit(q_id).alias("q_id"), dist.alias("dist")))

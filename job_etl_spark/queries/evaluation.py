@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from job_etl_spark.functions.sqllit import lit_double_array
 from job_etl_spark.queries._util import Query, dround
 from job_etl_spark.tables import parallel_table, table
 
@@ -704,7 +705,7 @@ def _q162_pool(spark: SparkSession, sf: str) -> DataFrame:
     )
     qrow = emb.where(F.col("vec_id") == 0).select("vec").first()
     assert qrow is not None, "q162: query vector vec_id=0 missing from embeddings"
-    qlit = F.array(*[F.lit(float(x)) for x in qrow["vec"]])
+    qlit = lit_double_array(float(x) for x in qrow["vec"])
     return (
         emb.where(F.col("vec_id") > 0)
         .withColumn("rel", dround(_cosine(qlit, F.col("vec")), 6))

@@ -1286,18 +1286,14 @@ def q158_kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
                 # decimal-exact sum → IEEE-double divide → decimal-round
                 # (the q154 decimal÷bigint parity trap: each round's means
                 # become the next round's codebook LITERALS, so one flipped
-                # digit cascades through every later assignment)
-                F.round(
-                    (
-                        F.sum(
-                            F.element_at("vec", d + 1).cast("decimal(30,12)")
-                        ).cast("double")
-                        / F.count(F.lit(1))
-                    ).cast("decimal(24,10)"),
-                    6,
-                )
-                .cast("double")
-                .alias(f"m{d}")
+                # digit cascades through every later assignment). Rendered
+                # as one F.expr per dim — one driver call instead of ~8
+                # py4j round trips × 64 dims × R rounds (sqllit.py).
+                F.expr(
+                    "CAST(ROUND(CAST(CAST(SUM(CAST(element_at(vec, "
+                    f"{d + 1}) AS DECIMAL(30,12))) AS DOUBLE) / COUNT(1) "
+                    "AS DECIMAL(24,10)), 6) AS DOUBLE)"
+                ).alias(f"m{d}")
                 for d in range(dim)
             ]
         ).collect()
