@@ -205,13 +205,20 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
-    spin_before = _spin_ms()
+    # spin samples bracket the session AND are re-taken every ~25 queries:
+    # a contender that starts after the opening sample and exits before the
+    # closing one is invisible to endpoint-only sampling (observed: a
+    # median-1.3x-elevated session with clean endpoint spins), but shows in
+    # the periodic samples. All samples land in spin_ms for bench_diff.
+    spins = [_spin_ms()]
     runs = int(os.environ.get("JOBSPARK_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     import gc as _gc
 
     jvm_gc = spark.sparkContext._jvm.System.gc
-    for name in HEADLINE:
+    for qi, name in enumerate(HEADLINE):
+        if qi and qi % 25 == 0:
+            spins.append(_spin_ms())
         q = reg[name]
         # min-of-N: first run pays JVM codegen warmup; steady state is the
         # honest per-query cost
@@ -236,7 +243,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "spin_ms": [spin_before, _spin_ms()],
+        "spin_ms": spins + [_spin_ms()],
     }
     # The driver captures only the LAST ~2000 chars of stdout (verified:
     # BENCH_r01/r02 "tail" is exactly 2000 chars and starts MID-LINE, so

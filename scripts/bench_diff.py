@@ -35,10 +35,13 @@ def main() -> None:
     spin_base = min(spins) if spins else None
 
     def contended(r) -> str:
-        ss = [s for s in r.get("spin_ms", []) if s]
+        # median of the session's samples (since r4 bench.py re-samples
+        # every ~25 queries): one GC-coincident spike out of 8 samples
+        # shouldn't condemn a session, but sustained elevation should
+        ss = sorted(s for s in r.get("spin_ms", []) if s)
         if not ss or spin_base is None:
             return ""
-        ratio = max(ss) / spin_base
+        ratio = ss[len(ss) // 2] / spin_base
         return f" [CONTENDED spin x{ratio:.1f}]" if ratio > 1.3 else ""
 
     for sf, rs in sorted(by_sf.items(), key=lambda kv: str(kv[0])):
