@@ -29,35 +29,33 @@ _COV_DIMS = 8
 
 
 def q87_embedding_covariance(spark: SparkSession, sf: str) -> DataFrame:
+    # the 90 projection/aggregate/output expressions are rendered as SQL
+    # text and applied via three selectExpr calls (the exact fragments the
+    # DuckDB twin uses, modulo element_at for Spark's 0-based []): per-
+    # Column construction was ~1.1 s of py4j round trips per bench run —
+    # most of the query's wall-clock at sf0.1
     emb = parallel_table(spark, sf, "embeddings")
-    x = [
-        F.element_at("embedding", i + 1).cast("double").alias(f"x{i}")
+    xs = [
+        f"CAST(element_at(embedding, {i + 1}) AS DOUBLE) AS x{i}"
         for i in range(_COV_DIMS)
     ]
-    proj = emb.select(*x)
-    aggs = [F.count(F.lit(1)).alias("n")]
+    sums = ["COUNT(*) AS n"]
     for i in range(_COV_DIMS):
-        aggs.append(
-            F.sum(F.col(f"x{i}").cast("decimal(30,6)")).cast("double").alias(f"sx{i}")
-        )
+        sums.append(f"CAST(SUM(CAST(x{i} AS DECIMAL(30,6))) AS DOUBLE) AS sx{i}")
     for i in range(_COV_DIMS):
         for j in range(i, _COV_DIMS):
-            aggs.append(
-                F.sum((F.col(f"x{i}") * F.col(f"x{j}")).cast("decimal(30,6)"))
-                .cast("double")
-                .alias(f"sxy{i}_{j}")
+            sums.append(
+                f"CAST(SUM(CAST(x{i} * x{j} AS DECIMAL(30,6))) AS DOUBLE) AS sxy{i}_{j}"
             )
-    s = proj.agg(*aggs)
-    out = [F.col("n").alias("n_rows")]
+    outs = ["n AS n_rows"]
     for i in range(_COV_DIMS):
-        out.append(dround(F.col(f"sx{i}") / F.col("n"), 6).alias(f"mean_{i}"))
+        outs.append(f"{sql_dround(f'sx{i} / n', 6)} AS mean_{i}")
     for i in range(_COV_DIMS):
         for j in range(i, _COV_DIMS):
-            cov = (
-                F.col(f"sxy{i}_{j}") - F.col(f"sx{i}") * F.col(f"sx{j}") / F.col("n")
-            ) / F.col("n")
-            out.append(dround(cov, 6).alias(f"cov_{i}_{j}"))
-    return s.select(*out)
+            outs.append(
+                f"{sql_dround(f'(sxy{i}_{j} - sx{i} * sx{j} / n) / n', 6)} AS cov_{i}_{j}"
+            )
+    return emb.selectExpr(*xs).selectExpr(*sums).selectExpr(*outs)
 
 
 def _q87_sql() -> str:
