@@ -48,7 +48,9 @@ _SQL_TOKS = """
 # before its shuffle; per-occurrence scoring is a keyed equi-join of the
 # exploded bigram stream against the two count tables (AQE handles hot
 # keys); per-doc and per-lang rollups are ordinary hash aggs. The vocab
-# size V is ONE bounded collect (a scalar), embedded as a literal.
+# size V rides the plan as a broadcast 1-row aggregate (no driver
+# collect), and the token frame is checkpointed so its three consumers
+# share ONE corpus scan.
 #
 # Parity: P(w2|w1) = (C(bigram)+1) / (C(w1)+V) — all integers, identical
 # in both engines; bits = log2(C1+V) − log2(C2+1) applies log2 to exact
@@ -73,14 +75,23 @@ def _bigrams(toks) -> "F.Column":
     ).otherwise(F.array().cast("array<struct<w1:string,bg:string>>"))
 
 
-def q117_bigram_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+def _q117_toks(spark: SparkSession, sf: str) -> DataFrame:
+    # pre-checkpoint token frame, module-level so the column-pruning plan
+    # guard can assert the scan shape that the checkpoint then hides
     docs = parallel_table(spark, sf, "documents").where(F.col("text").isNotNull())
-    toks = docs.select("doc_id", "lang", tokens_expr("text").alias("toks"))
-    # vocab size: one scalar action (bounded collect — same contract as the
-    # A5 watermark scalar); the oracle computes the identical value in SQL
+    return docs.select("doc_id", "lang", tokens_expr("text").alias("toks"))
+
+
+def q117_bigram_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    # three consumers (vocab, unigrams, bigram occurrences) — checkpoint so
+    # the corpus is scanned+tokenized ONCE, not once per branch
+    toks = _q117_toks(spark, sf).localCheckpoint(eager=False)
+    # vocab size rides the plan as a broadcast 1-row frame instead of a
+    # driver-collected literal: no separate scalar job, one fewer full
+    # corpus pass — the oracle computes the identical integer in SQL
     vocab = toks.select(F.explode("toks").alias("w")).agg(
         F.countDistinct("w").alias("v")
-    ).first()["v"]
+    )
     occ = toks.select(
         "doc_id", "lang", F.explode(_bigrams(F.col("toks"))).alias("o")
     ).select("doc_id", "lang", F.col("o.w1").alias("w1"), F.col("o.bg").alias("bg"))
@@ -91,13 +102,14 @@ def q117_bigram_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     )
     big = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
     bits = dround(
-        F.log2((F.col("c1") + F.lit(int(vocab))).cast("double"))
+        F.log2((F.col("c1") + F.col("v")).cast("double"))
         - F.log2((F.col("c2") + 1).cast("double")),
         8,
     )
     per_doc = (
         occ.join(big, "bg")
         .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab))
         .withColumn("bits", bits)
         .groupBy("doc_id", "lang")
         .agg(

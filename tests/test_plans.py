@@ -195,7 +195,15 @@ def test_scan_reads_only_needed_columns(spark, name):
     import re
 
     table_file, expected = _PRUNED_SCANS[name]
-    plan = _plan(_REG[name].fn(spark, SF_SMOKE))
+    if name == "q117_bigram_perplexity":
+        # the query checkpoints its token frame (scan-once for its three
+        # consumers), which hides the FileScan; assert pruning on the
+        # pre-checkpoint frame instead
+        from job_etl_spark.queries.modelprep import _q117_toks
+
+        plan = _plan(_q117_toks(spark, SF_SMOKE))
+    else:
+        plan = _plan(_REG[name].fn(spark, SF_SMOKE))
     scans = [
         ln for ln in plan.splitlines()
         if "FileScan" in ln and table_file in ln and "ReadSchema" in ln
