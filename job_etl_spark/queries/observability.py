@@ -1198,10 +1198,17 @@ _Q144_TOP = 20
 
 def q144_bm25(spark: SparkSession, sf: str) -> DataFrame:
     docs = parallel_table(spark, sf, "documents").where(F.col("text").isNotNull())
-    toks = docs.select("doc_id", tokens_expr("text").alias("toks"))
+    # checkpoint: the token frame feeds both the length stats and the term
+    # stream — one corpus scan+tokenize, not one per branch
+    toks = docs.select("doc_id", tokens_expr("text").alias("toks")).localCheckpoint(
+        eager=False
+    )
     lens = toks.select("doc_id", F.size("toks").alias("dl"))
-    n_docs = lens.count()  # bounded scalar (oracle recomputes in SQL)
-    avgdl = lens.agg(
+    # corpus stats (N, avgdl) ride the plan as ONE broadcast 1-row frame
+    # instead of two driver-collected scalar jobs — identical values, two
+    # fewer corpus passes (the oracle recomputes both in SQL)
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n"),
         F.round(
             (
                 F.sum(F.col("dl").cast("decimal(30,8)")).cast("double")
@@ -1210,21 +1217,23 @@ def q144_bm25(spark: SparkSession, sf: str) -> DataFrame:
             8,
         )
         .cast("double")
-        .alias("a")
-    ).first()["a"]
+        .alias("a"),
+    )
     terms = toks.select(
         "doc_id", F.explode("toks").alias("term")
     ).where(F.col("term").isin(_Q144_TERMS))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).crossJoin(
+        F.broadcast(stats)
+    )
     # idf = ln(1 + (N − df + 0.5)/(df + 0.5)) on a pre-rounded ratio
     ratio = F.round(
-        (F.lit(n_docs) - F.col("df") + F.lit(0.5)).cast("decimal(30,12)")
+        (F.col("n") - F.col("df") + F.lit(0.5)).cast("decimal(30,12)")
         / (F.col("df") + F.lit(0.5)),
         12,
     ).cast("double")
     idf = dround(F.log(F.lit(1.0) + ratio), 8)
-    df_ = df_.select("term", idf.alias("idf"))
+    df_ = df_.select("term", idf.alias("idf"), "a")
     scored = (
         tf.join(F.broadcast(df_), "term")
         .join(lens, "doc_id")
@@ -1236,7 +1245,7 @@ def q144_bm25(spark: SparkSession, sf: str) -> DataFrame:
                 / (
                     F.col("tf")
                     + _Q144_K1
-                    * (1 - _Q144_B + _Q144_B * F.col("dl") / F.lit(float(avgdl)))
+                    * (1 - _Q144_B + _Q144_B * F.col("dl") / F.col("a"))
                 ),
                 8,
             ),
