@@ -23,6 +23,8 @@ _BNLJ_OK = {
     "q51_top_supplier",  # 1-row global-max cross join
     "q57_inactive_rich_customers",  # 1-row global-avg cross join
     "q104_topk_bounds",  # 1-row kth-lb threshold cross join
+    "q117_bigram_perplexity",  # 1-row vocab-size scalar cross join
+    "q144_bm25",  # 1-row (N, avgdl) corpus-stats cross join
     "q142_rrf_fusion",  # composes q26's 10-row broadcast query set
     "q153_hard_negatives",  # q26's shape: 10-row broadcast query set
     "q147_triangle_census",  # 1-row × 1-row scalar-aggregate combine
