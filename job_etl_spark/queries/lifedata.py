@@ -1225,8 +1225,14 @@ def q86_distinctive_terms(spark: SparkSession, sf: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), _WS)).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the score join and the document-frequency rollup —
+    # checkpoint so the tokenize+count pass runs once, not per consumer
+    # (at 100 TB that pass IS the query's cost)
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # count-star scalar: a parquet-footer read, not a corpus pass
     n_docs = int(docs.agg(F.count(F.lit(1))).first()[0])
     scored = (
         tf.join(dfreq, "term")

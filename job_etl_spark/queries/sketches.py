@@ -190,7 +190,13 @@ def q97_vocab_oov(spark: SparkSession, sf: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", F.explode(tokens_expr("text")).alias("tok")
     )
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_global"))
+    # counts feeds both the broadcast frequency join and the vocab top-V —
+    # checkpoint the (vocab-sized) aggregate so its tokenize+count pass
+    # runs once; toks itself stays unmaterialized (an exploded token-level
+    # checkpoint would be LARGER than the raw text it derives from)
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n_global")
+    ).localCheckpoint(eager=False)
     vocab = (
         counts.orderBy(F.desc("n_global"), F.asc("tok"))
         .limit(_VOCAB_V)
