@@ -734,9 +734,13 @@ def q104_topk_bounds(spark: SparkSession, sf: str) -> DataFrame:
     )
     per_shard = ev.groupBy("shard", "user_id").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("shard").orderBy(F.desc("n"), F.asc("user_id"))
+    # kept is ≤ S·m rows and feeds three consumers (tau, the candidate
+    # set, the fill join); bounds likewise feeds the ub broadcast and the
+    # flag join — checkpoint both so the events scan+agg+window runs once,
+    # not once per consumer (was 7 FileScans of events in one plan)
     kept = per_shard.withColumn("_rn", F.row_number().over(w)).where(
         F.col("_rn") <= _TPUT_M
-    )
+    ).localCheckpoint(eager=False)
     tau = kept.groupBy("shard").agg(F.min("n").alias("tau"))
     cand = kept.select("user_id").distinct()
     shards = tau.select("shard", "tau")  # S rows — broadcast everywhere
@@ -747,7 +751,7 @@ def q104_topk_bounds(spark: SparkSession, sf: str) -> DataFrame:
     bounds = filled.groupBy("user_id").agg(
         F.sum(F.coalesce(F.col("n"), F.lit(0))).alias("lb"),
         F.sum(F.coalesce(F.col("n"), F.col("tau"))).alias("ub"),
-    )
+    ).localCheckpoint(eager=False)
     # TPUT guarantee: x is certainly in the true top-k iff fewer than k
     # OTHER candidates could still beat it — #{y≠x : ub_y > lb_x} < k.
     # (Comparing lb against the k-th largest lb does NOT guarantee
