@@ -78,9 +78,12 @@ _SQL_TOKS = """
 
 def q111_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
     docs = parallel_table(spark, sf, "documents")
+    # spans feeds both the occurrence count and the per-doc join —
+    # checkpoint so tokenize + rolling-hash runs once; the materialized
+    # (doc_id, h) bigint pairs are far smaller than re-hashing the text
     spans = docs.select(
         "doc_id", F.explode(_span_hash_array(tokens_expr("text"))).alias("h")
-    )
+    ).localCheckpoint(eager=False)
     occ = spans.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
     per_doc = (
         spans.join(occ, "h")

@@ -707,7 +707,15 @@ QUERIES.update(
 # events; supports and lift are exact decimal arithmetic.
 # ---------------------------------------------------------------------------
 def q138_cooccurrence(spark: SparkSession, sf: str) -> DataFrame:
-    ev = table(spark, sf, "events").select("user_id", "event_type").distinct()
+    # the distinct (user, type) frame (bounded: users × event types) feeds
+    # four consumers (the n_users scalar, both self-join sides, singles) —
+    # checkpoint so events is scanned+deduped once, not four times
+    ev = (
+        table(spark, sf, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     n_users = ev.select("user_id").distinct().count()  # bounded scalar
     a = ev.alias("a")
     b = ev.alias("b")
