@@ -295,6 +295,10 @@ def q154_centroid_separation(spark: SparkSession, sf: str) -> DataFrame:
         .cast("double")
         .alias("c")
     )
+    # cent (labels × dims rows — tiny) feeds three consumers (the member
+    # join and both sides of the centroid×centroid comparison); checkpoint
+    # so the full scan+explode+mean pass runs once, not three times
+    cent = cent.localCheckpoint(eager=False)
     # member → own-centroid cosine
     joined = emb.join(cent, ["label", "dim"])
     per_vec = joined.groupBy("vec_id", "label").agg(

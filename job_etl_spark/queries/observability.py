@@ -1151,7 +1151,10 @@ QUERIES.update(
 def q143_neardup_degree(spark: SparkSession, sf: str) -> DataFrame:
     from job_etl_spark.queries.lifedata import q31_simhash_neardup
 
-    pairs = q31_simhash_neardup(spark, sf)
+    # the unionAll consumes pairs twice — checkpoint (near-dup pairs are a
+    # tiny fraction of the corpus) so the whole simhash pipeline runs
+    # once, not once per endpoint column
+    pairs = q31_simhash_neardup(spark, sf).localCheckpoint(eager=False)
     ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
         pairs.select(F.col("doc_b").alias("doc_id"))
     )
