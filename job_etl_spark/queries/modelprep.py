@@ -216,7 +216,9 @@ def q118_temperature_resample(spark: SparkSession, sf: str) -> DataFrame:
             8,
         ).cast("double"),
     )
-    per_src = per_src.withColumn("rate", rate)
+    # per_src (one row per source) feeds the broadcast rate dim and the
+    # final report join — checkpoint so the stats scan runs once
+    per_src = per_src.withColumn("rate", rate).localCheckpoint(eager=False)
     accepted = (
         docs.select("doc_id", "source")
         .join(F.broadcast(per_src.select("source", "rate")), "source")
