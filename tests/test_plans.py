@@ -218,3 +218,36 @@ def test_scan_reads_only_needed_columns(spark, name):
         assert cols <= expected, (
             f"{name} reads {cols - expected} beyond the needed {expected}"
         )
+
+
+# round-4 multi-scan audit regression guard: these queries checkpoint a
+# twice-plus-consumed derived frame; losing the checkpoint re-inflates the
+# plan to 3-7 FileScans of the heavy table (SCALING.md "Multi-scan audit").
+# Bounds count VISIBLE scans (checkpoints hide their subtree's scan).
+_MAX_SCANS = {
+    "q104_topk_bounds": ("events", 2),
+    "q138_cooccurrence": ("events", 1),
+    "q154_centroid_separation": ("embeddings", 2),
+    "q143_neardup_degree": ("documents", 2),
+    "q111_span_dedup": ("documents", 2),
+    "q117_bigram_perplexity": ("documents", 1),
+    "q144_bm25": ("documents", 1),
+    "q86_distinctive_terms": ("documents", 2),
+    "q118_temperature_resample": ("documents", 2),
+    "q97_vocab_oov": ("documents", 2),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_MAX_SCANS))
+def test_checkpointed_queries_stay_scan_bounded(spark, name):
+    table_file, bound = _MAX_SCANS[name]
+    plan = _plan(_REG[name].fn(spark, SF_SMOKE))
+    n = sum(
+        1
+        for ln in plan.splitlines()
+        if "FileScan" in ln and f"{table_file}.parquet" in ln
+    )
+    assert n <= bound, (
+        f"{name}: {n} visible FileScans of {table_file} (bound {bound}) — "
+        "was a shared-frame checkpoint removed?"
+    )
