@@ -959,7 +959,11 @@ def q47_lone_return_supplier(spark: SparkSession, sf: str) -> DataFrame:
     )
     blamed = (
         li.where(F.col("l_returnflag") == "R")
-        .join(F.broadcast(per_order), "l_orderkey")
+        # no broadcast hint: per_order is fact-derived (a constant fraction
+        # of ALL orders qualifies), so a forced broadcast is a driver-OOM
+        # hazard at 100 TB — AQE still picks a broadcast when the filtered
+        # frame is actually small, and a shuffle join when it isn't
+        .join(per_order, "l_orderkey")
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .groupBy("s_suppkey", "s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
