@@ -651,7 +651,10 @@ def q39_large_volume_orders(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("total_qty") > 250)
     )
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        # no broadcast hint on big: a FIXED fraction of all orders clears
+        # the quantity threshold, so the frame is fact-sized at scale —
+        # AQE broadcasts it only when its runtime size actually allows
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select(
             "c_name",
