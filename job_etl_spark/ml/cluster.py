@@ -47,9 +47,18 @@ def connected_components(
     the genuine 100 TB path — the distributed loop below runs unchanged.
     Both paths reach the same unique fixpoint (component minimum), so the
     switch is invisible to results."""
+    # NULL endpoints carry no connectivity and must not reach the driver
+    # path: one NULL in toPandas() downgrades a bigint id column to
+    # float64, corrupting ids >= 2^53 and injecting NaN union-find keys
+    # (ADVICE r4). Dropped here so BOTH paths see the same clean graph.
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b")).where(
+                F.col(dst).isNotNull() & F.col(src).isNotNull()
+            )
+        )
         .distinct()
     )
     # Materialize the edge list ONCE — every iteration references it, and

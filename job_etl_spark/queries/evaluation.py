@@ -671,16 +671,26 @@ QUERIES.update(
 # relevant to the query but not redundant. Query vector = vec_id 0;
 # λ = 0.5; k = 8.
 #
+# CONTRACT (not an equivalence claim): this operator is MMR over the
+# top-POOL retrieval pool — "retrieve top-256 by relevance, then
+# MMR-re-rank to k=8" — which is how MMR is deployed in practice
+# (Carbonell & Goldstein define it over a retrieved document set R, not
+# the corpus). A candidate below the pool boundary COULD in principle
+# outscore a pooled one (its score can reach rel + λ·1 when it is
+# anti-similar to everything selected, i.e. up to rel + 0.5 here), so
+# corpus-global MMR and pool-restricted MMR are different operators
+# unless rel₁ − rel_POOL > 2λ holds; we declare the pool-restricted one
+# and the SQL twin applies the identical pool definition (same
+# ORDER BY rel DESC, vec_id LIMIT) — both engines compute the same
+# declared semantics, not a heuristic approximation of a wider one.
+#
 # Scale shape: ONE corpus pass — a TakeOrderedAndProject top-POOL
-# relevance prefilter (POOL = 256 ≫ k = 8; MMR is defined over a bounded
-# top-N retrieval pool, and at λ = 0.5 the diversity penalty spans at
-# most the [−0.5, +0.5] similarity range, so a pool two orders of
-# magnitude deeper than k leaves no realistic promotion path from below
-# it). The greedy loop then runs entirely driver-side over the
-# collected pool: per step, one 64-dim cosine per remaining candidate
-# against the newly selected vector (≤ POOL·k ≈ 2k cosines total,
-# microseconds each) with a running max-sim — zero further corpus scans,
-# zero per-step Catalyst planning, nothing quadratic in the corpus.
+# relevance prefilter (POOL = 256 ≫ k = 8). The greedy loop then runs
+# entirely driver-side over the collected pool: per step, one 64-dim
+# cosine per remaining candidate against the newly selected vector
+# (≤ POOL·k ≈ 2k cosines total, microseconds each) with a running
+# max-sim — zero further corpus scans, zero per-step Catalyst planning,
+# nothing quadratic in the corpus.
 #
 # Parity: the SQL twin applies the identical pool prefilter (same
 # ORDER BY rel DESC, vec_id LIMIT). rel comes from the dround'ed

@@ -1295,16 +1295,16 @@ _Q159_PAD = [0, 1, 0, 1]  # pixels 60..63 (constant for every doc)
 
 
 def _q159_render(batches):
-    import pandas as pd
-
+    # Callers MUST pre-filter NULL simhashes: a single NULL in an Arrow
+    # batch makes pandas deliver the whole bigint column as float64, and
+    # 60-bit signatures exceed float64's 53-bit mantissa — int(sig) would
+    # silently corrupt the low bits of every signature in the batch.
+    # Filtering upstream keeps the column int64 end-to-end.
     from job_etl_spark.ml.codecs import png_encode
 
     pad = _Q159_PAD
 
     def img(sig):
-        # under Arrow a NULL bigint arrives as float64 NaN, not None
-        if sig is None or pd.isna(sig):
-            return None
         bits = [(int(sig) >> k) & 1 for k in range(60)] + pad
         return png_encode(8, 8, 1, bytes(255 * b for b in bits))
 
@@ -1322,7 +1322,12 @@ def q159_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
     sigs = with_simhash(docs, "text", "simhash").select(
         F.col("doc_id").alias("media_id"), "simhash"
     )
-    media = sigs.mapInPandas(_q159_render, "media_id bigint, payload binary")
+    # NULL sigs (empty token lists) can never form a near-dup pair
+    # (downstream filters phash IS NOT NULL); dropping them BEFORE the
+    # Arrow boundary keeps the bigint column int64 — see _q159_render.
+    media = sigs.where(F.col("simhash").isNotNull()).mapInPandas(
+        _q159_render, "media_id bigint, payload binary"
+    )
     return image_neardup_pairs(media, max_hamming=_Q159_MAX_HAMMING)
 
 
@@ -1395,16 +1400,14 @@ _Q160_RATE = 8000
 
 
 def _q160_render(batches):
-    import pandas as pd
-
+    # Callers MUST pre-filter NULL simhashes — same float64-mantissa
+    # corruption hazard as _q159_render (one NULL in a batch downgrades
+    # the whole bigint column to float64, truncating >2^53 signatures).
     from job_etl_spark.ml.codecs import wav_encode
 
     pad = _Q160_PAD
 
     def wav(sig):
-        # under Arrow a NULL bigint arrives as float64 NaN, not None
-        if sig is None or pd.isna(sig):
-            return None
         bits = [(int(sig) >> k) & 1 for k in range(60)] + pad
         samples = []
         for b in bits:
@@ -1425,7 +1428,10 @@ def q160_audio_neardup(spark: SparkSession, sf: str) -> DataFrame:
     sigs = with_simhash(docs, "text", "simhash").select(
         F.col("doc_id").alias("media_id"), "simhash"
     )
-    media = sigs.mapInPandas(_q160_render, "media_id bigint, payload binary")
+    # NULL sigs dropped before the Arrow boundary — see _q160_render.
+    media = sigs.where(F.col("simhash").isNotNull()).mapInPandas(
+        _q160_render, "media_id bigint, payload binary"
+    )
     return audio_neardup_pairs(media, max_hamming=_Q160_MAX_HAMMING)
 
 

@@ -34,13 +34,25 @@ _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 
 
 def _stamp(path: str):
-    """Freshness stamp for the cache key: (mtime_ns, size) of the table path.
-    A rebuilt table (new file content, or files renamed into/out of a
-    directory table) changes the stamp, so stale plans — whose FileIndex was
-    resolved against the old listing — are never served."""
+    """Freshness stamp for the cache key. For a single-file table:
+    (mtime_ns, size). For a directory table, the top-level stat is not
+    enough — overwriting an existing part file IN PLACE (same name)
+    changes neither the directory's mtime nor its size (ADVICE r4), so
+    fold in each direct entry's (name, mtime_ns, size) too (one cheap
+    listdir; table dirs here are flat). Any rebuild — new content, files
+    renamed in/out, in-place part overwrite — changes the stamp, so stale
+    plans whose FileIndex was resolved against the old listing are never
+    served."""
     try:
         st = os.stat(path)
-        return (st.st_mtime_ns, st.st_size)
+        if not os.path.isdir(path):
+            return (st.st_mtime_ns, st.st_size)
+        entries = tuple(
+            (e.name, s.st_mtime_ns, s.st_size)
+            for e in sorted(os.scandir(path), key=lambda e: e.name)
+            if (s := e.stat()) is not None
+        )
+        return (st.st_mtime_ns, st.st_size, entries)
     except OSError:
         return None
 

@@ -269,21 +269,42 @@ def test_audio_neardup_volume_invariance(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
-def test_render_null_simhash_yields_null_payload(spark):
-    """A NULL simhash (NULL text doc) reaches the q159/q160 renderers as
-    float64 NaN under Arrow, not None — it must render to a NULL payload,
-    not crash the batch (ADVICE r3)."""
-    from job_etl_spark.queries.lifedata import _q159_render, _q160_render
-
-    sigs = spark.createDataFrame(
-        [(1, 123456789), (2, None)], "media_id bigint, simhash bigint"
+def test_render_null_batchmate_preserves_wide_sig_bits(spark):
+    """ADVICE r4 (high): one NULL bigint in an Arrow batch makes pandas
+    deliver the whole simhash column as float64; 60-bit signatures exceed
+    float64's 53-bit mantissa, so int(sig) would silently corrupt the low
+    bits of every batchmate. The fix filters NULL sigs BEFORE mapInPandas
+    (q159/q160 wiring), keeping the column int64. This test forces a
+    >2^53 signature to share a batch with a NULL and asserts the rendered
+    payload is bit-exact vs a pure-python render of the true int."""
+    from job_etl_spark.ml.codecs import png_encode, wav_encode
+    from job_etl_spark.queries.lifedata import (
+        _Q159_PAD,
+        _Q160_PAD,
+        _Q160_RATE,
+        _q159_render,
+        _q160_render,
     )
-    for render in (_q159_render, _q160_render):
-        rows = {
-            r.media_id: r.payload
-            for r in sigs.mapInPandas(
-                render, "media_id bigint, payload binary"
-            ).collect()
-        }
-        assert rows[2] is None
-        assert rows[1] is not None
+
+    wide = 576460752303423499  # 2^59 + 11: float64 would round the low bits
+    assert int(float(wide)) != wide  # precondition: the trap is real
+    sigs = spark.createDataFrame(
+        [(1, wide), (2, None)], "media_id bigint, simhash bigint"
+    ).coalesce(1)  # one partition -> one Arrow batch holds both rows
+
+    bits = [(wide >> k) & 1 for k in range(60)]
+    want_png = png_encode(8, 8, 1, bytes(255 * b for b in bits + _Q159_PAD))
+    samples = []
+    for b in bits + _Q160_PAD:
+        samples += [1000 * b, 1000 * b]
+    want_wav = wav_encode(_Q160_RATE, samples)
+
+    for render, want in ((_q159_render, want_png), (_q160_render, want_wav)):
+        out = (
+            sigs.where(F.col("simhash").isNotNull())
+            .mapInPandas(render, "media_id bigint, payload binary")
+            .collect()
+        )
+        rows = {r.media_id: bytes(r.payload) for r in out}
+        assert set(rows) == {1}  # NULL-sig row excluded pre-Arrow
+        assert rows[1] == want  # low bits intact despite the wide value

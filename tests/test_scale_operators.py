@@ -449,6 +449,36 @@ def test_connected_components_hybrid_paths_agree(spark):
         assert small == dist and small
 
 
+def test_connected_components_null_edges_and_wide_ids(spark):
+    """ADVICE r4: a NULL edge endpoint in toPandas() downgrades bigint id
+    columns to float64, corrupting ids >= 2^53 and injecting NaN keys into
+    the driver union-find. NULL-endpoint edges must be dropped on both
+    paths, and wide (>2^53) ids must survive bit-exact."""
+    from job_etl_spark.ml.cluster import connected_components
+
+    wide_a = 576460752303423499  # 2^59 + 11 — float64 rounds the low bits
+    wide_b = 576460752303423497
+    assert int(float(wide_a)) != wide_a
+    rows = [
+        (wide_a, wide_b),
+        (1, 2),
+        (None, 7),  # no connectivity — must vanish, not poison the batch
+        (8, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    for kw in ({}, {"collect_max_edges": 0}):
+        got = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(df, **kw).collect()
+        }
+        assert got == {
+            wide_a: wide_b,
+            wide_b: wide_b,
+            1: 1,
+            2: 1,
+        }
+
+
 def test_connected_components_string_node_ids(spark):
     """Node ids need only be orderable — the pipeline's near-dup CC keys
     on a string hash_key."""

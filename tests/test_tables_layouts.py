@@ -146,3 +146,30 @@ def test_table_memo_hit_and_staleness_miss(spark, tmp_path):
     b = table(spark, str(tmp_path), "region")
     assert b is not a  # stamp changed -> fresh analysis
     assert b.count() == 2
+
+
+def test_table_memo_directory_inplace_overwrite_misses(spark, tmp_path):
+    """ADVICE r4: for a DIRECTORY table, overwriting a part file in place
+    (same file name) changes neither the directory's mtime nor its size —
+    the stamp must fold in per-entry (name, mtime, size) so the memo
+    cannot serve a plan pointing at stale file lengths."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    src = _pq.read_table("/root/testdata/sf0.001/region.parquet")
+    d = tmp_path / "region.parquet"
+    d.mkdir()
+    part = d / "part-00000.parquet"
+    _pq.write_table(src, str(part))
+    dir_stat_before = _os.stat(d)
+    a = table(spark, str(tmp_path), "region")
+    assert table(spark, str(tmp_path), "region") is a
+    assert a.count() == 5
+    # in-place rewrite: same entry name, different content/length
+    _pq.write_table(src.slice(0, 3), str(part))
+    # the trap precondition: the directory stat alone did NOT change size
+    assert _os.stat(d).st_size == dir_stat_before.st_size
+    b = table(spark, str(tmp_path), "region")
+    assert b is not a  # per-entry stamp changed -> fresh analysis
+    assert b.count() == 3
