@@ -1056,7 +1056,12 @@ def q78_contamination(spark: SparkSession, sf: str) -> DataFrame:
     # evaluation on top of the Project's). outer blocks that inference;
     # the null gram rows it admits never match the inner join on gram.
     g = docs.where(n >= 3).select("doc_id", grams.alias("grams"))
-    bench = F.broadcast(
+    # the benchmark gram set is a fixed FRACTION of the corpus (1/97), not
+    # a construction-bounded frame — no broadcast hint (policy, SCALING.md
+    # "Broadcast-hint policy"): a real eval suite is small and AQE will
+    # broadcast it at runtime; a forced hint here is the q39/q47
+    # driver-OOM hazard class at 100 TB.
+    bench = (
         g.where(F.col("doc_id") % 97 == 0)
         .select(F.explode_outer("grams").alias("gram"))
         .distinct()

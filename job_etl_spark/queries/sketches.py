@@ -202,7 +202,11 @@ def q97_vocab_oov(spark: SparkSession, sf: str) -> DataFrame:
         .limit(_VOCAB_V)
         .select("tok", F.lit(True).alias("in_vocab"))
     )
-    j = toks.join(F.broadcast(counts), "tok").join(F.broadcast(vocab), "tok", "left")
+    # counts = the full distinct-token table: grows with the corpus
+    # (Heaps' law), so it carries NO broadcast hint (policy: hints only on
+    # construction-bounded frames; AQE still broadcasts when actually
+    # small). vocab is LIMIT-bounded — hint is safe.
+    j = toks.join(counts, "tok").join(F.broadcast(vocab), "tok", "left")
     oov = F.count(F.when(F.col("in_vocab").isNull(), 1))
     return j.groupBy("doc_id", "lang").agg(
         F.count(F.lit(1)).alias("n_tokens"),

@@ -36,9 +36,22 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+# two full-registry guards (join strategies + scan budgets) read each
+# query's plan — build it once per session, not once per test
+_PLAN_CACHE: dict[str, str] = {}
+
+
+def _plan_cached(spark, name: str) -> str:
+    p = _PLAN_CACHE.get(name)
+    if p is None:
+        p = _plan(_REG[name].fn(spark, SF_SMOKE))
+        _PLAN_CACHE[name] = p
+    return p
+
+
 @pytest.mark.parametrize("name", sorted(_REG))
 def test_no_unbounded_join_strategies(spark, name):
-    plan = _plan(_REG[name].fn(spark, SF_SMOKE))
+    plan = _plan_cached(spark, name)
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
     if name not in _BNLJ_OK:
         assert "BroadcastNestedLoopJoin" not in plan, (
@@ -241,7 +254,7 @@ _MAX_SCANS = {
 @pytest.mark.parametrize("name", sorted(_MAX_SCANS))
 def test_checkpointed_queries_stay_scan_bounded(spark, name):
     table_file, bound = _MAX_SCANS[name]
-    plan = _plan(_REG[name].fn(spark, SF_SMOKE))
+    plan = _plan_cached(spark, name)
     n = sum(
         1
         for ln in plan.splitlines()
@@ -250,4 +263,116 @@ def test_checkpointed_queries_stay_scan_bounded(spark, name):
     assert n <= bound, (
         f"{name}: {n} visible FileScans of {table_file} (bound {bound}) — "
         "was a shared-frame checkpoint removed?"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry-WIDE scan-budget guard (round 5). The round-4 multi-scan audit
+# was done by hand and bounded only the 10 checkpointed queries above —
+# the one class of perf win a refactor could silently undo elsewhere.
+# tests/scan_budgets.json snapshots the CURRENT visible-FileScan count per
+# (query, SF-scaling table) for all 162 queries as a CEILING; regenerate
+# with `python scripts/scan_budget.py --update` only after reviewing that
+# any new >1 count belongs to a legitimate class below.
+# ---------------------------------------------------------------------------
+import json as _json
+import os as _os
+
+with open(_os.path.join(_os.path.dirname(__file__), "scan_budgets.json")) as _f:
+    _SCAN_BUDGETS = _json.load(_f)
+
+# Every query budgeted >1 visible scan of an SF-scaling table must carry a
+# one-line justification from SCALING.md's legitimate multi-scan classes:
+#   roles    — self-join over different roles of the same table (as-of /
+#              interval / except / retention / diff); Spark never shares
+#              subplans across branches, and both roles genuinely differ
+#              (filters/keys), so a checkpoint would materialize the fact
+#   sketch   — mergeable-sketch HALF-builds whose merge IS the operator
+#   ann      — bounded query-set scan + corpus scan of the same table
+#   fetch    — ids-only candidate pass + id→vector fetch-back (cheaper
+#              than materializing vectors through the candidate shuffle)
+_MULTI_SCAN_OK = {
+    "q08_merge_upsert": "roles: target vs incoming-batch halves",
+    "q10_union_sources": "roles: two source slices unioned by name",
+    "q25_ngram_jaccard": "roles: pair join, both sides of documents",
+    "q26_ann_cosine_topk": "ann: query set + corpus",
+    "q27_embedding_neardup": "fetch: banded candidates + id→vector fetch-back",
+    "q32_ann_lsh_bucketed": "ann: query set + corpus",
+    "q36_hourly_rollup": "roles: hour spine + per-hour aggregate",
+    "q37_asof_join": "roles: left events vs right quotes slice",
+    "q44_interval_join": "roles: intervals + points + overlap check",
+    "q47_lone_return_supplier": "roles: returns vs all-supplier halves",
+    "q48_ann_ivf": "ann: query set + corpus",
+    "q51_top_supplier": "roles: per-supplier revenue vs global max",
+    "q52_except_customers": "roles: EXCEPT left/right order slices",
+    "q57_inactive_rich_customers": "roles: active vs all-customer halves",
+    "q64_asof_forward": "roles: left vs right as-of slices",
+    "q65_retained_customers": "roles: period-A vs period-B orders",
+    "q75_quantile_sketch": "sketch: two half-builds merged",
+    "q78_contamination": "roles: train corpus vs eval corpus slices",
+    "q82_gap_filled_hours": "roles: hour spine + observed hours",
+    "q83_trimmed_stats": "roles: quantile bounds + trimmed aggregate",
+    "q90_source_mixture": "roles: per-source counts + global total",
+    "q94_snapshot_diff": "roles: old vs new snapshot slices",
+    "q95_heavy_hitters_cms": "sketch: two CMS half-builds merged",
+    "q96_kmv_distinct": "sketch: two KMV half-builds merged",
+    "q98_inverted_index": "roles: postings + df-count halves",
+    "q105_windowed_distinct": "sketch: per-window half-sketches merged",
+    "q106_equidepth_bins": "roles: bin bounds + assignment pass",
+    "q109_zscore_outliers": "roles: per-user stats + event re-join",
+    "q111_span_dedup": "roles: span pairs vs doc re-join (checkpointed)",
+    "q113_split_drift": "roles: train vs test split slices",
+    "q116_split_leakage": "roles: train/test slices + leak pair join",
+    "q118_temperature_resample": "roles: per-source stats + doc re-join",
+    "q130_skew_report": "roles: totals vs top-10-mass halves",
+    "q131_ivm_agg": "roles: base aggregate + delta batch",
+    "q133_cohort_matrix": "roles: cohort assignment + activity join",
+    "q139_ab_test": "roles: arm A vs arm B slices",
+    "q140_attribution": "roles: conversions vs touch events",
+    "q141_interpolated_hours": "roles: hour spine + neighbor lookup",
+    "q142_rrf_fusion": "ann: two retrieval arms × (query set + corpus)",
+    "q143_neardup_degree": "roles: pair list vs doc re-join (checkpointed)",
+    "q145_snippets": "roles: match spans + doc text re-join",
+    "q153_hard_negatives": "ann: query set + corpus",
+    "q154_centroid_separation": "roles: centroid table + re-join (checkpointed)",
+    "q157_dedup_method_agreement": "roles: two dedup methods over documents",
+    "q86_distinctive_terms": "roles: per-doc tf + corpus df (checkpointed)",
+    "q97_vocab_oov": "roles: vocab build + OOV probe (global counts only)",
+}
+
+
+def test_multi_scan_budgets_are_documented():
+    """Every >1 scan budget must be consciously classified — a new one
+    appearing in the snapshot without a justification is exactly the
+    silent regression this guard exists to catch."""
+    undocumented = sorted(
+        name
+        for name, budget in _SCAN_BUDGETS.items()
+        if any(n > 1 for n in budget.values()) and name not in _MULTI_SCAN_OK
+    )
+    assert not undocumented, (
+        f"multi-scan budgets without a documented class: {undocumented}"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(_REG))
+def test_registry_scan_budget(spark, name):
+    """No query may scan an SF-scaling table more often than its
+    snapshotted ceiling (visible scans; checkpoints hide their subtree —
+    that hiding IS the round-4 fix being protected)."""
+    from scripts.scan_budget import scan_counts
+
+    budget = _SCAN_BUDGETS.get(name)
+    assert budget is not None, (
+        f"{name}: not in tests/scan_budgets.json — run "
+        "`python scripts/scan_budget.py --update` and review the diff"
+    )
+    got = scan_counts(_plan_cached(spark, name))
+    over = {
+        t: (n, budget.get(t, 0)) for t, n in got.items() if n > budget.get(t, 0)
+    }
+    assert not over, (
+        f"{name}: visible FileScans over budget {over} — a derived frame "
+        "is being consumed twice without its checkpoint (SCALING.md "
+        "'Multi-scan audit')"
     )
