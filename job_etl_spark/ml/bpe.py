@@ -63,6 +63,40 @@ def learn_merges(corpus: DataFrame, rounds: int) -> list[tuple[int, str, int]]:
     return steps
 
 
+def learn_merges_sampled(
+    docs: DataFrame,
+    rounds: int,
+    k_per_group: int,
+    group_cols: tuple[str, ...] = ("lang", "source"),
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "bpe",
+) -> list[tuple[int, str, int]]:
+    """Subsampled BPE training — the 100 TB composition the module
+    docstring promises: ``deterministic_group_sample`` (k docs per
+    (lang, source) group, md5-ordered — uniform, deterministic,
+    skew-immune, no RNG) feeds ``learn_merges``, so the R full corpus
+    passes run over a bounded sample instead of the whole corpus.
+
+    Validity regime: tokenizer statistics concentrate in the head of the
+    pair-frequency distribution (natural corpora are Zipfian), so a
+    uniform sample preserves the merge ORDER as long as head pair counts
+    dominate sampling noise — the property the stability test pins on a
+    skewed fixture. On a near-flat distribution (noise text) the head is
+    not identifiable from any subsample, and subsampled training is as
+    arbitrary as the tie-break; no sampling rate fixes that.
+
+    Stratifying by (lang, source) keeps every slice represented at the
+    same rate, so one dominant source can't silently own the tokenizer.
+    """
+    from job_etl_spark.operators.sampling import deterministic_group_sample
+
+    sample = deterministic_group_sample(
+        docs, list(group_cols), key_col, k_per_group, seed=seed
+    ).drop("sample_rank")
+    return learn_merges(serialize_corpus(sample, text_col), rounds)
+
+
 def apply_merge(corpus: DataFrame, pair: str) -> DataFrame:
     """Map-only rewrite: ``' a  b '`` → ``' a+b '`` (greedy left-to-right
     non-overlapping; the double-space layout keeps neighbors matchable)."""
