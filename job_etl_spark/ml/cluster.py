@@ -184,4 +184,17 @@ def _propagate(sym: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    else:
+        # Exhausting the budget means the returned labels are NOT the
+        # component fixpoint — failing loudly beats silently under-merged
+        # clusters. Propagation + pointer jumping converges in
+        # O(log diameter) rounds, so the default budget (20) covers any
+        # graph of diameter < ~2^20; hitting this is a pathology worth a
+        # raised max_iter only after understanding the input.
+        raise RuntimeError(
+            f"connected_components: min-label propagation still changing "
+            f"after max_iter={max_iter} rounds ({changed} labels moved on "
+            f"the last round); labels have not reached the component "
+            f"fixpoint"
+        )
     return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

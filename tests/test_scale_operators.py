@@ -489,3 +489,26 @@ def test_connected_components_string_node_ids(spark):
     )
     got = {r["node"]: r["cluster_id"] for r in connected_components(df).collect()}
     assert got == {"ka": "ka", "kb": "ka", "kc": "ka", "kx": "kx", "ky": "kx"}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """An exhausted iteration budget must raise, not return the
+    intermediate (under-merged) labels as if they were the fixpoint: a
+    silently-wrong dedup clustering poisons everything downstream of it.
+    A 64-node chain cannot converge in one round, but does converge —
+    exactly, to the chain minimum — within the default budget thanks to
+    pointer jumping (O(log diameter) rounds)."""
+    import pytest
+
+    from job_etl_spark.ml.cluster import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="max_iter=1"):
+        connected_components(chain, max_iter=1, collect_max_edges=0).collect()
+    got = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(chain, collect_max_edges=0).collect()
+    }
+    assert got == {(i, 0) for i in range(64)}
