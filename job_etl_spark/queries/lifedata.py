@@ -1314,25 +1314,36 @@ def _q159_render(batches):
         return png_encode(8, 8, 1, bytes(255 * b for b in bits))
 
     for pdf in batches:
+        # Precondition check (fail loudly, never corrupt): a NULL batchmate
+        # downgrades the column to float64 and int(sig) would silently
+        # truncate >2^53 signatures. Callers pre-filter upstream.
+        if str(pdf["simhash"].dtype) != "int64":
+            raise TypeError(
+                f"simhash batch dtype {pdf['simhash'].dtype}; caller must "
+                "pre-filter NULL signatures (int64 end-to-end required)"
+            )
         out = pdf[["media_id"]].copy()
         out["payload"] = pdf["simhash"].map(img).astype("object")
         yield out
 
 
 def q159_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    from job_etl_spark.ml.dedup import with_simhash
+    from job_etl_spark.ml.dedup import tokens_expr, with_simhash
     from job_etl_spark.ml.multimodal import image_neardup_pairs
 
     docs = parallel_table(spark, sf, "documents")
+    # NULL sigs (empty token lists) can never form a near-dup pair, and
+    # they must not reach the Arrow boundary (see _q159_render). Filter on
+    # the CHEAP equivalent predicate BEFORE with_simhash — simhash IS NULL
+    # ⟺ token list empty (simhash_from_hashes_expr) — because a filter on
+    # the computed column lets Catalyst substitute the whole md5-fold
+    # pipeline into the pushed-down predicate and run it twice inside the
+    # single-split scan task (the minhash_bands trap, ml/dedup.py rule).
+    docs = docs.where(F.size(tokens_expr("text")) > 0)
     sigs = with_simhash(docs, "text", "simhash").select(
         F.col("doc_id").alias("media_id"), "simhash"
     )
-    # NULL sigs (empty token lists) can never form a near-dup pair
-    # (downstream filters phash IS NOT NULL); dropping them BEFORE the
-    # Arrow boundary keeps the bigint column int64 — see _q159_render.
-    media = sigs.where(F.col("simhash").isNotNull()).mapInPandas(
-        _q159_render, "media_id bigint, payload binary"
-    )
+    media = sigs.mapInPandas(_q159_render, "media_id bigint, payload binary")
     return image_neardup_pairs(media, max_hamming=_Q159_MAX_HAMMING)
 
 
@@ -1420,23 +1431,29 @@ def _q160_render(batches):
         return wav_encode(_Q160_RATE, samples)
 
     for pdf in batches:
+        # Same loud precondition check as _q159_render: int64 or raise.
+        if str(pdf["simhash"].dtype) != "int64":
+            raise TypeError(
+                f"simhash batch dtype {pdf['simhash'].dtype}; caller must "
+                "pre-filter NULL signatures (int64 end-to-end required)"
+            )
         out = pdf[["media_id"]].copy()
         out["payload"] = pdf["simhash"].map(wav).astype("object")
         yield out
 
 
 def q160_audio_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    from job_etl_spark.ml.dedup import with_simhash
+    from job_etl_spark.ml.dedup import tokens_expr, with_simhash
     from job_etl_spark.ml.multimodal import audio_neardup_pairs
 
     docs = parallel_table(spark, sf, "documents")
+    # Cheap-equivalent NULL-sig pre-filter BEFORE with_simhash — same
+    # predicate-substitution trap and same rationale as q159 above.
+    docs = docs.where(F.size(tokens_expr("text")) > 0)
     sigs = with_simhash(docs, "text", "simhash").select(
         F.col("doc_id").alias("media_id"), "simhash"
     )
-    # NULL sigs dropped before the Arrow boundary — see _q160_render.
-    media = sigs.where(F.col("simhash").isNotNull()).mapInPandas(
-        _q160_render, "media_id bigint, payload binary"
-    )
+    media = sigs.mapInPandas(_q160_render, "media_id bigint, payload binary")
     return audio_neardup_pairs(media, max_hamming=_Q160_MAX_HAMMING)
 
 

@@ -308,3 +308,21 @@ def test_render_null_batchmate_preserves_wide_sig_bits(spark):
         rows = {r.media_id: bytes(r.payload) for r in out}
         assert set(rows) == {1}  # NULL-sig row excluded pre-Arrow
         assert rows[1] == want  # low bits intact despite the wide value
+
+
+@pytest.mark.parametrize("render_name", ["_q159_render", "_q160_render"])
+def test_render_raises_loudly_on_float64_batch(render_name):
+    """ADVICE r5 (low): the renderers hard-require an int64 simhash batch.
+    A caller that forgets the upstream NULL pre-filter delivers float64
+    (NULL batchmate) — the renderer must raise TypeError, never silently
+    truncate >2^53 signatures. Driver-less: feeds the generator directly."""
+    import pandas as pd
+
+    from job_etl_spark.queries import lifedata
+
+    render = getattr(lifedata, render_name)
+    wide = 576460752303423499  # >2^53: float64 rounds the low bits
+    pdf = pd.DataFrame({"media_id": [1, 2], "simhash": [wide, None]})
+    assert str(pdf["simhash"].dtype) == "float64"  # the trap dtype
+    with pytest.raises(TypeError, match="int64"):
+        list(render(iter([pdf])))
