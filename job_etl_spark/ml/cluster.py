@@ -131,6 +131,7 @@ def _driver_union_find(sym: DataFrame) -> DataFrame:
 
 
 def _propagate(sym: DataFrame, labels: DataFrame, max_iter: int) -> DataFrame:
+    changed = -1  # "never ran": max_iter <= 0 falls straight to the for-else
     for _ in range(max_iter):
         # min label among each node's neighbors
         neighbor_min = (

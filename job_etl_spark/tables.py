@@ -47,12 +47,19 @@ def _stamp(path: str):
         st = os.stat(path)
         if not os.path.isdir(path):
             return (st.st_mtime_ns, st.st_size)
-        entries = tuple(
-            (e.name, s.st_mtime_ns, s.st_size)
-            for e in sorted(os.scandir(path), key=lambda e: e.name)
-            if (s := e.stat()) is not None
-        )
-        return (st.st_mtime_ns, st.st_size, entries)
+        entries = []
+        for e in sorted(os.scandir(path), key=lambda e: e.name):
+            s = e.stat()
+            if e.is_dir():
+                # nested layout (e.g. partitioned date=*/): an in-place
+                # part overwrite inside it changes no stat visible here, so
+                # the flat-dir assumption must not serve stale plans
+                # (ADVICE r5). A fresh object() never equals any prior key
+                # → the memo always misses for this path (re-analyze, never
+                # stale; a constant sentinel like None would cache forever)
+                return object()
+            entries.append((e.name, s.st_mtime_ns, s.st_size))
+        return (st.st_mtime_ns, st.st_size, tuple(entries))
     except OSError:
         return None
 

@@ -53,10 +53,13 @@ BUDGETED_TABLES = (
 def scan_counts(plan: str) -> dict[str, int]:
     counts: dict[str, int] = {}
     for t in BUDGETED_TABLES:
+        # anchored on the path separator: a bare f"{t}.parquet" would
+        # double-count any future table whose name is a suffix of another
+        # (ADVICE r5 — e.g. 'part.parquet' inside 'counterpart.parquet')
         n = sum(
             1
             for ln in plan.splitlines()
-            if "FileScan" in ln and f"{t}.parquet" in ln
+            if "FileScan" in ln and f"/{t}.parquet" in ln
         )
         if n:
             counts[t] = n

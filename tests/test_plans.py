@@ -221,7 +221,7 @@ def test_scan_reads_only_needed_columns(spark, name):
         plan = _plan(_REG[name].fn(spark, SF_SMOKE))
     scans = [
         ln for ln in plan.splitlines()
-        if "FileScan" in ln and table_file in ln and "ReadSchema" in ln
+        if "FileScan" in ln and f"/{table_file}" in ln and "ReadSchema" in ln
     ]
     assert scans, f"{name}: no FileScan of {table_file} in plan"
     for ln in scans:
@@ -258,7 +258,7 @@ def test_checkpointed_queries_stay_scan_bounded(spark, name):
     n = sum(
         1
         for ln in plan.splitlines()
-        if "FileScan" in ln and f"{table_file}.parquet" in ln
+        if "FileScan" in ln and f"/{table_file}.parquet" in ln
     )
     assert n <= bound, (
         f"{name}: {n} visible FileScans of {table_file} (bound {bound}) — "
@@ -352,6 +352,52 @@ def test_multi_scan_budgets_are_documented():
     )
     assert not undocumented, (
         f"multi-scan budgets without a documented class: {undocumented}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Expression-duplication guard (round 6). The scan-budget guard counts
+# FileScans and is BLIND to Catalyst substituting an expensive expression
+# tree into a pushed-down predicate: q159/q160 regressed ~3× in round 5
+# (isNotNull on the computed simhash column → the whole md5-fold pipeline
+# evaluated twice, sunk below the parallelizing exchange) with scan counts
+# unchanged — the second occurrence of this class after q31 in round 2
+# (ml/dedup.py "NO isNotNull pre-filter" rule). `md5(`-occurrences in the
+# OPTIMIZED plan are the tripwire: every signature pipeline (simhash,
+# minhash, bucket hash) funnels through md5, so a substitution that
+# duplicates a fold tree raises the count. Ceilings are the audited
+# call-site counts; >1 entries are distinct legitimate sites, noted inline.
+# ---------------------------------------------------------------------------
+_MD5_BUDGETS = {
+    "q29_minhash_lsh": 2,  # shingle hash + LSH band-slice bucket hash
+    "q30_simhash": 1,
+    "q31_simhash_neardup": 1,
+    "q102_curation_pipeline": 2,  # md5-bucket split on scalar doc_id, 2 uses
+    "q103_incremental_neardup": 3,  # is_new tag across new/old role branches
+    "q152_minhash_error": 1,
+    "q157_dedup_method_agreement": 3,  # two dedup methods + bucket hash
+    "q159_image_neardup": 1,  # was 2 pre-fix: the r5 regression this pins
+    "q160_audio_neardup": 1,  # was 2 pre-fix
+    "q161_wide_simhash_neardup": 2,  # two independent 60-bit halves per token
+}
+
+
+@pytest.mark.parametrize("name", sorted(_MD5_BUDGETS))
+def test_signature_pipeline_evaluates_once(spark, name):
+    bound = _MD5_BUDGETS[name]
+    plan = (
+        _REG[name]
+        .fn(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    n = plan.count("md5(")
+    assert n <= bound, (
+        f"{name}: {n} md5( sites in the optimized plan (audited ceiling "
+        f"{bound}) — Catalyst is substituting a signature pipeline into a "
+        "predicate or a second branch; filter on the cheap equivalent "
+        "token-count predicate BEFORE the signature (ml/dedup.py rule)"
     )
 
 

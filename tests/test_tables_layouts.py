@@ -173,3 +173,39 @@ def test_table_memo_directory_inplace_overwrite_misses(spark, tmp_path):
     b = table(spark, str(tmp_path), "region")
     assert b is not a  # per-entry stamp changed -> fresh analysis
     assert b.count() == 3
+
+
+def test_table_memo_nested_subdir_never_caches(spark, tmp_path):
+    """ADVICE r5: a NESTED layout (e.g. partitioned date=*/) hides in-place
+    part overwrites from the flat per-entry stamp, so the memo must not
+    cache such paths at all — every call re-analyzes, and a rewrite inside
+    the subdirectory is always observed."""
+    import pyarrow.parquet as _pq
+
+    src = _pq.read_table("/root/testdata/sf0.001/region.parquet")
+    d = tmp_path / "region.parquet"
+    sub = d / "r_name=x"
+    sub.mkdir(parents=True)
+    part = sub / "part-00000.parquet"
+    _pq.write_table(src.drop_columns([]) , str(part))
+    a = table(spark, str(tmp_path), "region")
+    assert table(spark, str(tmp_path), "region") is not a  # never memoized
+    n0 = a.count()
+    # in-place rewrite INSIDE the subdir: invisible to a flat stamp
+    _pq.write_table(src.slice(0, 2), str(part))
+    b = table(spark, str(tmp_path), "region")
+    assert b.count() == 2 and n0 == 5
+
+
+def test_propagate_zero_budget_raises_cleanly(spark):
+    """ADVICE r5: max_iter <= 0 never runs the loop body; the for-else
+    diagnostic must be a well-formed RuntimeError, not an UnboundLocalError
+    on `changed`."""
+    import pytest as _pytest
+
+    from job_etl_spark.ml.cluster import connected_components
+
+    edges = spark.createDataFrame([(1, 2)], "doc_a bigint, doc_b bigint")
+    with _pytest.raises(RuntimeError, match="max_iter"):
+        # collect_max_edges=0 forces the distributed _propagate path
+        connected_components(edges, max_iter=0, collect_max_edges=0)
