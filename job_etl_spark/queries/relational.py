@@ -1564,15 +1564,22 @@ def q49_variant_extract(spark: SparkSession, sf: str) -> DataFrame:
     ev = table(spark, sf, "events")
     v = F.try_parse_json("props")
     k = F.try_variant_get(v, "$.k", "int")
+    # No isNotNull filter on the DERIVED k_val: Catalyst substitutes the
+    # whole parse_json chain into the pushed-down predicate and every
+    # surviving row parses props TWICE (the ml/dedup.py minhash_bands trap,
+    # r6 sweep). NULL handling folds into the aggregates instead —
+    # count(k_val)/sum skip NULLs, when(NULL % 2 == 0) never fires — and
+    # the HAVING on the aggregated count drops all-NULL groups exactly as
+    # the row filter did. One parse per row, as the header promises.
     return (
         ev.withColumn("k_val", k)
-        .where(F.col("k_val").isNotNull())
         .groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_with_k"),
+            F.count("k_val").alias("n_with_k"),
             F.sum("k_val").alias("sum_k"),
             F.count(F.when(F.col("k_val") % 2 == 0, 1)).alias("n_even"),
         )
+        .where(F.col("n_with_k") > 0)
     )
 
 
