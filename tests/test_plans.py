@@ -401,6 +401,35 @@ def test_signature_pipeline_evaluates_once(spark, name):
     )
 
 
+# Same trap class, JSON/variant-parse family: a filter on the derived
+# extracted column substitutes the whole parse chain into the pushed-down
+# scan predicate (q49 regressed this way, caught in the r6 sweep — parse
+# cost doubled per surviving row). Each marker is the family's per-row
+# parse entry point in the optimized plan text.
+_PARSE_BUDGETS = {
+    "q13_json_extract": ("get_json_object", 1),
+    "q49_variant_extract": ("parseJson", 1),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_PARSE_BUDGETS))
+def test_json_parse_evaluates_once(spark, name):
+    marker, bound = _PARSE_BUDGETS[name]
+    plan = (
+        _REG[name]
+        .fn(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    n = plan.count(marker)
+    assert 1 <= n <= bound, (
+        f"{name}: {n} {marker} sites in the optimized plan (ceiling {bound})"
+        " — fold NULL handling into the aggregates instead of filtering on"
+        " the derived column (count/sum skip NULLs; HAVING drops groups)"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(_REG))
 def test_registry_scan_budget(spark, name):
     """No query may scan an SF-scaling table more often than its
