@@ -66,15 +66,37 @@ def scan_counts(plan: str) -> dict[str, int]:
     return counts
 
 
-def build(spark) -> dict[str, dict[str, int]]:
+def shuffle_count(plan: str) -> int:
+    """Visible shuffle Exchanges in the pre-AQE executed plan (hash/range/
+    round-robin/single-partition). BroadcastExchange is NOT a shuffle —
+    broadcasting a small side is the cheap strategy the shuffle budget
+    exists to protect — so it is excluded. Checkpoints hide their
+    subtree's exchanges, same semantics as scan_counts."""
+    return sum(
+        1
+        for ln in plan.splitlines()
+        if "Exchange " in ln and "BroadcastExchange" not in ln
+    )
+
+
+SHUFFLE_SNAPSHOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "shuffle_budgets.json",
+)
+
+
+def build(spark) -> tuple[dict[str, dict[str, int]], dict[str, int]]:
     from job_etl_spark.queries import registry
 
-    out: dict[str, dict[str, int]] = {}
+    scans: dict[str, dict[str, int]] = {}
+    shuffles: dict[str, int] = {}
     for name, q in sorted(registry().items()):
         df = q.fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        out[name] = scan_counts(plan)
-    return out
+        scans[name] = scan_counts(plan)
+        shuffles[name] = shuffle_count(plan)
+    return scans, shuffles
 
 
 def main() -> int:
@@ -83,15 +105,20 @@ def main() -> int:
     from job_etl_spark.session import get_spark
 
     spark = get_spark("scan-budget")
-    got = build(spark)
+    got, got_sh = build(spark)
     if "--update" in sys.argv:
         with open(SNAPSHOT, "w") as f:
             json.dump(got, f, indent=1, sort_keys=True)
             f.write("\n")
-        print(f"wrote {SNAPSHOT}: {len(got)} queries")
+        with open(SHUFFLE_SNAPSHOT, "w") as f:
+            json.dump(got_sh, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {SNAPSHOT} + {SHUFFLE_SNAPSHOT}: {len(got)} queries")
         return 0
     with open(SNAPSHOT) as f:
         want = json.load(f)
+    with open(SHUFFLE_SNAPSHOT) as f:
+        want_sh = json.load(f)
     bad = []
     for name, counts in got.items():
         budget = want.get(name)
@@ -101,6 +128,10 @@ def main() -> int:
         for t, n in counts.items():
             if n > budget.get(t, 0):
                 bad.append(f"{name}: {t} scans {n} > budget {budget.get(t, 0)}")
+        if got_sh[name] > want_sh.get(name, 0):
+            bad.append(
+                f"{name}: {got_sh[name]} shuffles > budget {want_sh.get(name, 0)}"
+            )
     for line in bad:
         print("REGRESSION", line)
     print(f"checked {len(got)} queries; {len(bad)} over budget")

@@ -451,3 +451,35 @@ def test_registry_scan_budget(spark, name):
         "is being consumed twice without its checkpoint (SCALING.md "
         "'Multi-scan audit')"
     )
+
+
+# ---------------------------------------------------------------------------
+# Registry-WIDE shuffle-count budget (round 6). Every shuffle Exchange is
+# the dominant at-scale cost a refactor can silently add (a lost broadcast,
+# a new repartition, an aggregation split into two stages) — and until now
+# nothing tripped on it: scan budgets count FileScans, the broadcast
+# allowlist only constrains HINTS. tests/shuffle_budgets.json snapshots
+# the visible non-broadcast Exchange count per query (pre-AQE executed
+# plan, checkpoint subtrees hidden — same semantics as scan budgets) as a
+# CEILING. Regenerate with `python scripts/scan_budget.py --update` only
+# after confirming a raised count is a deliberate trade.
+# ---------------------------------------------------------------------------
+with open(_os.path.join(_os.path.dirname(__file__), "shuffle_budgets.json")) as _f:
+    _SHUFFLE_BUDGETS = _json.load(_f)
+
+
+@pytest.mark.parametrize("name", sorted(_REG))
+def test_registry_shuffle_budget(spark, name):
+    from scripts.scan_budget import shuffle_count
+
+    budget = _SHUFFLE_BUDGETS.get(name)
+    assert budget is not None, (
+        f"{name}: not in tests/shuffle_budgets.json — run "
+        "`python scripts/scan_budget.py --update` and review the diff"
+    )
+    got = shuffle_count(_plan_cached(spark, name))
+    assert got <= budget, (
+        f"{name}: {got} shuffle Exchanges (budget {budget}) — a broadcast "
+        "was lost or a new repartition/aggregation stage was added; every "
+        "extra shuffle is a full-data network pass at 100 TB"
+    )
