@@ -467,6 +467,37 @@ def test_registry_scan_budget(spark, name):
 with open(_os.path.join(_os.path.dirname(__file__), "shuffle_budgets.json")) as _f:
     _SHUFFLE_BUDGETS = _json.load(_f)
 
+# Every query budgeted >5 shuffles carries a one-line justification (the
+# _MULTI_SCAN_OK pattern): these are multi-arm demonstrations whose arms
+# are each individually shuffle-lean; the exchanges move SKETCH/ID-sized
+# intermediates, not the corpus. A new entry appearing here without a
+# classification is the silent-regression signal this guard watches for.
+_MANY_SHUFFLE_OK = {
+    "q96_kmv_distinct": "sketch demo: per-type + __all__ KMV half-builds "
+    "AND their exact countDistinct twins (the oracle-checked accuracy "
+    "claim needs both), 4 arms × (distinct+agg) + merge + join",
+    "q142_rrf_fusion": "two retrieval arms × (rank window + agg) + fusion join",
+    "q95_heavy_hitters_cms": "sketch demo: two CMS half-builds + merge + exact twin",
+    "q105_windowed_distinct": "per-window half-sketches + merge + exact twin",
+    "q98_inverted_index": "postings + df-count + tf-idf join (ids-only rows)",
+    "q157_dedup_method_agreement": "two dedup methods end-to-end + agreement join",
+    "q117_bigram_perplexity": "vocab + bigram + unigram aggs over the "
+    "checkpointed token frame (token-id rows, one corpus scan)",
+    "q116_split_leakage": "train/test slices × (shingle agg) + leak pair join",
+    "q103_incremental_neardup": "new×old band join + is_new stamp + pair agg",
+}
+
+
+def test_many_shuffle_budgets_are_documented():
+    undocumented = sorted(
+        name
+        for name, n in _SHUFFLE_BUDGETS.items()
+        if n > 5 and name not in _MANY_SHUFFLE_OK
+    )
+    assert not undocumented, (
+        f"shuffle budgets >5 without a documented class: {undocumented}"
+    )
+
 
 @pytest.mark.parametrize("name", sorted(_REG))
 def test_registry_shuffle_budget(spark, name):
