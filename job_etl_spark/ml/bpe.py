@@ -58,8 +58,12 @@ def learn_merges(corpus: DataFrame, rounds: int) -> list[tuple[int, str, int]]:
         steps.append((step, merged, n_occ))
         # truncate lineage: without this, round r replays all r prior
         # rewrites over the source — O(R²) corpus passes and an R-deep
-        # plan; checkpointing keeps it at one pass per round
-        corpus = apply_merge(corpus, pair).localCheckpoint()
+        # plan; checkpointing keeps it at one pass per round. LAZY: the
+        # next round's pair-count collect is the action that materializes
+        # it, so each round runs exactly ONE job instead of
+        # checkpoint-then-count's two (the cluster.py _propagate rule);
+        # the final round's rewrite is never materialized at all.
+        corpus = apply_merge(corpus, pair).localCheckpoint(eager=False)
     return steps
 
 
