@@ -16,6 +16,8 @@ query here follows the parity rules in ``queries._util``:
 
 from __future__ import annotations
 
+import hashlib
+import inspect
 import json
 import re
 from pathlib import Path
@@ -69,6 +71,30 @@ def _last_verified_round() -> dict[str, int]:
     }
 
 
+def source_hash(q: Query) -> str:
+    """Content hash of a query's verifiable surface: the Spark fn's source
+    text + the oracle SQL. Helper-module changes are invisible to it by
+    design — this is a rotation-priority heuristic, not a correctness
+    proof; the driver rotation still cycles every query regardless."""
+    src = inspect.getsource(q.fn)
+    return hashlib.sha256(
+        (src + "\x00" + (q.oracle or "")).encode()
+    ).hexdigest()[:16]
+
+
+def _green_hashes() -> dict[str, str]:
+    """name -> source_hash as of the query's last driver-green round,
+    maintained by ``scripts/green_hashes.py --update`` (run at round start,
+    before any code changes, so the stored hash reflects the verified
+    code). Missing file → no change detection (scripts running outside the
+    repo tree)."""
+    path = Path(__file__).resolve().parents[2] / "tests" / "query_green_hashes.json"
+    try:
+        return json.loads(path.read_text())
+    except (OSError, ValueError):
+        return {}
+
+
 def registry() -> dict[str, Query]:
     reg: dict[str, Query] = {}
     for mod in (
@@ -89,6 +115,24 @@ def registry() -> dict[str, Query]:
                 raise ValueError(f"duplicate query name {name}")
             reg[name] = q
     last = _last_verified_round()
+    # Rewritten-since-green queries jump ahead of merely-stale greens
+    # (r6 verdict: q49 was rewritten in r6 but its driver green was r4 —
+    # a rewrite must never wait behind the stalest-green backlog for
+    # driver confirmation). Order: failing (-2), never-verified (-1),
+    # changed-since-green (-0.5), then greens stalest-first.
+    green_hash = _green_hashes()
+    changed = {
+        n
+        for n, q in reg.items()
+        if n in green_hash and green_hash[n] != source_hash(q)
+    }
+
+    def key(n: str) -> float:
+        k = last.get(n, -1)
+        if k >= 0 and n in changed:
+            return -0.5
+        return k
+
     base = {name: i for i, name in enumerate(reg)}
-    order = sorted(reg, key=lambda n: (last.get(n, -1), base[n]))
+    order = sorted(reg, key=lambda n: (key(n), base[n]))
     return {n: reg[n] for n in order}

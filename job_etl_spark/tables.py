@@ -33,6 +33,18 @@ _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 )
 
 
+class _Uncacheable:
+    """Stamp for paths whose freshness can't be established (nested
+    layouts, intermittent stat errors). ``table()`` recognizes it and
+    skips the memo insert entirely — the alternative (a fresh
+    ``object()`` per call, ADVICE r5) never HITS but still inserted a
+    never-reusable entry per call, growing the per-session cache and
+    pinning analyzed DataFrames for the session's lifetime (ADVICE r6)."""
+
+
+_UNCACHEABLE = _Uncacheable()
+
+
 def _stamp(path: str):
     """Freshness stamp for the cache key. For a single-file table:
     (mtime_ns, size). For a directory table, the top-level stat is not
@@ -54,14 +66,17 @@ def _stamp(path: str):
                 # nested layout (e.g. partitioned date=*/): an in-place
                 # part overwrite inside it changes no stat visible here, so
                 # the flat-dir assumption must not serve stale plans
-                # (ADVICE r5). A fresh object() never equals any prior key
-                # → the memo always misses for this path (re-analyze, never
-                # stale; a constant sentinel like None would cache forever)
-                return object()
+                # (ADVICE r5) — mark the path uncacheable (re-analyze every
+                # call, never stale; a constant ordinary sentinel like None
+                # would cache forever)
+                return _UNCACHEABLE
             entries.append((e.name, s.st_mtime_ns, s.st_size))
         return (st.st_mtime_ns, st.st_size, tuple(entries))
     except OSError:
-        return None
+        # intermittent stat failures (e.g. a dangling symlink entry) must
+        # not collapse to a stable key either — same cache-forever hazard
+        # as the nested-dir case (ADVICE r6)
+        return _UNCACHEABLE
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -77,7 +92,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # analysis, so a session-tz flip must miss the cache (the tz probes
     # flip it mid-session; a real session never does)
     tz = spark.conf.get("spark.sql.session.timeZone") if name == "events" else None
-    key = (sf_dir, name, _stamp(path), tz)
+    stamp = _stamp(path)
+    if stamp is _UNCACHEABLE:
+        # freshness unknowable — return a fresh analysis without touching
+        # the memo (inserting would grow it with never-reusable entries)
+        return _events(spark, sf_dir) if name == "events" else spark.read.parquet(path)
+    key = (sf_dir, name, stamp, tz)
     per = _TABLE_CACHE.setdefault(spark, {})
     df = per.get(key)
     if df is None:

@@ -1,0 +1,103 @@
+"""Maintain tests/query_green_hashes.json — the per-query source hash as
+of each query's last driver-green verification.
+
+The driver verifies only the first 50 registry entries per round;
+``queries.registry()`` self-rotates on the CORRECTNESS_r*.json history.
+Round 6's verdict found the one hole in that rotation: a query REWRITTEN
+after its last green (q49, rewritten r6, last green r4) ranked by
+staleness only, so its driver re-confirmation could trail the rewrite by
+two rounds. This sidecar closes it: ``registry()`` compares each query's
+current ``source_hash`` (fn source + oracle SQL) against the hash stored
+at its last green and ranks mismatches ahead of all merely-stale greens.
+
+Workflow (run at ROUND START, before touching any query code, so the
+stored hash reflects exactly the code the driver verified):
+
+    python scripts/green_hashes.py --update   # refresh greens of the
+                                              # latest CORRECTNESS round,
+                                              # add missing entries
+    python scripts/green_hashes.py            # report changed-since-green
+
+A query edited mid-round then mismatches until the NEXT round-start
+update that follows its driver green — precisely the interval during
+which it must stay in the verification window.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = Path(__file__).resolve().parents[1]
+SIDECAR = ROOT / "tests" / "query_green_hashes.json"
+
+
+def latest_round_greens() -> tuple[int, set[str]]:
+    best_round, greens = 0, set()
+    for path in sorted(ROOT.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", path.name)
+        rnd = int(m.group(1)) if m else 0
+        if rnd <= best_round:
+            continue
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        best_round = rnd
+        greens = {
+            name
+            for name, row in data.items()
+            if isinstance(row, dict)
+            and (
+                row.get("hash_match") is True
+                or (row.get("hash_match") is None and row.get("rows_match") is True)
+            )
+        }
+    return best_round, greens
+
+
+def main() -> int:
+    from job_etl_spark.queries import registry, source_hash
+
+    reg = registry()
+    current = {name: source_hash(q) for name, q in reg.items()}
+    stored = json.loads(SIDECAR.read_text()) if SIDECAR.exists() else {}
+
+    if "--update" in sys.argv:
+        rnd, greens = latest_round_greens()
+        refreshed = sorted(n for n in greens if stored.get(n) != current[n])
+        added = sorted(n for n in current if n not in stored and n not in greens)
+        for n in greens:
+            stored[n] = current[n]
+        for n in added:
+            # never-verified queries get their current hash so a LATER
+            # rewrite is still detected; they rank as never-verified (-1)
+            # until their first green regardless
+            stored[n] = current[n]
+        stored = {n: h for n, h in sorted(stored.items()) if n in current}
+        SIDECAR.write_text(json.dumps(stored, indent=1, sort_keys=True) + "\n")
+        print(
+            f"updated {SIDECAR.name}: round r{rnd}, {len(greens)} greens, "
+            f"{len(refreshed)} hashes refreshed, {len(added)} new entries"
+        )
+        return 0
+
+    changed = sorted(
+        n for n in current if n in stored and stored[n] != current[n]
+    )
+    missing = sorted(n for n in current if n not in stored)
+    for n in changed:
+        print(f"CHANGED-SINCE-GREEN {n}")
+    for n in missing:
+        print(f"NO-HASH {n}")
+    print(f"{len(changed)} changed since last green, {len(missing)} unhashed")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -58,6 +58,32 @@ def main() -> None:
     # warm the JVM
     _stages(spark, args.sf)["sig"].write.format("noop").mode("overwrite").save()
 
+    # Derive the scale from the data itself (documents row-count ratio via
+    # parquet footers) rather than trusting --scale: pointing --scaled at
+    # an x16 build while leaving --scale 64 would silently print a wrong
+    # exponent (ADVICE r6). --scale remains only as a sanity cross-check.
+    import pyarrow.parquet as _pq
+
+    def _rows(sfd: str) -> int:
+        p = Path(sfd) / "documents.parquet"
+        if p.is_dir():
+            return sum(
+                _pq.ParquetFile(f).metadata.num_rows
+                for f in sorted(p.glob("*.parquet"))
+            )
+        return _pq.ParquetFile(p).metadata.num_rows
+
+    measured_scale = _rows(args.scaled) / _rows(args.sf)
+    print(
+        f"base={args.sf} scaled={args.scaled} "
+        f"measured_scale={measured_scale:.1f} (--scale {args.scale})"
+    )
+    if abs(measured_scale - args.scale) / args.scale > 0.05:
+        print(
+            f"WARNING: --scale {args.scale} disagrees with the measured "
+            f"row ratio {measured_scale:.1f}; exponents use the MEASURED scale"
+        )
+
     print(f"{'stage':12s} {'t_1x':>8s} {'t_Nx':>8s} {'exponent':>9s}")
     for stage in ("sig", "sig+render", "full"):
         times = {}
@@ -69,7 +95,7 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             times[label] = best
-        exp = math.log(times["Nx"] / times["1x"]) / math.log(args.scale)
+        exp = math.log(times["Nx"] / times["1x"]) / math.log(measured_scale)
         print(
             f"{stage:12s} {times['1x']:8.2f} {times['Nx']:8.2f} {exp:9.2f}",
             flush=True,

@@ -70,12 +70,17 @@ def shuffle_count(plan: str) -> int:
     """Visible shuffle Exchanges in the pre-AQE executed plan (hash/range/
     round-robin/single-partition). BroadcastExchange is NOT a shuffle —
     broadcasting a small side is the cheap strategy the shuffle budget
-    exists to protect — so it is excluded. Checkpoints hide their
-    subtree's exchanges, same semantics as scan_counts."""
+    exists to protect — and ReusedExchange is NOT one either (it re-reads
+    an already-materialized exchange's output, adding no extra shuffle
+    execution, and its one-line form repeats the child's 'Exchange
+    hashpartitioning(...)' text — a substring test would count it, ADVICE
+    r6). Match the node NAME at the start of the line, after the tree
+    decoration. Checkpoints hide their subtree's exchanges, same
+    semantics as scan_counts."""
     return sum(
         1
         for ln in plan.splitlines()
-        if "Exchange " in ln and "BroadcastExchange" not in ln
+        if ln.lstrip(" +-*:()0123456789").startswith("Exchange ")
     )
 
 

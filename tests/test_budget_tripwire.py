@@ -1,0 +1,104 @@
+"""Guard the guards (r6 verdict item 5).
+
+tests/scan_budgets.json and tests/shuffle_budgets.json are ceilings
+regenerated wholesale by `scripts/scan_budget.py --update`; nothing used
+to fail if a regeneration silently RAISED a ceiling alongside a plan
+regression — the "review the diff" step was conventional, not enforced.
+
+This test diffs both budget files against git HEAD: any per-query
+increase must carry a justification entry in _BUDGET_RAISE_OK below
+(same pattern as test_plans._MANY_SHUFFLE_OK / _MULTI_SCAN_OK). The
+tripwire fires exactly at the enforcement point — the pytest run between
+regeneration and commit. Once a justified raise is committed, HEAD
+catches up and its entry becomes inert documentation (prune freely).
+Brand-new queries (absent from HEAD) are exempt — their initial budgets
+are reviewed by the >5-shuffle documentation gate in test_plans.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parents[1]
+
+# query -> {"shuffles": new_ceiling} and/or {"scans": {table: new_ceiling}},
+# plus a "why". An entry authorizes raises UP TO the stated value only —
+# a further raise needs a fresh entry (and therefore a fresh review).
+_BUDGET_RAISE_OK: dict[str, dict] = {}
+
+
+def _head_json(rel: str) -> dict | None:
+    try:
+        out = subprocess.run(
+            ["git", "show", f"HEAD:{rel}"],
+            capture_output=True,
+            text=True,
+            cwd=ROOT,
+            timeout=30,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    if out.returncode != 0:
+        return None  # file not in HEAD (fresh checkout states) — skip
+    try:
+        return json.loads(out.stdout)
+    except ValueError:
+        return None
+
+
+def test_shuffle_budget_raises_are_justified():
+    head = _head_json("tests/shuffle_budgets.json")
+    if head is None:
+        pytest.skip("git HEAD copy unavailable")
+    new = json.loads((ROOT / "tests" / "shuffle_budgets.json").read_text())
+    bad = []
+    for name, ceiling in new.items():
+        if name not in head:
+            continue  # new query: reviewed by the >5-shuffle doc gate
+        if ceiling <= head[name]:
+            continue
+        ok = _BUDGET_RAISE_OK.get(name, {})
+        if ceiling > ok.get("shuffles", head[name]):
+            bad.append(f"{name}: shuffles {head[name]} -> {ceiling}")
+    assert not bad, (
+        "shuffle-budget ceilings raised without a _BUDGET_RAISE_OK "
+        f"justification: {bad} — every extra shuffle is a full-data "
+        "network pass at 100 TB; justify the trade or fix the plan"
+    )
+
+
+def test_scan_budget_raises_are_justified():
+    head = _head_json("tests/scan_budgets.json")
+    if head is None:
+        pytest.skip("git HEAD copy unavailable")
+    new = json.loads((ROOT / "tests" / "scan_budgets.json").read_text())
+    bad = []
+    for name, counts in new.items():
+        if name not in head:
+            continue
+        ok = _BUDGET_RAISE_OK.get(name, {}).get("scans", {})
+        for t, n in counts.items():
+            old = head[name].get(t, 0)
+            if n > old and n > ok.get(t, old):
+                bad.append(f"{name}: {t} scans {old} -> {n}")
+    assert not bad, (
+        "scan-budget ceilings raised without a _BUDGET_RAISE_OK "
+        f"justification: {bad} — a re-inflated plan re-reads a big table; "
+        "justify the trade or checkpoint the derived frame"
+    )
+
+
+def test_budget_raise_entries_reference_live_queries():
+    """An entry for a deleted/renamed query is stale documentation that
+    could silently authorize a future raise on a revived name."""
+    from job_etl_spark.queries import registry
+
+    live = set(registry())
+    stale = sorted(set(_BUDGET_RAISE_OK) - live)
+    assert not stale, f"_BUDGET_RAISE_OK entries for unknown queries: {stale}"
+    for name, spec in _BUDGET_RAISE_OK.items():
+        assert spec.get("why"), f"{name}: raise entry lacks a 'why'"

@@ -1,0 +1,90 @@
+"""Driver-window self-rotation guarantees (queries/__init__.py).
+
+The driver verifies only the first 50 registry entries per round, so the
+ordering IS the verification schedule. Round 6's verdict found the one
+gap: a query rewritten after its last green ranked by staleness only and
+could wait rounds for driver re-confirmation. These tests pin the full
+priority ladder: failing < never-verified < changed-since-green <
+greens stalest-first.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from job_etl_spark import queries as qmod
+from job_etl_spark.queries import registry, source_hash
+from job_etl_spark.queries._util import Query
+
+ROOT = Path(__file__).resolve().parents[1]
+SIDECAR = ROOT / "tests" / "query_green_hashes.json"
+
+
+def test_source_hash_tracks_fn_and_oracle():
+    def fn_a(spark, sf):
+        return None
+
+    def fn_b(spark, sf):
+        return 1
+
+    qa = Query(fn_a, "SELECT 1 AS x")
+    assert source_hash(qa) == source_hash(Query(fn_a, "SELECT 1 AS x"))
+    assert source_hash(qa) != source_hash(Query(fn_b, "SELECT 1 AS x"))
+    assert source_hash(qa) != source_hash(Query(fn_a, "SELECT 2 AS x"))
+    assert source_hash(Query(fn_a, None)) != source_hash(qa)
+
+
+def test_sidecar_covers_entire_registry():
+    """Every registry entry must have a stored green-hash entry, else a
+    future rewrite of that query is invisible to the rotation. Run
+    `python scripts/green_hashes.py --update` after adding queries."""
+    stored = json.loads(SIDECAR.read_text())
+    missing = sorted(set(registry()) - set(stored))
+    assert not missing, f"queries without a green hash: {missing}"
+    orphans = sorted(set(stored) - set(registry()))
+    assert not orphans, f"green hashes for deleted queries: {orphans}"
+
+
+def test_changed_since_green_outranks_stale_greens(monkeypatch):
+    """Poisoning one green query's stored hash must pull it ahead of every
+    merely-stale green — but never ahead of failing/never-verified."""
+    reg_names = list(registry())
+    rounds = qmod._last_verified_round()
+    greens = [n for n in reg_names if rounds.get(n, -1) >= 0]
+    assert len(greens) >= 2, "test needs at least two green queries"
+    victim = greens[-1]  # the FRESHEST green: worst-case staleness rank
+
+    real = qmod._green_hashes()
+    poisoned = dict(real)
+    poisoned[victim] = "deadbeef-not-a-real-hash"
+    monkeypatch.setattr(qmod, "_green_hashes", lambda: poisoned)
+    order = list(registry())
+
+    reg = registry()  # dict lookup by name; ordering irrelevant here
+    already_changed = {
+        n for n in reg_names if poisoned.get(n) not in (None, source_hash(reg[n]))
+    }
+    first_unchanged_green = next(
+        n for n in order if rounds.get(n, -1) >= 0 and n not in already_changed
+    )
+    assert order.index(victim) < order.index(first_unchanged_green)
+    # ... and failing / never-verified still outrank the changed query
+    fake_rounds = dict(rounds)
+    fake_rounds[greens[0]] = -2  # simulate a red
+    monkeypatch.setattr(qmod, "_last_verified_round", lambda: fake_rounds)
+    order2 = list(registry())
+    assert order2.index(greens[0]) < order2.index(victim)
+
+
+def test_r7_window_contains_verdict_targets():
+    """Round-7 specific pin (r6 verdict item 1): the 50-entry driver
+    window must contain the 12 stalest queries (q130-q141, last green r3)
+    AND the r6-rewritten q49. Delete this test when CORRECTNESS_r07
+    lands — the generic ladder tests above are the permanent guard."""
+    if any(ROOT.glob("CORRECTNESS_r0[7-9].json")):
+        return  # r7 verification landed; the pin served its purpose
+    window = list(registry())[:50]
+    assert "q49_variant_extract" in window
+    for i in range(130, 142):
+        assert any(n.startswith(f"q{i}_") for n in window), f"q{i} not in window"

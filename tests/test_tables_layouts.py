@@ -197,6 +197,42 @@ def test_table_memo_nested_subdir_never_caches(spark, tmp_path):
     assert b.count() == 2 and n0 == 5
 
 
+def test_table_memo_nested_subdir_does_not_grow_cache(spark, tmp_path):
+    """ADVICE r6: uncacheable (nested-layout) paths must not INSERT into
+    the per-session memo either — a never-reusable entry per call would
+    grow the cache and pin analyzed DataFrames for the session's
+    lifetime."""
+    import pyarrow.parquet as _pq
+
+    from job_etl_spark import tables as _t
+
+    src = _pq.read_table("/root/testdata/sf0.001/region.parquet")
+    d = tmp_path / "region.parquet"
+    sub = d / "r_name=x"
+    sub.mkdir(parents=True)
+    _pq.write_table(src, str(sub / "part-00000.parquet"))
+    per = _t._TABLE_CACHE.setdefault(spark, {})
+    n0 = len(per)
+    for _ in range(3):
+        table(spark, str(tmp_path), "region")
+    assert len(per) == n0  # no growth across repeated uncacheable loads
+
+
+def test_stamp_oserror_is_uncacheable(tmp_path, monkeypatch):
+    """ADVICE r6: an intermittent stat failure must map to the uncacheable
+    sentinel, not a stable constant (None) that would serve stale plans
+    forever once inserted under it."""
+    import os as _os
+
+    from job_etl_spark import tables as _t
+
+    def _boom(path):
+        raise OSError("transient stat failure")
+
+    monkeypatch.setattr(_os, "stat", _boom)
+    assert _t._stamp(str(tmp_path)) is _t._UNCACHEABLE
+
+
 def test_propagate_zero_budget_raises_cleanly(spark):
     """ADVICE r5: max_iter <= 0 never runs the loop body; the for-else
     diagnostic must be a well-formed RuntimeError, not an UnboundLocalError
