@@ -323,6 +323,13 @@ FROM events GROUP BY event_type
 # approx_count_distinct (HyperLogLog++, mergeable, no Expand — the same
 # one-pass map-side-partial shape as plain aggregates). Accuracy- and
 # plan-asserted in tests/test_approx.py.
+#
+# The trade, MEASURED at 64× orders (9.6M rows, SCALING.md r7): exact is
+# 1.97× slower than approx (11.47 s vs 5.81 s, min-of-3) and the gap
+# widens with scale (the Expand's duplicated rows are also shuffled);
+# approx's max relative NDV error was 5.06% at rsd=0.05. Policy: exact
+# NDV is the sf-bounded demo / oracle twin; ``approx=True`` is the
+# production path at 100 TB.
 # ---------------------------------------------------------------------------
 _Q132_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
 

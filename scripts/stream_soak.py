@@ -1,0 +1,219 @@
+"""Streaming soak bench (r6 verdict item 3): sustained-input measurements
+for the two stateful streaming operators that had only parity tests —
+``ewma_stateful`` (applyInPandasWithState) and
+``foreach_batch_lsh_neardup`` (incremental MinHash-LSH dedup against a
+parquet state store).
+
+Each soak drives a rate source for >= 50 one-second triggers and reports,
+from the query's progress events: input rows/s, per-trigger batchDuration
+p50/p95, and state growth (state-store rows/memory for the
+applyInPandasWithState operator; state-table rows/files for the
+foreachBatch one). "Bounded" means: EWMA state rows plateau at the entity
+count, and LSH per-trigger latency stays flat-ish while its state table
+grows linearly in ACCEPTED docs only (first-10 vs last-10 trigger p50 is
+printed so drift is a number, not a feeling).
+
+Usage:
+    python scripts/stream_soak.py [--triggers 50] [--ewma-rate 20000]
+        [--lsh-rate 100] [--users 1000] [--only ewma|lsh]
+
+Results are recorded in BASELINE.md ("Streaming soak" section).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def _pct(xs: list[float], q: float) -> float:
+    xs = sorted(xs)
+    if not xs:
+        return float("nan")
+    i = min(len(xs) - 1, max(0, round(q * (len(xs) - 1))))
+    return xs[i]
+
+
+def _drain_progress(q, n_triggers: int, timeout_s: float) -> list[dict]:
+    """Wait until >= n_triggers non-empty progress events, then stop."""
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        prog = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if len(prog) >= n_triggers:
+            break
+        time.sleep(1.0)
+    q.stop()
+    q.awaitTermination(60)
+    return [p for p in q.recentProgress if p["numInputRows"] > 0]
+
+
+def _report(name: str, prog: list[dict], extra: dict) -> dict:
+    durs = [p["batchDuration"] for p in prog]
+    rows = sum(p["numInputRows"] for p in prog)
+    wall_s = sum(durs) / 1000.0
+    out = {
+        "soak": name,
+        "triggers": len(prog),
+        "rows_total": rows,
+        "rows_per_busy_sec": round(rows / wall_s, 1) if wall_s else None,
+        "trigger_ms_p50": _pct(durs, 0.50),
+        "trigger_ms_p95": _pct(durs, 0.95),
+        "first10_p50_ms": _pct(durs[:10], 0.50),
+        "last10_p50_ms": _pct(durs[-10:], 0.50),
+        **extra,
+    }
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def soak_ewma(spark, triggers: int, rate: int, users: int, workdir: Path) -> dict:
+    from pyspark.sql import functions as F
+
+    from job_etl_spark.streaming.stateful import ewma_stateful
+
+    events = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rate)
+        .load()
+        .select(
+            F.col("value").alias("event_id"),
+            F.col("timestamp").alias("ts"),
+            F.pmod("value", F.lit(users)).cast("long").alias("user_id"),
+            (F.pmod("value", F.lit(997)) * 0.5).cast("double").alias("value"),
+        )
+    )
+    q = (
+        ewma_stateful(events)
+        .writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", str(workdir / "ewma_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    prog = _drain_progress(q, triggers, timeout_s=triggers * 4 + 120)
+    state = [p["stateOperators"][0] for p in prog if p.get("stateOperators")]
+    extra = {
+        "state_rows_first": state[0]["numRowsTotal"] if state else None,
+        "state_rows_last": state[-1]["numRowsTotal"] if state else None,
+        "state_mb_last": round(state[-1]["memoryUsedBytes"] / 1e6, 2)
+        if state
+        else None,
+        "rate_rows_per_sec": rate,
+        "users": users,
+    }
+    return _report("ewma_stateful", prog, extra)
+
+
+def soak_lsh(spark, triggers: int, rate: int, workdir: Path) -> dict:
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from job_etl_spark.pipeline.runner import TableStore
+    from job_etl_spark.streaming.pipeline import foreach_batch_lsh_neardup
+    from job_etl_spark.tables import table as load_table
+
+    store = TableStore(spark, str(workdir / "lsh_store"))
+    ingest = foreach_batch_lsh_neardup(store)
+
+    # seed the state at sf0.1 scale: the full 5k-doc corpus becomes the
+    # stored bands/accepted tables the stream dedups against
+    seed = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text"
+    )
+    t0 = time.time()
+    ingest(seed, -1)
+    seed_rows = store.read("accepted_docs").count()
+    print(
+        json.dumps(
+            {
+                "soak": "lsh_seed",
+                "seed_secs": round(time.time() - t0, 2),
+                "seed_accepted": seed_rows,
+            }
+        ),
+        flush=True,
+    )
+
+    # synthetic docs, deterministic in `value`: ~40 tokens from a ~200k
+    # vocab (docs mostly unique, so the state tables actually GROW —
+    # a small vocab made every doc collide and acceptance trivial);
+    # every 10th doc reuses doc (value-5)'s token stream (a near-dup
+    # that the stored-bands join must catch), ids offset above the seed ids
+    docs = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rate)
+        .load()
+        .select(
+            (F.col("value") + F.lit(1 << 40)).alias("doc_id"),
+            F.when(F.pmod("value", F.lit(10)) == 0, F.col("value") - 5)
+            .otherwise(F.col("value"))
+            .alias("_base"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(39)),
+                    lambda i: F.concat(
+                        F.lit("tok"),
+                        F.pmod(F.col("_base") * 37 + i * 7919, F.lit(200003)).cast(
+                            "string"
+                        ),
+                    ),
+                ),
+            ).alias("text"),
+        )
+    )
+    q = (
+        docs.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(workdir / "lsh_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    prog = _drain_progress(q, triggers, timeout_s=triggers * 6 + 180)
+    accepted = store.read("accepted_docs").count()
+    band_files = len(glob.glob(str(workdir / "lsh_store" / "lsh_bands" / "*.parquet")))
+    extra = {
+        "rate_rows_per_sec": rate,
+        "accepted_final": accepted,
+        "accepted_new": accepted - seed_rows,
+        "state_band_files": band_files,
+    }
+    return _report("foreach_batch_lsh_neardup", prog, extra)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--triggers", type=int, default=50)
+    ap.add_argument("--ewma-rate", type=int, default=20000)
+    ap.add_argument("--lsh-rate", type=int, default=100)
+    ap.add_argument("--users", type=int, default=1000)
+    ap.add_argument("--only", choices=["ewma", "lsh"], default=None)
+    args = ap.parse_args()
+
+    from job_etl_spark.session import get_spark
+
+    spark = get_spark("jobspark-stream-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    workdir = Path(tempfile.mkdtemp(prefix="jobspark_soak_"))
+    try:
+        if args.only in (None, "ewma"):
+            soak_ewma(spark, args.triggers, args.ewma_rate, args.users, workdir)
+        if args.only in (None, "lsh"):
+            soak_lsh(spark, args.triggers, args.lsh_rate, workdir)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
