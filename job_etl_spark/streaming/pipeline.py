@@ -232,6 +232,7 @@ def foreach_batch_lsh_neardup(
     accepted_table: str = "accepted_docs",
     id_col: str = "doc_id",
     text_col: str = "text",
+    compact_every: int | None = None,
 ):
     """Streaming near-dup ingestion — the streaming twin of q103's
     incremental MinHash-LSH dedup: each micro-batch of documents is
@@ -246,6 +247,15 @@ def foreach_batch_lsh_neardup(
     safety: a re-delivered batch anti-joins on already-accepted ids, so
     both outputs are append-once (docs with no bands — blank text —
     bypass LSH but are still replay-guarded by the id anti-join).
+
+    ``compact_every=N`` rewrites both state tables every N batches
+    (temp-dir + swap via ``store.rewrite`` — safe against the plan
+    reading the files it replaces): the append-per-trigger layout
+    otherwise accretes 2 small files per trigger forever (measured: 52
+    band files after a 50-trigger soak, BASELINE.md r7), and a 100 TB
+    deployment's scan cost is footer-count-bound long before it is
+    byte-bound. Off by default — the declared tests pin the pure
+    append-once semantics, and compaction changes only the file layout.
     """
     from job_etl_spark.ml.dedup import minhash_bands
 
@@ -290,6 +300,24 @@ def foreach_batch_lsh_neardup(
                 new_bands,
                 mode="append" if store.exists(bands_table) else "overwrite",
             )
+            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                import glob as _glob
+                import math as _math
+                import os as _os
+
+                par = batch_df.sparkSession.sparkContext.defaultParallelism
+                for t in (accepted_table, bands_table):
+                    if not store.exists(t):
+                        continue
+                    # size-aware width: ~128 MB per output file, capped at
+                    # cluster parallelism — a KiB-scale state compacts to
+                    # one file, a TB-scale one keeps its parallelism
+                    nbytes = sum(
+                        _os.path.getsize(f)
+                        for f in _glob.glob(store.path(t) + "/*.parquet")
+                    )
+                    width = max(1, min(par, _math.ceil(nbytes / (128 << 20))))
+                    store.rewrite(t, store.read(t).repartition(width))
         finally:
             bands.unpersist()
 

@@ -112,7 +112,9 @@ def soak_ewma(spark, triggers: int, rate: int, users: int, workdir: Path) -> dic
     return _report("ewma_stateful", prog, extra)
 
 
-def soak_lsh(spark, triggers: int, rate: int, workdir: Path) -> dict:
+def soak_lsh(
+    spark, triggers: int, rate: int, workdir: Path, compact_every: int | None = None
+) -> dict:
     import glob
 
     from pyspark.sql import functions as F
@@ -122,7 +124,7 @@ def soak_lsh(spark, triggers: int, rate: int, workdir: Path) -> dict:
     from job_etl_spark.tables import table as load_table
 
     store = TableStore(spark, str(workdir / "lsh_store"))
-    ingest = foreach_batch_lsh_neardup(store)
+    ingest = foreach_batch_lsh_neardup(store, compact_every=compact_every)
 
     # seed the state at sf0.1 scale: the full 5k-doc corpus becomes the
     # stored bands/accepted tables the stream dedups against
@@ -188,6 +190,7 @@ def soak_lsh(spark, triggers: int, rate: int, workdir: Path) -> dict:
         "accepted_final": accepted,
         "accepted_new": accepted - seed_rows,
         "state_band_files": band_files,
+        "compact_every": compact_every,
     }
     return _report("foreach_batch_lsh_neardup", prog, extra)
 
@@ -199,6 +202,7 @@ def main() -> None:
     ap.add_argument("--lsh-rate", type=int, default=100)
     ap.add_argument("--users", type=int, default=1000)
     ap.add_argument("--only", choices=["ewma", "lsh"], default=None)
+    ap.add_argument("--compact-every", type=int, default=None)
     args = ap.parse_args()
 
     from job_etl_spark.session import get_spark
@@ -210,7 +214,13 @@ def main() -> None:
         if args.only in (None, "ewma"):
             soak_ewma(spark, args.triggers, args.ewma_rate, args.users, workdir)
         if args.only in (None, "lsh"):
-            soak_lsh(spark, args.triggers, args.lsh_rate, workdir)
+            soak_lsh(
+                spark,
+                args.triggers,
+                args.lsh_rate,
+                workdir,
+                compact_every=args.compact_every,
+            )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 

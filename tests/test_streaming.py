@@ -564,6 +564,57 @@ def test_stream_lsh_neardup_ingestion(spark, tmp_path):
     assert accepted2 == [1, 2, 5]
 
 
+def test_stream_lsh_neardup_compaction_preserves_state(spark, tmp_path):
+    """compact_every=N rewrites the state tables (temp+swap) every N
+    batches: the file count stops growing per-trigger while accepted/
+    band CONTENT stays identical to the pure-append run — compaction
+    changes only the physical layout."""
+    import glob
+
+    from job_etl_spark.pipeline.runner import TableStore
+    from job_etl_spark.streaming.pipeline import foreach_batch_lsh_neardup
+
+    def batches():
+        # 6 batches of 3 distinct docs each (long unique texts)
+        for b in range(1, 7):
+            yield b, [
+                (
+                    b * 10 + i,
+                    " ".join(f"w{b}x{i}t{j} common{j % 3}" for j in range(30)),
+                )
+                for i in range(3)
+            ]
+
+    stores = {}
+    for label, every in (("plain", None), ("compacted", 2)):
+        store = TableStore(spark, str(tmp_path / label))
+        ingest = foreach_batch_lsh_neardup(store, compact_every=every)
+        for b, rows in batches():
+            ingest(spark.createDataFrame(rows, "doc_id long, text string"), b)
+        stores[label] = store
+
+    got = {
+        label: (
+            sorted(r["doc_id"] for r in s.read("accepted_docs").collect()),
+            sorted(
+                (r["doc_id"], r["band"], r["bucket"])
+                for r in s.read("lsh_bands").collect()
+            ),
+        )
+        for label, s in stores.items()
+    }
+    assert got["plain"] == got["compacted"]
+
+    def nfiles(store, t):
+        return len(glob.glob(store.path(t) + "/*.parquet"))
+
+    par = spark.sparkContext.defaultParallelism
+    # last compaction ran at batch 6 (the final batch): bands file count is
+    # bounded by the repartition width, not by one-file-per-trigger growth
+    assert nfiles(stores["compacted"], "lsh_bands") <= par
+    assert nfiles(stores["plain"], "lsh_bands") >= 6
+
+
 def test_stream_quantile_equals_batch_sketch(spark, tmp_path):
     """foreachBatch histogram-sketch merging: after N per-file triggers
     the persisted sketch equals a single batch build — identical
