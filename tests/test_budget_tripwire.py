@@ -102,3 +102,18 @@ def test_budget_raise_entries_reference_live_queries():
     assert not stale, f"_BUDGET_RAISE_OK entries for unknown queries: {stale}"
     for name, spec in _BUDGET_RAISE_OK.items():
         assert spec.get("why"), f"{name}: raise entry lacks a 'why'"
+
+
+def test_plan_allowlists_reference_live_queries():
+    """Same hygiene for the plan-guard allowlists in test_plans: a stale
+    name (deleted/renamed query) would silently pre-authorize a future
+    cartesian/multi-scan/many-shuffle plan under a revived name."""
+    from job_etl_spark.queries import registry
+
+    from tests import test_plans as tp
+
+    live = set(registry())
+    for label in ("_BNLJ_OK", "_MULTI_SCAN_OK", "_MANY_SHUFFLE_OK"):
+        entries = set(getattr(tp, label))
+        stale = sorted(entries - live)
+        assert not stale, f"{label} entries for unknown queries: {stale}"
