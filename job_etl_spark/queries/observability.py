@@ -884,9 +884,29 @@ QUERIES.update(
 # q140 — multi-touch attribution: every 'purchase' distributes credit
 # over the SAME user's preceding touches within a 7-day lookback —
 # last-touch (all credit to the latest) and linear (1/n each) models in
-# one pass. The touch↔conversion pairing is a per-user time-range join
-# (bounded by per-user history, never corpus×corpus); credits are exact
-# decimals (1/n rounded at 10) so both engines agree.
+# one pass.
+#
+# NOT a pair join. The r7 64× probe caught the original
+# touch⋈conv-on-user_id form super-linear (exponent 1.31, 0.9 s → 212 s:
+# pairs grow with touches×convs per user-week — a power user kills it at
+# 100 TB). The aggregates only ever need, per conversion, (a) the COUNT
+# of in-lookback touches per type and (b) the LATEST touch — both linear:
+#   (a) prefix-count difference: running per-(user, type) touch count,
+#       read at two synthetic interval-endpoint rows per (conv, type)
+#       (conv_t and conv_t − lookback; endpoint rows sort BEFORE touches
+#       at an equal timestamp, giving the strict/inclusive bounds of the
+#       pair predicate exactly);
+#   (b) the latest in-lookback touch rides the SAME stream: a running
+#       max(struct(touch_t, touch_id)) per (user, type) read at the conv_t
+#       endpoint is the latest type-T touch, and whenever cnt_T > 0 it is
+#       necessarily inside the lookback; the conv's overall last touch is
+#       the struct-max across its type rows (same (touch_t, touch_id)-desc
+#       tie-break as the pair form's row_number).
+# Linear credit stays decimal-exact: cnt_T · round(1/n, 10) equals the
+# pair form's sum of cnt_T identical addends; the factor is cast to
+# decimal(11,10) (1/n ≤ 1, scale-10 exact) so the product never hits the
+# 38-digit cap. The conv×touch-type expansion broadcasts a distinct-types
+# dim of enum size (column-pruned third scan of events).
 # ---------------------------------------------------------------------------
 _Q140_LOOKBACK_US = 7 * 86_400 * 1_000_000
 
@@ -895,6 +915,10 @@ def q140_attribution(spark: SparkSession, sf: str) -> DataFrame:
     ev = table(spark, sf, "events").select(
         "user_id", "event_id", "event_type", F.unix_micros("ts").alias("t")
     )
+    # null user/ts rows can never produce a pair in the join formulation
+    # (null equi-key / null range predicate); drop them upfront so the
+    # window formulation matches exactly
+    ev = ev.where(F.col("user_id").isNotNull() & F.col("t").isNotNull())
     conv = ev.where(F.col("event_type") == "purchase").select(
         "user_id", F.col("event_id").alias("conv_id"), F.col("t").alias("conv_t")
     )
@@ -902,28 +926,90 @@ def q140_attribution(spark: SparkSession, sf: str) -> DataFrame:
         "user_id", F.col("event_type").alias("touch_type"),
         F.col("event_id").alias("touch_id"), F.col("t").alias("touch_t"),
     )
-    pairs = touch.join(conv, "user_id").where(
-        (F.col("touch_t") < F.col("conv_t"))
-        & (F.col("touch_t") >= F.col("conv_t") - _Q140_LOOKBACK_US)
-    )
-    w = Window.partitionBy("conv_id")
-    wrank = Window.partitionBy("conv_id").orderBy(
-        F.desc("touch_t"), F.desc("touch_id")
-    )
-    credited = pairs.withColumn("n_touches", F.count(F.lit(1)).over(w)).withColumn(
-        "rk", F.row_number().over(wrank)
-    )
-    linear = F.round(F.lit(1).cast("decimal(30,10)") / F.col("n_touches"), 10)
-    credited = credited.select(
+
+    # --- (a) per-(conv, type) in-lookback counts via prefix differences ---
+    types = F.broadcast(touch.select("touch_type").distinct())
+    endpoints = conv.crossJoin(types).select(
+        "user_id",
         "touch_type",
         "conv_id",
-        F.when(F.col("rk") == 1, F.lit(1)).otherwise(F.lit(0)).alias("last_touch"),
-        linear.alias("linear"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("conv_t").alias("t"), F.lit(1).cast("long").alias("sign")
+                ),
+                F.struct(
+                    (F.col("conv_t") - _Q140_LOOKBACK_US).alias("t"),
+                    F.lit(-1).cast("long").alias("sign"),
+                ),
+            )
+        ).alias("e"),
+    ).select("user_id", "touch_type", "conv_id", "e.t", "e.sign")
+    counted = touch.select(
+        "user_id",
+        "touch_type",
+        F.lit(None).cast("long").alias("conv_id"),
+        F.col("touch_t").alias("t"),
+        F.lit(0).cast("long").alias("sign"),
+        F.struct("touch_t", "touch_id").alias("tt"),
+    ).unionByName(
+        endpoints.withColumn(
+            "tt", F.lit(None).cast("struct<touch_t:long,touch_id:long>")
+        )
     )
-    return credited.groupBy("touch_type").agg(
-        F.countDistinct("conv_id").alias("n_conversions_touched"),
-        F.sum("last_touch").alias("last_touch_credit"),
-        F.round(F.sum("linear"), 6).cast("double").alias("linear_credit"),
+    # endpoints (sign ±1) sort before touches (sign 0) at equal t: a touch
+    # AT conv_t is excluded (strict <) and a touch AT conv_t − lookback is
+    # included (>=) — exactly the pair predicate's bounds
+    wcum = (
+        Window.partitionBy("user_id", "touch_type")
+        .orderBy("t", F.col("sign") == 0)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cnts = (
+        counted.withColumn(
+            "cum", F.sum(F.when(F.col("sign") == 0, 1).otherwise(0)).over(wcum)
+        )
+        .withColumn("latest", F.max("tt").over(wcum))
+        .where(F.col("sign") != 0)
+        .groupBy("conv_id", "touch_type")
+        .agg(
+            F.sum(F.col("sign") * F.col("cum")).alias("cnt"),
+            # the conv_t endpoint's running max = latest type-T touch
+            # before conv_t; when cnt > 0 it is inside the lookback
+            F.max(F.when(F.col("sign") == 1, F.col("latest"))).alias("latest"),
+        )
+        .where(F.col("cnt") > 0)
+    )
+
+    # --- combine: n, per-conv last touch, decimal-exact linear credit -----
+    wconv = Window.partitionBy("conv_id")
+    enriched = cnts.withColumn("n_touches", F.sum("cnt").over(wconv)).withColumn(
+        "conv_last",
+        F.max(
+            F.struct(
+                F.col("latest.touch_t"),
+                F.col("latest.touch_id"),
+                F.col("touch_type"),
+            )
+        ).over(wconv),
+    )
+    linear_unit = F.round(
+        F.lit(1).cast("decimal(30,10)") / F.col("n_touches"), 10
+    ).cast("decimal(11,10)")
+    return (
+        enriched.withColumn(
+            "linear", F.col("cnt").cast("decimal(10,0)") * linear_unit
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.countDistinct("conv_id").alias("n_conversions_touched"),
+            F.sum(
+                F.when(F.col("conv_last.touch_type") == F.col("touch_type"), 1)
+                .otherwise(0)
+                .cast("long")
+            ).alias("last_touch_credit"),
+            F.round(F.sum("linear"), 6).cast("double").alias("linear_credit"),
+        )
     )
 
 

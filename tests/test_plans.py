@@ -28,6 +28,8 @@ _BNLJ_OK = {
     "q142_rrf_fusion",  # composes q26's 10-row broadcast query set
     "q153_hard_negatives",  # q26's shape: 10-row broadcast query set
     "q147_triangle_census",  # 1-row × 1-row scalar-aggregate combine
+    "q140_attribution",  # conv endpoints × touch-type dim (distinct
+    # event_type values — enum-sized broadcast, not a data-sized side)
     "q130_skew_report",  # 1-row totals × 1-row top-10-mass combine
 }
 
@@ -326,6 +328,8 @@ _MULTI_SCAN_OK = {
     "q118_temperature_resample": "roles: per-source stats + doc re-join",
     "q130_skew_report": "roles: totals vs top-10-mass halves",
     "q131_ivm_agg": "roles: base aggregate + delta batch",
+    "q140_attribution": "roles: touch stream + conv endpoints + "
+    "enum-sized touch-type dim (column-pruned)",
     "q133_cohort_matrix": "roles: cohort assignment + activity join",
     "q139_ab_test": "roles: arm A vs arm B slices",
     "q140_attribution": "roles: conversions vs touch events",
