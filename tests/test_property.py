@@ -442,3 +442,88 @@ def test_py_cosine_matches_spark_expr(spark, vecs):
             assert expect is None, (q, v, g, expect)
         else:
             assert g == expect, (q, v, g, expect)
+
+
+# --- q140 prefix-count attribution vs brute-force pair replica -------------
+# The r7 rewrite derives per-conversion touch counts and the latest touch
+# from window passes with subtle ordering rules (endpoint rows sort before
+# equal-t touches → strict < at conv_t, inclusive >= at conv_t − lookback).
+# This pins those semantics against a direct pair enumeration on adversarial
+# tiny inputs: shared timestamps, touches exactly AT conv_t and AT the
+# lookback boundary, multiple convs per user at the same instant.
+
+_Q140_L = 100  # small lookback so boundaries are exercised constantly
+
+
+def _q140_brute(rows):
+    """rows: (user, event_id, type, t); returns {type: (n_conv, last, lin)}
+    with lin as an exact Fraction-of-decimals replica."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    convs = [(u, e, t) for (u, e, ty, t) in rows if ty == "purchase"]
+    touches = [(u, e, ty, t) for (u, e, ty, t) in rows if ty != "purchase"]
+    out = {}
+    for cu, cid, ct in convs:
+        pairs = [
+            (ty, tt, tid)
+            for (u, tid, ty, tt) in touches
+            if u == cu and tt < ct and tt >= ct - _Q140_L
+        ]
+        if not pairs:
+            continue
+        n = len(pairs)
+        unit = (Decimal(1) / Decimal(n)).quantize(
+            Decimal(1).scaleb(-10), rounding=ROUND_HALF_UP
+        )
+        last_ty = max(pairs, key=lambda p: (p[1], p[2]))[0]
+        for ty in {p[0] for p in pairs}:
+            cnt = sum(1 for p in pairs if p[0] == ty)
+            nc, lt, lin = out.get(ty, (0, 0, Decimal(0)))
+            out[ty] = (nc + 1, lt + (1 if ty == last_ty else 0), lin + cnt * unit)
+    return {
+        ty: (nc, lt, float(lin.quantize(Decimal(1).scaleb(-6), rounding=ROUND_HALF_UP)))
+        for ty, (nc, lt, lin) in out.items()
+    }
+
+
+@settings(**_SETTINGS)
+@given(
+    raw=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # user: few → dense histories
+            st.sampled_from(["view", "click", "cart", "purchase"]),
+            st.integers(min_value=0, max_value=300),  # t: collisions + boundaries
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_q140_windows_equal_pair_enumeration(spark, tmp_path_factory, raw):
+    import os
+
+    from job_etl_spark.queries import observability as obs
+
+    rows = [(u, i, ty, t) for i, (u, ty, t) in enumerate(raw)]
+    d = tmp_path_factory.mktemp("q140") / "sf"
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(e, u, ty, t) for (u, e, ty, t) in rows],
+        "event_id long, user_id long, event_type string, ts_us long",
+    ).selectExpr(
+        "event_id", "user_id", "event_type", "timestamp_micros(ts_us) AS ts"
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    orig = obs._Q140_LOOKBACK_US
+    obs._Q140_LOOKBACK_US = _Q140_L
+    try:
+        got = {
+            r["touch_type"]: (
+                r["n_conversions_touched"],
+                r["last_touch_credit"],
+                r["linear_credit"],
+            )
+            for r in obs.q140_attribution(spark, str(d)).collect()
+        }
+    finally:
+        obs._Q140_LOOKBACK_US = orig
+    assert got == _q140_brute(rows)
