@@ -13,9 +13,20 @@ count, and LSH per-trigger latency stays flat-ish while its state table
 grows linearly in ACCEPTED docs only (first-10 vs last-10 trigger p50 is
 printed so drift is a number, not a feeling).
 
+Round-7 additions: ``sessionize_stateful`` (the second
+applyInPandasWithState operator — closed-session emission via event-time
+timeout, driven by a bursty cohort-rotation input so sessions actually
+close) and the upsert pair ``foreach_batch_merge`` (copy-on-write:
+read + full-outer-merge + REWRITE the whole table per trigger — O(table)
+write amplification) vs ``foreach_batch_mor`` (merge-on-read: one
+immutable delta per trigger + periodic compaction — O(batch)), measured
+against the same seeded key space so the per-trigger cost difference is
+the design's number, not a guess.
+
 Usage:
     python scripts/stream_soak.py [--triggers 50] [--ewma-rate 20000]
-        [--lsh-rate 100] [--users 1000] [--only ewma|lsh]
+        [--lsh-rate 100] [--users 1000]
+        [--only ewma|lsh|sessionize|merge|mor]
 
 Results are recorded in BASELINE.md ("Streaming soak" section).
 """
@@ -195,14 +206,143 @@ def soak_lsh(
     return _report("foreach_batch_lsh_neardup", prog, extra)
 
 
+def soak_sessionize(
+    spark, triggers: int, rate: int, users: int, workdir: Path
+) -> dict:
+    from pyspark.sql import functions as F
+
+    from job_etl_spark.streaming.stateful import sessionize_stateful
+
+    # bursty cohort rotation: half the user space is active for ~10 s,
+    # then idle while the other half runs — idle users' sessions pass the
+    # 5 s gap and the event-time timeout closes them (the other cohort's
+    # events keep the watermark advancing). Without the rotation every
+    # user stays hot and nothing ever closes.
+    cohort_rows = rate * 10  # rows per cohort phase
+    events = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rate)
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (
+                F.pmod("value", F.lit(users // 2))
+                + F.pmod((F.col("value") / F.lit(cohort_rows)).cast("long"), F.lit(2))
+                * (users // 2)
+            ).cast("long").alias("user_id"),
+            (F.pmod("value", F.lit(997)) * 0.5).cast("double").alias("value"),
+        )
+    )
+    q = (
+        sessionize_stateful(events, gap_us=5_000_000, watermark="10 seconds")
+        .writeStream.format("noop")
+        .outputMode("append")
+        .option("checkpointLocation", str(workdir / "sess_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    prog = _drain_progress(q, triggers, timeout_s=triggers * 4 + 120)
+    state = [p["stateOperators"][0] for p in prog if p.get("stateOperators")]
+    extra = {
+        "state_rows_first": state[0]["numRowsTotal"] if state else None,
+        "state_rows_max": max(s["numRowsTotal"] for s in state) if state else None,
+        "state_rows_last": state[-1]["numRowsTotal"] if state else None,
+        "sessions_closed": sum(p["sink"]["numOutputRows"] for p in prog),
+        "rate_rows_per_sec": rate,
+        "users": users,
+    }
+    return _report("sessionize_stateful", prog, extra)
+
+
+def soak_upsert(
+    spark,
+    triggers: int,
+    rate: int,
+    workdir: Path,
+    mode: str,
+    seed_keys: int = 200_000,
+    compact_every: int = 10,
+) -> dict:
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from job_etl_spark.pipeline.runner import TableStore
+    from job_etl_spark.streaming.pipeline import (
+        foreach_batch_merge,
+        foreach_batch_mor,
+    )
+
+    store = TableStore(spark, str(workdir / f"upsert_{mode}"))
+    tname = "target"
+    seed = spark.range(seed_keys).select(
+        F.col("id").alias("key"),
+        (F.col("id") * 0.25).alias("val"),
+        F.lit(0).cast("long").alias("updated_us"),
+    )
+    if mode == "merge":
+        store.write(tname, seed)
+        ingest = foreach_batch_merge(
+            store, tname, keys=["key"], overwrite_cols=["val", "updated_us"]
+        )
+    else:
+        ingest = foreach_batch_mor(store, tname, keys=["key"], compact_every=compact_every)
+        ingest(seed, -1)  # mor_init
+
+    # 90% of each batch updates existing keys; every 10th row mints a
+    # fresh key above the seed space, so the table grows a little every
+    # trigger and the merge exercises both arms of the upsert
+    updates = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rate)
+        .load()
+        .select(
+            F.when(
+                F.pmod("value", F.lit(10)) == 0,
+                F.lit(seed_keys) + (F.col("value") / 10).cast("long"),
+            )
+            .otherwise(F.pmod("value", F.lit(seed_keys)))
+            .cast("long")
+            .alias("key"),
+            (F.col("value") * 0.5).cast("double").alias("val"),
+            F.col("value").cast("long").alias("updated_us"),
+        )
+    )
+    q = (
+        updates.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(workdir / f"{mode}_ckpt"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    prog = _drain_progress(q, triggers, timeout_s=triggers * 6 + 180)
+    final_rows = (
+        store.read(tname).count() if mode == "merge" else store.mor_read(tname).count()
+    )
+    files = len(glob.glob(str(workdir / f"upsert_{mode}" / tname / "**" / "*.parquet"), recursive=True))
+    extra = {
+        "rate_rows_per_sec": rate,
+        "seed_keys": seed_keys,
+        "final_rows": final_rows,
+        "parquet_files": files,
+        **({"compact_every": compact_every} if mode == "mor" else {}),
+    }
+    return _report(f"foreach_batch_{mode}", prog, extra)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--triggers", type=int, default=50)
     ap.add_argument("--ewma-rate", type=int, default=20000)
     ap.add_argument("--lsh-rate", type=int, default=100)
     ap.add_argument("--users", type=int, default=1000)
-    ap.add_argument("--only", choices=["ewma", "lsh"], default=None)
+    ap.add_argument(
+        "--only",
+        choices=["ewma", "lsh", "sessionize", "merge", "mor"],
+        default=None,
+    )
     ap.add_argument("--compact-every", type=int, default=None)
+    ap.add_argument("--upsert-rate", type=int, default=2000)
+    ap.add_argument("--seed-keys", type=int, default=2_000_000)
     args = ap.parse_args()
 
     from job_etl_spark.session import get_spark
@@ -220,6 +360,27 @@ def main() -> None:
                 args.lsh_rate,
                 workdir,
                 compact_every=args.compact_every,
+            )
+        if args.only in (None, "sessionize"):
+            soak_sessionize(spark, args.triggers, args.ewma_rate, args.users, workdir)
+        if args.only in (None, "merge"):
+            soak_upsert(
+                spark,
+                args.triggers,
+                args.upsert_rate,
+                workdir,
+                "merge",
+                seed_keys=args.seed_keys,
+            )
+        if args.only in (None, "mor"):
+            soak_upsert(
+                spark,
+                args.triggers,
+                args.upsert_rate,
+                workdir,
+                "mor",
+                seed_keys=args.seed_keys,
+                compact_every=args.compact_every or 10,
             )
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
