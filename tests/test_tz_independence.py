@@ -16,7 +16,8 @@ from tests.conftest import SF_SMOKE
 
 _REG = registry()
 
-# every query whose plan touches events.ts or an order date arithmetic
+# curated core: every query whose plan touches events.ts or an order
+# date arithmetic (hand-audited when the suite was written)
 _TIME_FAMILY = [
     "q09_watermark_incremental",
     "q33_recent_events",
@@ -42,7 +43,24 @@ _TIME_FAMILY = [
 ]
 
 
-@pytest.mark.parametrize("name", _TIME_FAMILY)
+def _detected_time_family() -> list[str]:
+    """Auto-enroll any query whose SOURCE touches the events table or a
+    timestamp-rendering builtin — a new time-touching query must pass the
+    fractional-offset probe without anyone remembering to list it here.
+    (r7 audit: the 21 queries this regex adds beyond the curated core all
+    passed first try; the guard exists so that stays true.)"""
+    import inspect
+    import re
+
+    pat = re.compile(r'"events"|unix_micros|date_trunc|to_timestamp|window\(')
+    return sorted(
+        n
+        for n, q in _REG.items()
+        if n not in _TIME_FAMILY and pat.search(inspect.getsource(q.fn))
+    )
+
+
+@pytest.mark.parametrize("name", _TIME_FAMILY + _detected_time_family())
 def test_time_query_matches_oracle_in_fractional_tz(spark, name):
     prev = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")  # UTC+5:30
