@@ -8,6 +8,7 @@ for between-round confidence sweeps:
   2. py_cosine(a, b) == cosine_expr(a, b)     (driver-replica cosine)
   3. simhash_block_pairs == brute-force pairs (pigeonhole banding, 60-bit)
   4. simhash_wide_block_pairs == brute force  (120-bit two-word banding)
+  5. pack_greedy (Catalyst fold) == pure-Python greedy replica
 
 Usage: python scripts/fuzz_parity.py [--examples 2000] [--seed 0]
 Prints one PASS/FAIL line per invariant; exits non-zero on any FAIL.
@@ -187,6 +188,48 @@ def fuzz_wide_banding(spark, rng: random.Random, rounds: int) -> int:
     return bad
 
 
+def fuzz_packing(spark, rng: random.Random, rounds: int) -> int:
+    """pack_greedy's Catalyst fold ≡ a pure-Python greedy replica, over
+    random weights/capacities/shard counts — the only array-accumulating
+    F.aggregate in the repo (q77's DuckDB recursive-CTE oracle checks one
+    fixed setting; this sweeps the parameter space)."""
+    from pyspark.sql import functions as F
+
+    from job_etl_spark.ml.packing import pack_greedy
+
+    bad = 0
+    for _ in range(rounds):
+        n = rng.randint(1, 60)
+        cap = rng.randint(1, 200)
+        shards = rng.randint(1, 5)
+        rows = [
+            (i, rng.choice([0, 1, cap // 2 or 1, cap, cap + 1, rng.randint(1, 2 * cap)]))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "k long, w long")
+        got = {
+            (r["k"], r["shard"], r["packno"])
+            for r in pack_greedy(
+                df, "k", "w", F.pmod("k", F.lit(shards)).cast("bigint"), "k", cap
+            ).collect()
+        }
+        want = set()
+        for s in range(shards):
+            cur, packno = 0, 0
+            for k, w in rows:
+                if k % shards != s:
+                    continue
+                if cur != 0 and cur + w > cap:
+                    packno += 1
+                    cur = 0
+                cur += w
+                want.add((k, s, packno))
+        if got != want:
+            bad += 1
+            print(f"  packing mismatch: n={n} cap={cap} shards={shards} extra={got - want} missing={want - got}")
+    return bad
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--examples", type=int, default=2000)
@@ -205,6 +248,7 @@ def main() -> None:
         ("py_cosine==cosine_expr", fuzz_cosine, args.examples),
         ("banded==bruteforce (60-bit)", fuzz_banding, args.rounds),
         ("wide banded==bruteforce (120-bit)", fuzz_wide_banding, args.rounds),
+        ("pack_greedy==python greedy", fuzz_packing, args.rounds),
     ):
         bad = fn(spark, rng, depth)
         print(f"{'FAIL' if bad else 'PASS'} {name} ({depth} cases, {bad} mismatches)", flush=True)
