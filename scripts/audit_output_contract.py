@@ -17,6 +17,9 @@ Run: python scripts/audit_output_contract.py [sf_dir]
 from __future__ import annotations
 
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import duckdb
 
