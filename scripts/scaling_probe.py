@@ -145,6 +145,28 @@ def main() -> None:
     if args.rebuild or not os.path.exists(f"{out_dir}/documents.parquet"):
         build_scaled(spark, args.sf, out_dir, args.scale, tables=args.tables)
 
+    # verify every REQUESTED table is actually at Nx (the build trigger
+    # above keys on documents.parquet, so a later --tables run against an
+    # existing out_dir can silently leave its table base-linked — caught
+    # in r7 when an embeddings probe printed all-zero exponents). Derive
+    # the scale from parquet footers, like pack_probe.
+    import pyarrow.parquet as _paq
+
+    def _rows(d: str, t: str) -> int:
+        p = Path(d) / f"{t}.parquet"
+        if p.is_dir():
+            return sum(_paq.ParquetFile(f).metadata.num_rows for f in p.glob("*.parquet"))
+        return _paq.ParquetFile(p).metadata.num_rows
+
+    for t in args.tables or []:
+        ratio = _rows(out_dir, t) / _rows(args.sf, t)
+        print(f"{t}: measured scale x{ratio:.1f}")
+        if abs(ratio - args.scale) / args.scale > 0.05:
+            sys.exit(
+                f"{t} in {out_dir} is x{ratio:.1f}, not x{args.scale} — "
+                f"rerun with --rebuild --tables {t}"
+            )
+
     reg = registry()
     # warm the JVM
     reg["q20_dedup_exact"].fn(spark, args.sf).write.format("noop").mode(
