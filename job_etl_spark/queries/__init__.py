@@ -20,6 +20,8 @@ import hashlib
 import inspect
 import json
 import re
+import sys
+import types
 from pathlib import Path
 
 from job_etl_spark.queries._util import Query
@@ -71,14 +73,116 @@ def _last_verified_round() -> dict[str, int]:
     }
 
 
+def _code_names(code: types.CodeType) -> set[str]:
+    """All global/attribute names a code object references, including
+    names inside nested lambdas/comprehensions (walked via co_consts)."""
+    names = set(code.co_names)
+    for const in code.co_consts:
+        if isinstance(const, types.CodeType):
+            names |= _code_names(const)
+    return names
+
+
+_FILE_HASH_CACHE: dict[str, str] = {}
+
+
+def _file_hash(path: str) -> str:
+    h = _FILE_HASH_CACHE.get(path)
+    if h is None:
+        try:
+            h = hashlib.sha256(Path(path).read_bytes()).hexdigest()[:16]
+        except OSError:
+            h = "unreadable"
+        _FILE_HASH_CACHE[path] = h
+    return h
+
+
+def _helper_surface(fn) -> str:
+    """Hash surface of the helper code a query fn depends on, so a rewrite
+    of e.g. ``ml/dedup.py`` promotes its ~20 dependent queries in the
+    rotation exactly like an edit to the query fn itself (r7 verdict #5).
+
+    Granularity is deliberately two-tier:
+
+    - a SAME-module helper (private fn in the query's own ``queries/*.py``
+      file) contributes its own source text only — hashing the whole file
+      would couple every query in the file to every neighbour's edit and
+      flood the changed-since-green rank;
+    - a CROSS-module dependency (``ml/*``, ``operators/*``, ``functions/*``
+      …) contributes its defining module's file bytes, expanded to a
+      fixpoint over module-level imports within ``job_etl_spark`` (coarse
+      transitive closure: an edit to a helper-of-a-helper still registers).
+
+    Name resolution is via ``co_names`` against the fn's globals, so
+    attribute names that coincide with unused module globals can
+    over-include — safe: false positives only make the hash more
+    sensitive, never less.
+    """
+    own_mod = getattr(fn, "__module__", "") or ""
+
+    def _module_of(obj) -> types.ModuleType | None:
+        if isinstance(obj, types.ModuleType):
+            return obj
+        mname = getattr(obj, "__module__", None)
+        if isinstance(mname, str) and mname.startswith("job_etl_spark"):
+            return sys.modules.get(mname)
+        return None
+
+    mods: set[str] = set()
+    frontier: list[types.ModuleType] = []
+    local_srcs: list[str] = []
+    for name in sorted(_code_names(fn.__code__)):
+        obj = fn.__globals__.get(name)
+        if obj is None and name.startswith("job_etl_spark"):
+            # function-local `from job_etl_spark.x import y` / `import
+            # job_etl_spark.x` leaves the dotted module name in co_names
+            # with no globals binding — resolve it via sys.modules
+            obj = sys.modules.get(name)
+        if obj is None:
+            continue
+        mname = getattr(obj, "__module__", None)
+        if not isinstance(obj, types.ModuleType) and mname == own_mod:
+            try:
+                local_srcs.append(inspect.getsource(obj))
+            except (OSError, TypeError):
+                pass
+            continue
+        mod = _module_of(obj)
+        if mod is not None and mod.__name__.startswith("job_etl_spark"):
+            if mod.__name__ not in mods:
+                mods.add(mod.__name__)
+                frontier.append(mod)
+    while frontier:
+        for obj in list(vars(frontier.pop()).values()):
+            dep = _module_of(obj)
+            if (
+                dep is not None
+                and dep.__name__.startswith("job_etl_spark")
+                and dep.__name__ not in mods
+            ):
+                mods.add(dep.__name__)
+                frontier.append(dep)
+    parts = ["".join(local_srcs)]
+    for mname in sorted(mods):
+        f = getattr(sys.modules.get(mname), "__file__", None)
+        parts.append(f"{mname}:{_file_hash(f) if f else 'builtin'}")
+    return "\x00".join(parts)
+
+
 def source_hash(q: Query) -> str:
     """Content hash of a query's verifiable surface: the Spark fn's source
-    text + the oracle SQL. Helper-module changes are invisible to it by
-    design — this is a rotation-priority heuristic, not a correctness
-    proof; the driver rotation still cycles every query regardless."""
+    text + the oracle SQL + the helper surface (same-module helper sources
+    and the transitive closure of cross-module ``job_etl_spark``
+    dependency files — see ``_helper_surface``). A helper rewrite
+    therefore ranks its dependents as changed-since-green instead of
+    hiding behind an unchanged fn body. Still a rotation-priority
+    heuristic, not a correctness proof; the driver rotation cycles every
+    query regardless. After editing this scheme run
+    ``python scripts/green_hashes.py --rehash-all`` (only valid when no
+    query/helper code changed since the last greens)."""
     src = inspect.getsource(q.fn)
     return hashlib.sha256(
-        (src + "\x00" + (q.oracle or "")).encode()
+        (src + "\x00" + (q.oracle or "") + "\x01" + _helper_surface(q.fn)).encode()
     ).hexdigest()[:16]
 
 

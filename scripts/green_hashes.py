@@ -68,6 +68,21 @@ def main() -> int:
     current = {name: source_hash(q) for name, q in reg.items()}
     stored = json.loads(SIDECAR.read_text()) if SIDECAR.exists() else {}
 
+    if "--rehash-all" in sys.argv:
+        # Hash-SCHEME migration only (e.g. r8's helper-surface extension):
+        # re-encode every stored entry under the current source_hash
+        # definition. Valid ONLY when no query/helper code has changed
+        # since the stored greens — it assumes the code on disk is exactly
+        # what the driver verified, and re-stamps it under the new scheme.
+        changed = sorted(n for n in stored if stored[n] != current[n])
+        stored = {n: current[n] for n in sorted(current)}
+        SIDECAR.write_text(json.dumps(stored, indent=1, sort_keys=True) + "\n")
+        print(
+            f"rehashed {SIDECAR.name}: {len(stored)} entries re-encoded "
+            f"({len(changed)} differed under the new scheme)"
+        )
+        return 0
+
     if "--update" in sys.argv:
         rnd, greens = latest_round_greens()
         refreshed = sorted(n for n in greens if stored.get(n) != current[n])

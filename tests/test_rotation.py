@@ -77,6 +77,51 @@ def test_changed_since_green_outranks_stale_greens(monkeypatch):
     assert order2.index(greens[0]) < order2.index(victim)
 
 
+def test_helper_edit_promotes_dependents(monkeypatch):
+    """r7 verdict #5: an edit to a cross-module helper (ml/dedup.py here)
+    must change the source_hash of every query that depends on it — so the
+    rotation ranks them changed-since-green — while leaving helper-free
+    queries' hashes untouched."""
+    import job_etl_spark.ml.dedup as dedup_mod
+
+    reg = registry()
+    before = {n: source_hash(q) for n, q in reg.items()}
+
+    real_file_hash = qmod._file_hash
+
+    def poisoned(path: str) -> str:
+        if path == dedup_mod.__file__:
+            return "poisoned-helper-edit"
+        return real_file_hash(path)
+
+    monkeypatch.setattr(qmod, "_file_hash", poisoned)
+    after = {n: source_hash(q) for n, q in reg.items()}
+
+    moved = {n for n in reg if before[n] != after[n]}
+    assert "q29_minhash_lsh" in moved, "direct ml.dedup dependent missed"
+    # transitive: q95 reaches ml.dedup only through operators/cms.py's
+    # module-level `from job_etl_spark.ml.dedup import hexint`
+    assert "q95_heavy_hitters_cms" in moved, "transitive dependent missed"
+    # a pure-relational query has no ml.* surface and must NOT move
+    assert "q01_pricing_summary" not in moved, "helper poisoning over-broad"
+
+    # and the rotation actually promotes a moved green ahead of unchanged
+    # stale greens: with real stored hashes, the poisoned file makes the
+    # dependents' current hash mismatch the sidecar
+    rounds = qmod._last_verified_round()
+    moved_greens = [n for n in moved if rounds.get(n, -1) >= 0]
+    assert moved_greens, "test needs a green ml.dedup dependent"
+    order = list(registry())
+    stored = qmod._green_hashes()
+    first_unchanged_stale = next(
+        n
+        for n in order
+        if rounds.get(n, -1) >= 0 and stored.get(n) == after.get(n)
+    )
+    for n in moved_greens:
+        assert order.index(n) < order.index(first_unchanged_stale)
+
+
 def test_r7_window_contains_verdict_targets():
     """Round-7 specific pin (r6 verdict item 1): the 50-entry driver
     window must contain the 12 stalest queries (q130-q141, last green r3)
