@@ -97,26 +97,27 @@ def _file_hash(path: str) -> str:
     return h
 
 
-def _helper_surface(fn) -> str:
-    """Hash surface of the helper code a query fn depends on, so a rewrite
-    of e.g. ``ml/dedup.py`` promotes its ~20 dependent queries in the
-    rotation exactly like an edit to the query fn itself (r7 verdict #5).
+def _dependency_closure(fn) -> tuple[list[str], set[str]]:
+    """(same-module helper sources, cross-module job_etl_spark module
+    names) that a query fn depends on.
 
     Granularity is deliberately two-tier:
 
     - a SAME-module helper (private fn in the query's own ``queries/*.py``
-      file) contributes its own source text only — hashing the whole file
+      file) contributes its own source text only — taking the whole file
       would couple every query in the file to every neighbour's edit and
       flood the changed-since-green rank;
     - a CROSS-module dependency (``ml/*``, ``operators/*``, ``functions/*``
-      …) contributes its defining module's file bytes, expanded to a
-      fixpoint over module-level imports within ``job_etl_spark`` (coarse
-      transitive closure: an edit to a helper-of-a-helper still registers).
+      …) contributes its defining module, expanded to a fixpoint over
+      module-level imports within ``job_etl_spark`` (coarse transitive
+      closure: an edit to a helper-of-a-helper still registers).
 
-    Name resolution is via ``co_names`` against the fn's globals, so
-    attribute names that coincide with unused module globals can
-    over-include — safe: false positives only make the hash more
-    sensitive, never less.
+    Name resolution is via ``co_names`` against the fn's globals (plus
+    sys.modules for function-local dotted imports), so attribute names
+    that coincide with unused module globals can over-include — safe:
+    false positives only make the surface more sensitive, never less.
+    Shared by ``_helper_surface`` (rotation hashing) and
+    ``tests/test_tz_independence.py`` (auto-enrollment scanning).
     """
     own_mod = getattr(fn, "__module__", "") or ""
 
@@ -162,6 +163,15 @@ def _helper_surface(fn) -> str:
             ):
                 mods.add(dep.__name__)
                 frontier.append(dep)
+    return local_srcs, mods
+
+
+def _helper_surface(fn) -> str:
+    """Hash surface of the helper code a query fn depends on, so a rewrite
+    of e.g. ``ml/dedup.py`` promotes its ~31 dependent queries in the
+    rotation exactly like an edit to the query fn itself (r7 verdict #5).
+    See ``_dependency_closure`` for the traversal rules."""
+    local_srcs, mods = _dependency_closure(fn)
     parts = ["".join(local_srcs)]
     for mname in sorted(mods):
         f = getattr(sys.modules.get(mname), "__file__", None)

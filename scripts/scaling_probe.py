@@ -158,7 +158,12 @@ def main() -> None:
             return sum(_paq.ParquetFile(f).metadata.num_rows for f in p.glob("*.parquet"))
         return _paq.ParquetFile(p).metadata.num_rows
 
-    for t in args.tables or []:
+    # no --tables means build_scaled scaled EVERYTHING — verify everything,
+    # else a stale out_dir from an earlier --tables run silently probes
+    # base-linked tables (all-zero exponents, the r7 ADVICE bug class)
+    from job_etl_spark.tables import TABLE_NAMES as _all_tables
+
+    for t in args.tables or _all_tables:
         ratio = _rows(out_dir, t) / _rows(args.sf, t)
         print(f"{t}: measured scale x{ratio:.1f}")
         if abs(ratio - args.scale) / args.scale > 0.05:

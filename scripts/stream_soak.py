@@ -213,6 +213,11 @@ def soak_sessionize(
 
     from job_etl_spark.streaming.stateful import sessionize_stateful
 
+    # the cohort formula below yields users//2 + users//2 distinct ids, so
+    # an odd --users would plateau at users-1 and break the "state rows ==
+    # user count" invariant the soak reports on
+    users -= users % 2
+
     # bursty cohort rotation: half the user space is active for ~10 s,
     # then idle while the other half runs — idle users' sessions pass the
     # 5 s gap and the event-time timeout closes them (the other cohort's
@@ -349,6 +354,13 @@ def main() -> None:
 
     spark = get_spark("jobspark-stream-soak")
     spark.sparkContext.setLogLevel("ERROR")
+    # recentProgress is a ring buffer (default 100): --triggers above that
+    # would spin _drain_progress until timeout and the first10/last10 drift
+    # stats would compare rolled-off mid-run windows. Size it to the run.
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates",
+        str(max(100, args.triggers + 20)),
+    )
     workdir = Path(tempfile.mkdtemp(prefix="jobspark_soak_"))
     try:
         if args.only in (None, "ewma"):

@@ -48,15 +48,32 @@ def _detected_time_family() -> list[str]:
     timestamp-rendering builtin — a new time-touching query must pass the
     fractional-offset probe without anyone remembering to list it here.
     (r7 audit: the 21 queries this regex adds beyond the curated core all
-    passed first try; the guard exists so that stays true.)"""
+    passed first try; the guard exists so that stays true.)
+
+    r7 ADVICE: the scan also covers same-module private helpers the fn
+    references (via the rotation's dependency closure) and any query
+    depending on ``functions/timeparse.py`` — the one module whose whole
+    purpose is timestamp parsing. Scanning ALL closure module files is
+    deliberately avoided: ``tables.py`` matches the regex incidentally
+    (every query depends on it), which would enroll the full registry and
+    drown the probe."""
     import inspect
     import re
 
+    from job_etl_spark import queries as qmod
+
     pat = re.compile(r'"events"|unix_micros|date_trunc|to_timestamp|window\(')
+
+    def touches_time(q) -> bool:
+        if pat.search(inspect.getsource(q.fn)):
+            return True
+        local_srcs, mods = qmod._dependency_closure(q.fn)
+        return any(pat.search(s) for s in local_srcs) or (
+            "job_etl_spark.functions.timeparse" in mods
+        )
+
     return sorted(
-        n
-        for n, q in _REG.items()
-        if n not in _TIME_FAMILY and pat.search(inspect.getsource(q.fn))
+        n for n, q in _REG.items() if n not in _TIME_FAMILY and touches_time(q)
     )
 
 
