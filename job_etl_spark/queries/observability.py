@@ -911,10 +911,14 @@ QUERIES.update(
 _Q140_LOOKBACK_US = 7 * 86_400 * 1_000_000
 
 
-def q140_attribution(spark: SparkSession, sf: str) -> DataFrame:
-    ev = table(spark, sf, "events").select(
-        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("t")
-    )
+def attribution_core(ev: DataFrame, lookback_us: int) -> DataFrame:
+    """The q140 prefix-count/running-max attribution plan over an events
+    frame with columns (user_id long, event_id long, event_type string,
+    t long). Factored out of q140_attribution so scripts/fuzz_parity.py
+    (family #6) can sweep it against a pure-Python pair-join replica on
+    randomized corpora — the endpoint-ordering trick (sign-sorted
+    interval endpoints reproducing the pair predicate's strict/inclusive
+    bounds) is exactly the off-by-one surface fuzzing exists for."""
     # null user/ts rows can never produce a pair in the join formulation
     # (null equi-key / null range predicate); drop them upfront so the
     # window formulation matches exactly
@@ -939,7 +943,7 @@ def q140_attribution(spark: SparkSession, sf: str) -> DataFrame:
                     F.col("conv_t").alias("t"), F.lit(1).cast("long").alias("sign")
                 ),
                 F.struct(
-                    (F.col("conv_t") - _Q140_LOOKBACK_US).alias("t"),
+                    (F.col("conv_t") - lookback_us).alias("t"),
                     F.lit(-1).cast("long").alias("sign"),
                 ),
             )
@@ -1011,6 +1015,13 @@ def q140_attribution(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum("linear"), 6).cast("double").alias("linear_credit"),
         )
     )
+
+
+def q140_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    return attribution_core(ev, _Q140_LOOKBACK_US)
 
 
 _Q140_SQL = f"""

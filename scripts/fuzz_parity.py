@@ -9,6 +9,9 @@ for between-round confidence sweeps:
   3. simhash_block_pairs == brute-force pairs (pigeonhole banding, 60-bit)
   4. simhash_wide_block_pairs == brute force  (120-bit two-word banding)
   5. pack_greedy (Catalyst fold) == pure-Python greedy replica
+  6. q140 attribution_core (prefix-count/running-max windows) ==
+     pure-Python pair-join replica (equal-t collisions, exact lookback
+     boundary, empty lookbacks, null keys)
 
 Usage: python scripts/fuzz_parity.py [--examples 2000] [--seed 0]
 Prints one PASS/FAIL line per invariant; exits non-zero on any FAIL.
@@ -230,6 +233,96 @@ def fuzz_packing(spark, rng: random.Random, rounds: int) -> int:
     return bad
 
 
+def fuzz_attribution(spark, rng: random.Random, rounds: int) -> int:
+    """q140's prefix-count/running-max window form ≡ a pure-Python
+    pair-join replica (the semantics the rewritten plan must reproduce:
+    per conversion, touches of the same user with
+    conv_t − lookback <= touch_t < conv_t, last-touch tie-broken by
+    (touch_t, touch_id) descending, linear credit cnt·round(1/n, 10)
+    decimal-exact). Corpora deliberately hit the endpoint-ordering
+    surface: equal-timestamp touch/conv collisions, touches exactly AT
+    conv_t − lookback, empty-lookback conversions, null user/ts rows,
+    multi-user interleaving."""
+    from decimal import ROUND_HALF_UP, Decimal, getcontext
+
+    from job_etl_spark.queries.observability import attribution_core
+
+    getcontext().prec = 50
+    bad = 0
+    for _ in range(rounds):
+        lookback = rng.choice([50, 100])
+        n = rng.randint(2, 40)
+        users = [None] + list(range(rng.randint(1, 4)))
+        # small t pool forces equal-t collisions; offsets exactly lookback
+        # apart force the inclusive lower bound
+        base_ts = [rng.randint(0, 300) for _ in range(max(2, n // 4))]
+        t_pool = base_ts + [t + lookback for t in base_ts] + [None]
+        rows = []
+        for i in range(n):
+            rows.append(
+                (
+                    rng.choice(users),
+                    i,
+                    rng.choice(["click", "view", "email", "purchase", "purchase"]),
+                    rng.choice(t_pool),
+                )
+            )
+        df = spark.createDataFrame(
+            rows, "user_id long, event_id long, event_type string, t long"
+        )
+        got = {
+            r["touch_type"]: (
+                r["n_conversions_touched"],
+                r["last_touch_credit"],
+                r["linear_credit"],
+            )
+            for r in attribution_core(df, lookback).collect()
+        }
+
+        # --- pure-Python pair-join replica -----------------------------
+        live = [r for r in rows if r[0] is not None and r[3] is not None]
+        convs = [r for r in live if r[2] == "purchase"]
+        touches = [r for r in live if r[2] != "purchase"]
+        per_type: dict[str, dict[str, object]] = {}
+        for cu, cid, _, ct in convs:
+            win = [
+                (tt, tid, ty)
+                for tu, tid, ty, tt in touches
+                if tu == cu and ct - lookback <= tt < ct
+            ]
+            if not win:
+                continue
+            unit = (Decimal(1) / Decimal(len(win))).quantize(
+                Decimal("1e-10"), ROUND_HALF_UP
+            )
+            last_type = max(win)[2]
+            by_type: dict[str, int] = {}
+            for _, _, ty in win:
+                by_type[ty] = by_type.get(ty, 0) + 1
+            for ty, cnt in by_type.items():
+                agg = per_type.setdefault(
+                    ty, {"convs": 0, "last": 0, "linear": Decimal(0)}
+                )
+                agg["convs"] += 1
+                agg["last"] += 1 if ty == last_type else 0
+                agg["linear"] += cnt * unit
+        want = {
+            ty: (
+                a["convs"],
+                a["last"],
+                float(a["linear"].quantize(Decimal("1e-6"), ROUND_HALF_UP)),
+            )
+            for ty, a in per_type.items()
+        }
+        if got != want:
+            bad += 1
+            print(
+                f"  attribution mismatch: lookback={lookback} rows={rows}\n"
+                f"    spark={got}\n    python={want}"
+            )
+    return bad
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--examples", type=int, default=2000)
@@ -249,6 +342,7 @@ def main() -> None:
         ("banded==bruteforce (60-bit)", fuzz_banding, args.rounds),
         ("wide banded==bruteforce (120-bit)", fuzz_wide_banding, args.rounds),
         ("pack_greedy==python greedy", fuzz_packing, args.rounds),
+        ("attribution windows==python pair join", fuzz_attribution, args.rounds),
     ):
         bad = fn(spark, rng, depth)
         print(f"{'FAIL' if bad else 'PASS'} {name} ({depth} cases, {bad} mismatches)", flush=True)
