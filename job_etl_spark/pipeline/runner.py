@@ -251,6 +251,9 @@ class TableStore:
         with open(self._mor_dir(name, "_META")) as f:
             return json.load(f)
 
+    def mor_exists(self, name: str) -> bool:
+        return os.path.exists(self._mor_dir(name, "_META"))
+
     def mor_init(self, name: str, df: DataFrame, keys: Sequence[str]) -> None:
         """Write the base and record the key columns. An initial batch may
         carry the ``_deleted`` tombstone column (a CDC feed's first batch
@@ -452,9 +455,26 @@ def run_rank(
     min_ingested_at=None,
     limit: int | None = None,
     dry_run: bool = False,
+    mor: bool = False,
 ) -> dict:
+    """Rank unranked fact rows and write the scores back.
+
+    Write-back strategy follows the COW/MOR decision rule (COVERAGE.md
+    "Choosing COW vs MOR"): the default COW path rewrites the whole fact
+    table — O(table) per run, fine while fact_jobs is dimension-sized.
+    ``mor=True`` is the fact-sized path: the ranked rows land as ONE
+    merge-on-read delta (``TableStore.mor_upsert``) and the rewrite is
+    deferred to ``mor_compact`` on its own schedule — write cost O(ranked
+    batch), never O(table). The r7 stream soak measured exactly this gap:
+    COW merge p50 tracks table size (684→907 ms across a 10× seed) while
+    MOR stays flat (464→507 ms); see ``streaming/pipeline.py::
+    foreach_batch_mor`` for the streaming twin of this path. First
+    ``mor=True`` call migrates the COW files into the MOR layout.
+    """
     cfg = config or RankingConfig()
-    fact = store.read("fact_jobs")
+    if mor and not store.mor_exists("fact_jobs"):
+        store.mor_init("fact_jobs", store.read("fact_jobs"), ["hash_key"])
+    fact = store.mor_read("fact_jobs") if mor else store.read("fact_jobs")
     target = F.lit(True) if rank_all else F.col("rank_score").isNull()
     if min_ingested_at is not None and not rank_all:
         target = target & (F.col("ingested_at") >= F.lit(min_ingested_at))
@@ -464,9 +484,19 @@ def run_rank(
     ranked = rank_jobs(to_rank, None, cfg)
     n = ranked.count()
     if not dry_run:
-        untouched = fact.join(ranked.select("hash_key"), "hash_key", "left_anti")
-        store.rewrite("fact_jobs", untouched.unionByName(ranked.select(*fact.columns)))
-    stats = report_mod.ranking_stats(store.read("fact_jobs")) if not dry_run else {}
+        if mor:
+            store.mor_upsert("fact_jobs", ranked.select(*fact.columns))
+        else:
+            untouched = fact.join(ranked.select("hash_key"), "hash_key", "left_anti")
+            store.rewrite(
+                "fact_jobs", untouched.unionByName(ranked.select(*fact.columns))
+            )
+    if dry_run:
+        stats = {}
+    else:
+        stats = report_mod.ranking_stats(
+            store.mor_read("fact_jobs") if mor else store.read("fact_jobs")
+        )
     return {"ranked_now": n, "dry_run": dry_run, **stats}
 
 

@@ -129,7 +129,13 @@ def foreach_batch_merge(
     Duplicate keys WITHIN one micro-batch (two files landing in one
     trigger) are collapsed first (``_dedup_latest``) — merge_upsert's
     full-outer join requires unique update keys, and the raw batch would
-    otherwise be written verbatim as the initial table."""
+    otherwise be written verbatim as the initial table.
+
+    This is the COW side of the COW/MOR decision rule (COVERAGE.md
+    "Choosing COW vs MOR"): per-trigger cost is O(table) — the r7 soak
+    measured p50 tracking table size (684→907 ms at 10× seed) — so use
+    it for DIMENSION-sized targets only; fact-sized mutable tables take
+    ``foreach_batch_mor`` (flat 464→507 ms in the same soak)."""
     from job_etl_spark.operators.merge import merge_upsert
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -165,7 +171,12 @@ def foreach_batch_mor(
     idempotent. ``compact_every`` > 0 folds the delta log into the base
     every N batches, bounding read-side fan-in; the fold is the same
     atomic-swap rewrite, so concurrent readers see either view (both
-    identical)."""
+    identical).
+
+    This is the MOR side — the documented DEFAULT for large mutable
+    tables (COVERAGE.md "Choosing COW vs MOR", measured by the r7 soak:
+    flat p50 across a 10× base vs COW's proportional growth); its batch
+    twin is ``run_rank(mor=True)`` in ``pipeline/runner.py``."""
     state = {"batches": 0}
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:

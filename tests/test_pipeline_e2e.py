@@ -81,6 +81,66 @@ def test_pipeline_idempotent_rerun(spark):
     assert all(r.passed for r in run_dq(store))
 
 
+def test_rank_writeback_via_mor(spark):
+    """COW/MOR decision rule (COVERAGE.md "Choosing COW vs MOR", r7
+    verdict #3): at fact scale the rank write-back lands as a merge-on-
+    read delta — O(ranked batch) per run — instead of the COW path's
+    O(table) rewrite. The merged view must equal the COW result, the MOR
+    base files must stay byte-untouched across write-backs, and
+    compaction must preserve the view."""
+    import glob
+    import os
+
+    from job_etl_spark.pipeline.runner import run_rank
+
+    wh = tempfile.mkdtemp(prefix="jobspark_mor_rank_")
+    run_pipeline(spark, wh, num_jobs=60)
+    store = TableStore(spark, wh)
+
+    def scores(df):
+        return {r["hash_key"]: r["rank_score"] for r in df.select("hash_key", "rank_score").collect()}
+
+    cow = scores(store.read("fact_jobs"))
+    assert len(cow) == 30 and None not in cow.values()
+
+    # first mor=True call migrates COW files into the MOR layout, then
+    # lands the full re-rank as delta 1
+    stats = run_rank(store, rank_all=True, mor=True)
+    assert stats["ranked_jobs"] == 30
+    assert store.mor_exists("fact_jobs") and store.mor_deltas("fact_jobs") == [1]
+    assert scores(store.mor_read("fact_jobs")) == cow  # deterministic re-rank
+
+    base_glob = os.path.join(wh, "fact_jobs", "_mor", "base", "*.parquet")
+    base_before = {f: os.path.getmtime(f) for f in glob.glob(base_glob)}
+
+    # incremental cycle: a delta nulls 10 scores (CDC-style partial
+    # update); run_rank(mor=True) must rank exactly those 10 via a new
+    # delta, never touching the base
+    fact_cols = store.mor_read("fact_jobs").columns
+    damaged = (
+        store.mor_read("fact_jobs")
+        .orderBy("hash_key")
+        .limit(10)
+        .withColumn("rank_score", F.lit(None).cast("double"))
+        .select(*fact_cols)
+    )
+    store.mor_upsert("fact_jobs", damaged)
+    assert sum(v is None for v in scores(store.mor_read("fact_jobs")).values()) == 10
+
+    stats2 = run_rank(store, mor=True)  # default target: rank_score IS NULL
+    assert stats2["ranked_now"] == 10
+    assert scores(store.mor_read("fact_jobs")) == cow
+    assert {f: os.path.getmtime(f) for f in glob.glob(base_glob)} == base_before
+
+    # compaction folds the deltas into a new base; view unchanged, keys
+    # still unique (the J8 contract the COW path guarantees by rewrite)
+    folded = store.mor_compact("fact_jobs")
+    assert folded == 3 and store.mor_deltas("fact_jobs") == []
+    view = store.mor_read("fact_jobs")
+    assert scores(view) == cow
+    assert view.count() == view.select("hash_key").distinct().count() == 30
+
+
 def test_dynamic_partition_overwrite(spark, tmp_path):
     """overwrite_partitions replaces only the partitions present in the
     incoming frame — the 100 TB incremental-write path."""
