@@ -590,6 +590,14 @@ FROM cm
 #
 # Both pair generators are band-bounded; the comparison itself is one
 # equi full-outer join on the pair key and one aggregation.
+#
+# Scale (SCALING.md r8 probe): cost is INHERITED from the generators —
+# linear in their pair OUTPUT (exponent 1.04 in rows at 64×, where the
+# engineered replica corpus inflates pair volume ×12k–17k; q31 alone
+# emits ~14M pairs there). The join adds one shuffle over 2-int pair
+# rows. At 100 TB, run it over MATERIALIZED pair tables (both q29/q31
+# outputs are persisted by any real dedup run) rather than regenerating
+# candidates — the comparison itself is then trivially cheap.
 # ---------------------------------------------------------------------------
 def q157_dedup_method_agreement(spark: SparkSession, sf: str) -> DataFrame:
     from job_etl_spark.queries.lifedata import (
