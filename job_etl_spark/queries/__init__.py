@@ -84,6 +84,20 @@ def _code_names(code: types.CodeType) -> set[str]:
 
 
 _FILE_HASH_CACHE: dict[str, str] = {}
+_CLOSURE_CACHE: dict = {}
+_SRC_CACHE: dict = {}
+
+
+def _fn_source(fn) -> str:
+    """inspect.getsource memoized per fn — it re-tokenizes the whole
+    defining block on every call, and registry() hashes all 162 query
+    fns each time it runs. Stable within a process (module sources don't
+    change under a running interpreter)."""
+    src = _SRC_CACHE.get(fn)
+    if src is None:
+        src = inspect.getsource(fn)
+        _SRC_CACHE[fn] = src
+    return src
 
 
 def _file_hash(path: str) -> str:
@@ -118,7 +132,15 @@ def _dependency_closure(fn) -> tuple[list[str], set[str]]:
     false positives only make the surface more sensitive, never less.
     Shared by ``_helper_surface`` (rotation hashing) and
     ``tests/test_tz_independence.py`` (auto-enrollment scanning).
+
+    Memoized per fn (registry() hashes all 162 queries on every call and
+    the vars() fixpoint walk dominates): the traversal result is stable
+    within a process; the FILE hashes are deliberately NOT folded in
+    here so ``_file_hash`` stays the live (test-patchable) seam.
     """
+    memo = _CLOSURE_CACHE.get(fn)
+    if memo is not None:
+        return memo
     own_mod = getattr(fn, "__module__", "") or ""
 
     def _module_of(obj) -> types.ModuleType | None:
@@ -144,7 +166,7 @@ def _dependency_closure(fn) -> tuple[list[str], set[str]]:
         mname = getattr(obj, "__module__", None)
         if not isinstance(obj, types.ModuleType) and mname == own_mod:
             try:
-                local_srcs.append(inspect.getsource(obj))
+                local_srcs.append(_fn_source(obj))
             except (OSError, TypeError):
                 pass
             continue
@@ -163,6 +185,7 @@ def _dependency_closure(fn) -> tuple[list[str], set[str]]:
             ):
                 mods.add(dep.__name__)
                 frontier.append(dep)
+    _CLOSURE_CACHE[fn] = (local_srcs, mods)
     return local_srcs, mods
 
 
@@ -190,7 +213,7 @@ def source_hash(q: Query) -> str:
     query regardless. After editing this scheme run
     ``python scripts/green_hashes.py --rehash-all`` (only valid when no
     query/helper code changed since the last greens)."""
-    src = inspect.getsource(q.fn)
+    src = _fn_source(q.fn)
     return hashlib.sha256(
         (src + "\x00" + (q.oracle or "") + "\x01" + _helper_surface(q.fn)).encode()
     ).hexdigest()[:16]
