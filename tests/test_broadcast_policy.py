@@ -50,7 +50,7 @@ _ALLOWED = {
     "queries/modelprep.py::q117_bigram_perplexity": "1-row: vocab-size scalar",
     "queries/modelprep.py::q118_temperature_resample": "1-row-per-source: rates over the source domain",
     "queries/observability.py::q138_cooccurrence": "keyset: distinct event types (type domain)",
-    "queries/observability.py::q140_attribution": "keyset: distinct touch types (type domain)",
+    "queries/observability.py::attribution_core": "keyset: distinct touch types (type domain); q140's plan, factored for fuzz_parity",
     "queries/observability.py::q144_bm25": "1-row: (N, avgdl) + fixed literal term list",
     "queries/observability.py::q145_snippets": "cap: top-k doc ids",
     "queries/relational.py::q02_regional_revenue": "dim: nation/region geo chain",
