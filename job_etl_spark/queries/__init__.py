@@ -111,6 +111,27 @@ def _file_hash(path: str) -> str:
     return h
 
 
+def _const_repr(name: str, obj) -> str | None:
+    """Deterministic repr for module-level data constants a query fn
+    references, or None for anything else. Sets are deliberately
+    EXCLUDED: their iteration order varies with PYTHONHASHSEED across
+    processes, which would make every stored hash look changed each
+    round. Containers go through json (sort_keys) so dict ordering is
+    canonical; unserializable values are skipped rather than guessed."""
+    if isinstance(obj, (bool, int, float, complex, str, bytes)) or obj is None:
+        return f"{name}={obj!r}"
+    if isinstance(obj, re.Pattern):
+        return f"{name}=re({obj.pattern!r},{obj.flags})"
+    if isinstance(obj, (tuple, list, dict)):
+        try:
+            # no default=: a nested set/object must SKIP the constant (via
+            # TypeError), not sneak a hash-order-unstable repr in
+            return f"{name}={json.dumps(obj, sort_keys=True)}"
+        except (TypeError, ValueError):
+            return None
+    return None
+
+
 def _dependency_closure(fn) -> tuple[list[str], set[str]]:
     """(same-module helper sources, cross-module job_etl_spark module
     names) that a query fn depends on.
@@ -162,6 +183,14 @@ def _dependency_closure(fn) -> tuple[list[str], set[str]]:
             # with no globals binding — resolve it via sys.modules
             obj = sys.modules.get(name)
         if obj is None:
+            continue
+        const = _const_repr(name, obj)
+        if const is not None:
+            # module-level data constants (lookback windows, thresholds,
+            # rendered SQL fragments, compiled regex patterns) change a
+            # query's behavior without touching any function source —
+            # fold a deterministic repr in
+            local_srcs.append(const)
             continue
         mname = getattr(obj, "__module__", None)
         if not isinstance(obj, types.ModuleType) and mname == own_mod:

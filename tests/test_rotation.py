@@ -77,6 +77,29 @@ def test_changed_since_green_outranks_stale_greens(monkeypatch):
     assert order2.index(greens[0]) < order2.index(victim)
 
 
+_CONST_FOR_HASH_TEST = 7 * 86_400
+
+
+def test_source_hash_tracks_module_constants(monkeypatch):
+    """A module-level data constant a query references (lookback window,
+    threshold, rendered SQL fragment) changes behavior without touching
+    any function source — the hash must move with it. The closure memo
+    captures constant VALUES, so simulate the fresh-process-per-round
+    reality by clearing it around the edit."""
+    import sys
+
+    def fn(spark, sf):
+        return _CONST_FOR_HASH_TEST
+
+    q = Query(fn, "SELECT 1 AS x")
+    before = source_hash(q)
+    monkeypatch.setattr(
+        sys.modules[__name__], "_CONST_FOR_HASH_TEST", 3 * 86_400
+    )
+    monkeypatch.setattr(qmod, "_CLOSURE_CACHE", {})
+    assert source_hash(q) != before
+
+
 def test_helper_edit_promotes_dependents(monkeypatch):
     """r7 verdict #5: an edit to a cross-module helper (ml/dedup.py here)
     must change the source_hash of every query that depends on it — so the
