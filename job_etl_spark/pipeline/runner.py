@@ -642,6 +642,12 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--config", default=None, help="ranking.yml path")
     parser.add_argument("--source", action="append", default=None)
     parser.add_argument("--all", action="store_true", help="re-rank everything")
+    parser.add_argument(
+        "--mor",
+        action="store_true",
+        help="rank stage: write scores back as a merge-on-read delta "
+        "(fact-sized tables; COVERAGE.md 'Choosing COW vs MOR')",
+    )
     parser.add_argument("--include-existing", action="store_true")
     parser.add_argument("--dry-run", action="store_true")
     parser.add_argument("--verbose", action="store_true")
@@ -743,7 +749,7 @@ def main(argv: list[str] | None = None) -> int:
             elif args.stage == "rank":
                 cfg = RankingConfig.load(args.config) if args.config else RankingConfig()
                 stats = run_rank(store, cfg, rank_all=args.all, limit=args.limit,
-                                 dry_run=args.dry_run)
+                                 dry_run=args.dry_run, mor=args.mor)
             elif args.stage == "publish":
                 if not args.output_dir:
                     print(json.dumps({"error": "--output-dir required"}), file=sys.stderr)
