@@ -112,6 +112,24 @@ _LLEVEL_AT = 3
 _LLEVEL_RE = r"\bl([4-9]|[1-9][0-9]+)\b"  # applied to lowered title
 
 
+def _ascii_word_boundaries(pat: str) -> str:
+    """Rewrite edge ``\\b`` to explicit ASCII character classes.
+
+    The three render targets disagree on ``\\b``: Java (Spark rlike) is
+    Unicode-aware — a CJK char counts as a word char, so ``\\bjunior``
+    does NOT match '日本語junior' — while RE2 (DuckDB) is ASCII-only and
+    DOES match (found by fuzz_parity family #7). Explicit classes pin one
+    semantics in every engine. Input is lower()ed upstream, so the ASCII
+    word class is [a-z0-9_]. Non-capturing groups keep ``regexp_extract``
+    group numbering stable."""
+    if pat.startswith(r"\b"):
+        pat = r"(?:^|[^a-z0-9_])" + pat[2:]
+    if pat.endswith(r"\b"):
+        pat = pat[:-2] + r"(?:[^a-z0-9_]|$)"
+    assert r"\b" not in pat, f"interior \\b unsupported: {pat}"
+    return pat
+
+
 def _cond_column(t: Column, kind: str, pat: str) -> Column:
     if kind == "contains":
         return t.contains(pat)
@@ -120,7 +138,7 @@ def _cond_column(t: Column, kind: str, pat: str) -> Column:
     if kind == "endswith":
         return t.endswith(pat)
     if kind == "regex":
-        return t.rlike(pat)
+        return t.rlike(_ascii_word_boundaries(pat))
     raise ValueError(kind)
 
 
@@ -131,8 +149,13 @@ def seniority_level_expr(title: Column | str) -> Column:
     branches: list[tuple[Column, Column]] = []
     for i, (level, conds) in enumerate(_SENIORITY_CASCADE):
         if i == _LLEVEL_AT:
-            lvl_num = F.regexp_extract(t, _LLEVEL_RE, 1)
-            branches.append(((lvl_num != "") & (lvl_num.cast("int") >= 5), F.lit("senior")))
+            # the capture is a single digit 4-9 or a multi-digit number
+            # >= 10, so ">= 5" reduces to "not '4'" — deliberately
+            # cast-free: under ANSI mode CAST('2147483648' AS INT) THROWS,
+            # so one adversarial title ("l99999999999…") would kill a
+            # whole 100 TB job (found by fuzz_parity family #7)
+            lvl_num = F.regexp_extract(t, _ascii_word_boundaries(_LLEVEL_RE), 1)
+            branches.append(((lvl_num != "") & (lvl_num != "4"), F.lit("senior")))
             branches.append((lvl_num == "4", F.lit("intermediate")))
         acc = _cond_column(t, *conds[0])
         for kind, pat in conds[1:]:
@@ -158,6 +181,7 @@ def _cond_sql(t: str, kind: str, pat: str, dialect: str) -> str:
         like = pat.replace("%", r"\%").replace("_", r"\_")
         return f"{t} LIKE {_sql_quote('%' + like)}"
     if kind == "regex":
+        pat = _ascii_word_boundaries(pat)
         if dialect == "spark":
             # Spark SQL single-quoted literals process backslash escapes
             return f"{t} rlike {_sql_quote(pat.replace(chr(92), chr(92) * 2))}"
@@ -169,12 +193,16 @@ def seniority_case_sql(title_expr: str, dialect: str = "duckdb") -> str:
     """The same cascade as ``seniority_level_expr`` rendered as one SQL CASE
     expression (dialect 'duckdb' or 'spark') — used as the oracle twin."""
     t = f"lower({title_expr})"
-    ll = _LLEVEL_RE if dialect != "spark" else _LLEVEL_RE.replace("\\", "\\\\")
+    ll = _ascii_word_boundaries(_LLEVEL_RE)
+    if dialect == "spark":
+        ll = ll.replace("\\", "\\\\")
     lvl = f"regexp_extract({t}, {_sql_quote(ll)}, 1)"
     whens: list[str] = []
     for i, (level, conds) in enumerate(_SENIORITY_CASCADE):
         if i == _LLEVEL_AT:
-            whens.append(f"WHEN {lvl} <> '' AND CAST({lvl} AS INT) >= 5 THEN 'senior'")
+            # cast-free on purpose — see seniority_level_expr: the capture
+            # is a single digit 4-9 or >= 10, and ANSI CAST overflow throws
+            whens.append(f"WHEN {lvl} <> '' AND {lvl} <> '4' THEN 'senior'")
             whens.append(f"WHEN {lvl} = '4' THEN 'intermediate'")
         ors = " OR ".join(_cond_sql(t, k, p, dialect) for k, p in conds)
         whens.append(f"WHEN {ors} THEN '{level}'")

@@ -74,6 +74,153 @@ def merge_upsert(
     return joined.select(*out)
 
 
+def merge_upsert_onto(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    overwrite_cols: Sequence[str] = (),
+    coalesce_cols: Sequence[str] | None = None,
+    keep_first_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Result-identical to :func:`merge_upsert`, different physical shape:
+    the base is never shuffled.
+
+    ``merge_upsert``'s full-outer join cannot use a broadcast hash join
+    (Spark builds hash tables for one side only; FULL OUTER needs both),
+    so at 100 TB the read pays a full shuffle of the base. Here the merge
+    decomposes into three broadcast-able pieces (updates ≪ base is the
+    merge-on-read invariant):
+
+      matched+survivors = base ⟕ broadcast(updates)   — one base scan,
+          per-column class expressions; unmatched base rows fall out of
+          the same projection (the when(matched) branches)
+      matched_keys      = base ⋉ broadcast(update keys) — key-column-only
+          second scan (parquet reads just the key pages)
+      inserts           = updates ∖ matched_keys        — small × small
+
+    Used by ``TableStore.mor_read`` for policy tables; parity with
+    ``merge_upsert`` is pinned by randomized tests (test_merge_mor.py).
+    """
+    keys = list(keys)
+    all_cols = base.columns
+    classified = set(keys) | set(overwrite_cols) | set(keep_first_cols)
+    if coalesce_cols is None:
+        coalesce_cols = [c for c in all_cols if c not in classified and c in updates.columns]
+    base_types = dict(base.dtypes)
+
+    b = base.alias("b")
+    u = updates.alias("u")
+    joined = b.join(
+        F.broadcast(u), [F.col(f"b.{k}") == F.col(f"u.{k}") for k in keys], "left"
+    )
+    # a null-keyed base row never equality-matches (same as the full-outer)
+    matched = F.col(f"u.{keys[0]}").isNotNull() & F.col(f"b.{keys[0]}").isNotNull()
+    out = [F.col(f"b.{k}").alias(k) for k in keys]
+    for c in all_cols:
+        if c in keys:
+            continue
+        bcol = F.col(f"b.{c}")
+        ucol = F.col(f"u.{c}") if c in updates.columns else F.lit(None)
+        if c in keep_first_cols:
+            expr = F.coalesce(bcol, ucol)
+        elif c in overwrite_cols:
+            expr = F.when(matched, ucol).otherwise(bcol)
+        elif c in coalesce_cols:
+            expr = F.coalesce(ucol, bcol)
+        else:
+            expr = F.coalesce(bcol, ucol)
+        out.append(expr.alias(c))
+    updated = joined.select(*out)
+
+    # pure inserts: update keys absent from the base. A small-left vs
+    # huge-right anti join would shuffle the base, so invert it: semi-join
+    # the base against the broadcast key set (key columns only — column
+    # pruning keeps the scan cheap), then anti-join small × small. For an
+    # unmatched update row every column class reduces to "take the update
+    # value" (coalesce/when against an all-null base row).
+    matched_keys = base.select(*keys).join(
+        F.broadcast(updates.select(*keys)), keys, "left_semi"
+    )
+    inserts = updates.join(matched_keys, keys, "left_anti").select(
+        *[
+            (F.col(c) if c in updates.columns else F.lit(None).cast(base_types[c])).alias(c)
+            for c in all_cols
+        ]
+    )
+    return updated.unionByName(inserts)
+
+
+def fold_upsert_batches(
+    batches: DataFrame,
+    keys: Sequence[str],
+    overwrite_cols: Sequence[str] = (),
+    coalesce_cols: Sequence[str] = (),
+    seq_col: str = "_seq",
+    deleted_col: str = "_deleted",
+) -> tuple[DataFrame, DataFrame]:
+    """Fold a stack of upsert batches into ONE equivalent updates frame.
+
+    ``batches`` is the union of delta batches, each row tagged with its
+    batch sequence ``seq_col`` (at most one row per key per batch — the
+    merge-on-read delta contract). The COALESCE-merge is associative:
+    applying :func:`merge_upsert` batch-by-batch equals applying it once
+    with the per-key fold
+
+      overwrite  → the latest batch's value outright (nulls included)
+      coalesce   → first non-null scanning latest → oldest
+      everything else (keep-first + unclassified) → first non-null
+                   scanning oldest → latest
+
+    so a merge-on-read view costs one window over the DELTA rows (≪ base)
+    plus a single base merge — never a per-delta join chain. Tombstones:
+    rows at/before a key's latest ``deleted_col`` marker are dead history;
+    a key whose latest row is a tombstone is returned in ``dead_keys`` for
+    the caller to anti-join away.
+
+    Returns ``(folded_updates, dead_keys)``.
+    """
+    keys = list(keys)
+    if deleted_col not in batches.columns:
+        batches = batches.withColumn(deleted_col, F.lit(False))
+    batches = batches.withColumn(
+        deleted_col, F.coalesce(F.col(deleted_col), F.lit(False))
+    )
+    pk = Window.partitionBy(*keys)
+    tomb = F.max(F.when(F.col(deleted_col), F.col(seq_col))).over(pk)
+    live = batches.withColumn("_tomb", tomb).where(
+        (~F.col(deleted_col))
+        & (F.col("_tomb").isNull() | (F.col(seq_col) > F.col("_tomb")))
+    )
+    desc = pk.orderBy(F.desc(seq_col)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    asc = pk.orderBy(F.asc(seq_col)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    data_cols = [
+        c for c in batches.columns if c not in keys and c not in (seq_col, deleted_col, "_tomb")
+    ]
+    folded = live
+    for c in data_cols:
+        if c in overwrite_cols:
+            folded = folded.withColumn(c, F.first(c, ignorenulls=False).over(desc))
+        elif c in coalesce_cols:
+            folded = folded.withColumn(c, F.first(c, ignorenulls=True).over(desc))
+        else:
+            folded = folded.withColumn(c, F.first(c, ignorenulls=True).over(asc))
+    folded = (
+        folded.withColumn("_rn", F.row_number().over(pk.orderBy(F.desc(seq_col))))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_tomb", seq_col, deleted_col)
+    )
+    latest = (
+        batches.withColumn("_rn", F.row_number().over(pk.orderBy(F.desc(seq_col))))
+        .where(F.col("_rn") == 1)
+    )
+    dead_keys = latest.where(F.col(deleted_col)).select(*keys)
+    return folded, dead_keys
+
+
 def insert_if_absent(base: DataFrame, new_rows: DataFrame, keys: Sequence[str]) -> DataFrame:
     """``INSERT … ON CONFLICT DO NOTHING`` (J4): anti-join then append.
     Intra-batch duplicates are also suppressed (the reference's per-row

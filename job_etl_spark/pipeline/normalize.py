@@ -122,10 +122,11 @@ def normalize_common(common: DataFrame, run_ts) -> NormalizeResult:
     return NormalizeResult(normalized=merged, rejected=rejected)
 
 
-def merge_into_staging(staging: DataFrame, normalized: DataFrame) -> DataFrame:
-    """J3: the workhorse upsert — keep first_seen_at, bump last_seen_at,
-    overwrite identity columns, COALESCE the nullable payload columns
-    (``db_operations.py:427-460``).
+def staging_merge_policy() -> dict:
+    """The J3 per-column merge classes — ONE spec consumed by both write
+    paths: the COW ``merge_into_staging`` below and the merge-on-read
+    delta fold (``TableStore.mor_init(..., policy=...)``), so the two
+    layouts cannot drift.
 
     The enricher-owned columns (seniority_level, the enrichment status)
     are KEEP-FIRST, not coalesce: normalize emits their non-null insert
@@ -135,13 +136,24 @@ def merge_into_staging(staging: DataFrame, normalized: DataFrame) -> DataFrame:
     because its normalizer dict simply lacks the fields; keep-first is
     the set-oriented equivalent (matched rows keep the enriched value,
     inserts take the default)."""
-    coalesce = [c for c in STAGING_COALESCE_COLS if c != "seniority_level"]
+    return {
+        "overwrite": list(STAGING_OVERWRITE_COLS),
+        "coalesce": [c for c in STAGING_COALESCE_COLS if c != "seniority_level"],
+        "keep_first": STAGING_KEEP_FIRST_COLS
+        + ["seniority_level", "seniority_enrichment_status"],
+    }
+
+
+def merge_into_staging(staging: DataFrame, normalized: DataFrame) -> DataFrame:
+    """J3: the workhorse upsert — keep first_seen_at, bump last_seen_at,
+    overwrite identity columns, COALESCE the nullable payload columns
+    (``db_operations.py:427-460``)."""
+    policy = staging_merge_policy()
     return merge_upsert(
         staging,
         normalized,
         keys=["hash_key"],
-        overwrite_cols=STAGING_OVERWRITE_COLS,
-        coalesce_cols=coalesce,
-        keep_first_cols=STAGING_KEEP_FIRST_COLS
-        + ["seniority_level", "seniority_enrichment_status"],
+        overwrite_cols=policy["overwrite"],
+        coalesce_cols=policy["coalesce"],
+        keep_first_cols=policy["keep_first"],
     )

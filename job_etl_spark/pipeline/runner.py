@@ -62,8 +62,10 @@ class TableStore:
     def exists(self, name: str) -> bool:
         import glob
 
-        return bool(glob.glob(os.path.join(self.path(name), "*.parquet"))) or bool(
-            glob.glob(os.path.join(self.path(name), "_SUCCESS"))
+        return (
+            self.mor_exists(name)
+            or bool(glob.glob(os.path.join(self.path(name), "*.parquet")))
+            or bool(glob.glob(os.path.join(self.path(name), "_SUCCESS")))
         )
 
     def read(self, name: str, schema=None, merge_schema: bool = False) -> DataFrame:
@@ -71,7 +73,14 @@ class TableStore:
         (parquet schema evolution): rows written before a column existed
         read as NULL. Off by default — the merge pass reads every footer,
         which is a real cost on a 100 TB table; flip it only for tables
-        that actually evolve."""
+        that actually evolve.
+
+        A table migrated to the merge-on-read layout is read through
+        ``mor_read`` — every stage (marts/dq/publish/report) sees the
+        merged view automatically, so a ``--mor`` write-back is never
+        invisible to downstream readers."""
+        if self.mor_exists(name):
+            return self.mor_read(name)
         if not self.exists(name):
             if schema is None:
                 raise FileNotFoundError(self.path(name))
@@ -145,7 +154,19 @@ class TableStore:
         """Safe read-modify-write: materialize to a temp dir first (the
         plan reads the files being replaced), then swap by rename.
         refreshByPath invalidates Spark's cached file listing — without it
-        later scans chase deleted part files."""
+        later scans chase deleted part files.
+
+        A merge-on-read table stays MOR: the rewrite becomes a base
+        replacement (the new frame already incorporates the deltas — it
+        was read through the merged view) and the deltas are cleared, so
+        a stage-level rewrite (marts, enrich) never forks the table back
+        into a COW layout the MOR readers would miss."""
+        if self.mor_exists(name):
+            tmp = self._mor_dir(name, "base._tmp")
+            df.write.mode("overwrite").parquet(tmp)
+            self.spark.catalog.refreshByPath(tmp)
+            self._mor_swap_base(name, tmp)
+            return
         tmp = self.path(f"__tmp_{name}")
         df.write.mode("overwrite").parquet(tmp)
         self.spark.catalog.refreshByPath(tmp)
@@ -154,15 +175,23 @@ class TableStore:
     def rewrite_many(self, updates: dict[str, DataFrame]) -> None:
         """Two-phase multi-table rewrite: materialize every plan to a temp
         dir FIRST, then swap — required when one table's new plan reads
-        another table being replaced in the same stage."""
+        another table being replaced in the same stage. MOR tables swap
+        their base (and clear deltas) instead of the COW dir."""
         tmps = {}
         for name, df in updates.items():
-            tmp = self.path(f"__tmp_{name}")
+            tmp = (
+                self._mor_dir(name, "base._tmp")
+                if self.mor_exists(name)
+                else self.path(f"__tmp_{name}")
+            )
             df.write.mode("overwrite").parquet(tmp)
             self.spark.catalog.refreshByPath(tmp)
             tmps[name] = tmp
         for name, tmp in tmps.items():
-            self._swap_in(name, tmp)
+            if self.mor_exists(name):
+                self._mor_swap_base(name, tmp)
+            else:
+                self._swap_in(name, tmp)
 
     # -- snapshot versioning (Delta-lite time travel) ----------------------
     # Each write lands in an immutable {table}/_v/{N}/ dir; a one-line
@@ -254,11 +283,34 @@ class TableStore:
     def mor_exists(self, name: str) -> bool:
         return os.path.exists(self._mor_dir(name, "_META"))
 
-    def mor_init(self, name: str, df: DataFrame, keys: Sequence[str]) -> None:
+    def mor_init(
+        self,
+        name: str,
+        df: DataFrame,
+        keys: Sequence[str],
+        policy: dict | None = None,
+    ) -> None:
         """Write the base and record the key columns. An initial batch may
         carry the ``_deleted`` tombstone column (a CDC feed's first batch
         often does): deleted rows are dropped and the marker stripped —
-        the base stores only live rows in the user schema."""
+        the base stores only live rows in the user schema.
+
+        ``policy`` selects the delta-resolution semantics recorded in the
+        table's _META and applied by every subsequent ``mor_read``:
+
+        - ``None`` (default): latest-wins — a delta row replaces the key's
+          row wholesale (the rank write-back, CDC row images).
+        - ``{"overwrite": [...], "coalesce": [...], "keep_first": [...]}``:
+          per-column COALESCE-merge fold — each delta is a J3
+          ``merge_upsert`` statement, and the read folds the delta stack
+          through the same semantics (the staging upsert's contract,
+          reference services/normalizer/db_operations.py:427-460).
+
+        Migrating a COW table (the usual first call passes
+        ``store.read(name)``) deletes the stale top-level COW files after
+        the base materializes, so nothing can silently read pre-migration
+        data through a direct parquet path."""
+        import glob as _glob
         import json
 
         if "_deleted" in df.columns:
@@ -268,9 +320,22 @@ class TableStore:
         df.write.mode("overwrite").parquet(self._mor_dir(name, "base"))
         os.makedirs(self._mor_dir(name, "delta"), exist_ok=True)
         tmp = self._mor_dir(name, "_META.tmp")
+        meta: dict = {"keys": list(keys)}
+        if policy is not None:
+            meta["policy"] = {
+                "overwrite": list(policy.get("overwrite", ())),
+                "coalesce": list(policy.get("coalesce", ())),
+                "keep_first": list(policy.get("keep_first", ())),
+            }
         with open(tmp, "w") as f:
-            json.dump({"keys": list(keys)}, f)
+            json.dump(meta, f)
         os.replace(tmp, self._mor_dir(name, "_META"))
+        # the base write above already materialized everything it read
+        for stale in _glob.glob(os.path.join(self.path(name), "*.parquet")) + _glob.glob(
+            os.path.join(self.path(name), "_SUCCESS*")
+        ) + _glob.glob(os.path.join(self.path(name), ".*.crc")):
+            os.remove(stale)
+        self.spark.catalog.refreshByPath(self.path(name))
 
     def mor_deltas(self, name: str) -> list[int]:
         import glob
@@ -290,11 +355,23 @@ class TableStore:
         return seq
 
     def mor_read(self, name: str) -> DataFrame:
-        """Latest-wins merged view. Newer deltas beat older beat base; a
-        tombstone suppresses the key. The per-key window runs over DELTA
+        """Merged view over base + delta stack.
+
+        Latest-wins tables (no policy): newer deltas beat older beat base;
+        a tombstone suppresses the key. The per-key window runs over DELTA
         rows only (≪ base); the base is filtered by a left-anti join on
-        the delta key set — broadcast-able whenever deltas are batch-sized."""
-        keys = self._mor_meta(name)["keys"]
+        the delta key set — broadcast-able whenever deltas are batch-sized.
+
+        Policy tables: the delta stack folds into one equivalent updates
+        frame (``fold_upsert_batches`` — the COALESCE-merge is
+        associative, so one window over the delta rows replaces a
+        per-delta join chain), then merges onto the base through
+        ``merge_upsert_onto`` — the broadcast-shaped twin of the COW
+        path's ``merge_upsert``, so the read is bit-identical to having
+        applied each batch as a COW merge, without ever shuffling the
+        base."""
+        meta = self._mor_meta(name)
+        keys = meta["keys"]
         base = self.spark.read.parquet(self._mor_dir(name, "base"))
         seqs = self.mor_deltas(name)
         if not seqs:
@@ -306,6 +383,25 @@ class TableStore:
                 d = d.withColumn("_deleted", F.lit(False))
             d = d.withColumn("_seq", F.lit(s))
             deltas = d if deltas is None else deltas.unionByName(d)
+        policy = meta.get("policy")
+        if policy is not None:
+            from job_etl_spark.operators.merge import (
+                fold_upsert_batches,
+                merge_upsert_onto,
+            )
+
+            folded, dead = fold_upsert_batches(
+                deltas, keys, policy["overwrite"], policy["coalesce"]
+            )
+            survivors = base.join(F.broadcast(dead), list(keys), "left_anti")
+            return merge_upsert_onto(
+                survivors,
+                folded,
+                keys,
+                overwrite_cols=policy["overwrite"],
+                coalesce_cols=policy["coalesce"],
+                keep_first_cols=policy["keep_first"],
+            )
         w = Window.partitionBy(*keys).orderBy(F.desc("_seq"))
         latest = (
             deltas.withColumn("_rn", F.row_number().over(w))
@@ -317,13 +413,28 @@ class TableStore:
         survivors = base.join(F.broadcast(delta_keys), list(keys), "left_anti")
         return survivors.unionByName(live)
 
+    def _mor_swap_base(self, name: str, tmp: str) -> None:
+        """Promote a fully-written replacement base and clear the delta
+        stack (the replacement was computed FROM the merged view, so the
+        deltas are now folded in). Same rename-rename crash contract as
+        ``_swap_in``."""
+        import shutil
+
+        old = self._mor_dir(name, "base._old")
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(self._mor_dir(name, "base"), old)
+        os.rename(tmp, self._mor_dir(name, "base"))
+        for s in self.mor_deltas(name):
+            shutil.rmtree(self._mor_dir(name, "delta", str(s)), ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        self.spark.catalog.refreshByPath(self._mor_dir(name, "base"))
+
     def mor_compact(self, name: str) -> int:
         """Fold every delta into a new base (temp-dir + atomic swap, same
         crash contract as rewrite()); returns the number of deltas folded.
         Readers before the swap see the old base+deltas, after it the new
         base — both are the same merged view."""
-        import shutil
-
         seqs = self.mor_deltas(name)
         if not seqs:
             return 0
@@ -331,15 +442,7 @@ class TableStore:
         tmp = self._mor_dir(name, "base._tmp")
         merged.write.mode("overwrite").parquet(tmp)
         self.spark.catalog.refreshByPath(tmp)
-        old = self._mor_dir(name, "base._old")
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        os.rename(self._mor_dir(name, "base"), old)
-        os.rename(tmp, self._mor_dir(name, "base"))
-        for s in seqs:
-            shutil.rmtree(self._mor_dir(name, "delta", str(s)), ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
-        self.spark.catalog.refreshByPath(self._mor_dir(name, "base"))
+        self._mor_swap_base(name, tmp)
         return len(seqs)
 
 
@@ -360,9 +463,22 @@ def run_normalize(
     limit: int | None = None,
     dry_run: bool = False,
     run_ts=None,
+    mor: bool = False,
 ) -> dict:
     """S5 scan (+watermark) → U3/U2 → J3 merge. Exit-code semantics via
-    'rejected' in the stats dict (main.py:289-354)."""
+    'rejected' in the stats dict (main.py:289-354).
+
+    Write-back strategy follows the COW/MOR decision rule (COVERAGE.md
+    "Choosing COW vs MOR"). Default COW: full-outer COALESCE merge + full
+    staging rewrite — O(staging table) per batch, the write amplification
+    the r7 soak measured (COW p50 tracks table size; MOR stays flat).
+    ``mor=True`` is the 100 TB path: the normalized batch lands as ONE
+    merge-on-read delta — O(batch) per run — and reads fold the delta
+    stack through the SAME per-column policy (``staging_merge_policy``,
+    recorded in the table's _META at migration), so ``store.read`` of
+    either layout is bit-identical (pinned by test_pipeline_e2e +
+    randomized fold-parity tests). First ``mor=True`` call migrates the
+    COW files into the MOR layout."""
     run_ts = run_ts or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     raw = store.read("raw_job_postings")
     if min_collected_at is not None:
@@ -374,9 +490,22 @@ def run_normalize(
     n_ok = res.normalized.count()
     n_bad = res.rejected.count()
     if not dry_run:
-        staging = store.read("staging_job_postings", STAGING_SCHEMA)
-        merged = merge_into_staging(staging, res.normalized)
-        store.rewrite("staging_job_postings", merged)
+        if mor:
+            from job_etl_spark.pipeline.normalize import staging_merge_policy
+
+            if not store.mor_exists("staging_job_postings"):
+                store.mor_init(
+                    "staging_job_postings",
+                    store.read("staging_job_postings", STAGING_SCHEMA),
+                    ["hash_key"],
+                    policy=staging_merge_policy(),
+                )
+            if n_ok:  # an empty batch must not grow the delta chain
+                store.mor_upsert("staging_job_postings", res.normalized)
+        else:
+            staging = store.read("staging_job_postings", STAGING_SCHEMA)
+            merged = merge_into_staging(staging, res.normalized)
+            store.rewrite("staging_job_postings", merged)
     return {"normalized": n_ok, "rejected": n_bad, "dry_run": dry_run}
 
 
@@ -474,7 +603,7 @@ def run_rank(
     cfg = config or RankingConfig()
     if mor and not store.mor_exists("fact_jobs"):
         store.mor_init("fact_jobs", store.read("fact_jobs"), ["hash_key"])
-    fact = store.mor_read("fact_jobs") if mor else store.read("fact_jobs")
+    fact = store.read("fact_jobs")  # MOR-aware: merged view either way
     target = F.lit(True) if rank_all else F.col("rank_score").isNull()
     if min_ingested_at is not None and not rank_all:
         target = target & (F.col("ingested_at") >= F.lit(min_ingested_at))
@@ -485,7 +614,8 @@ def run_rank(
     n = ranked.count()
     if not dry_run:
         if mor:
-            store.mor_upsert("fact_jobs", ranked.select(*fact.columns))
+            if n:  # an empty batch must not grow the delta chain
+                store.mor_upsert("fact_jobs", ranked.select(*fact.columns))
         else:
             untouched = fact.join(ranked.select("hash_key"), "hash_key", "left_anti")
             store.rewrite(
@@ -494,9 +624,9 @@ def run_rank(
     if dry_run:
         stats = {}
     else:
-        stats = report_mod.ranking_stats(
-            store.mor_read("fact_jobs") if mor else store.read("fact_jobs")
-        )
+        # store.read is MOR-aware, so downstream stages and these stats
+        # see the merged view regardless of write-back strategy
+        stats = report_mod.ranking_stats(store.read("fact_jobs"))
     return {"ranked_now": n, "dry_run": dry_run, **stats}
 
 
@@ -645,8 +775,9 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument(
         "--mor",
         action="store_true",
-        help="rank stage: write scores back as a merge-on-read delta "
-        "(fact-sized tables; COVERAGE.md 'Choosing COW vs MOR')",
+        help="rank/normalize stage: land the write-back as a merge-on-read "
+        "delta instead of a table rewrite (fact-sized tables; COVERAGE.md "
+        "'Choosing COW vs MOR')",
     )
     parser.add_argument("--include-existing", action="store_true")
     parser.add_argument("--dry-run", action="store_true")
@@ -736,7 +867,7 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 stats = run_normalize(
                     store, MockAdapter(), limit=args.limit, dry_run=args.dry_run,
-                    min_collected_at=wm,
+                    min_collected_at=wm, mor=args.mor,
                 )
             elif args.stage == "enrich":
                 stats = run_enrich(

@@ -19,6 +19,7 @@ from __future__ import annotations
 import hashlib
 import inspect
 import json
+import os
 import re
 import sys
 import types
@@ -83,7 +84,7 @@ def _code_names(code: types.CodeType) -> set[str]:
     return names
 
 
-_FILE_HASH_CACHE: dict[str, str] = {}
+_FILE_HASH_CACHE: dict[tuple[str, int, int], str] = {}
 _CLOSURE_CACHE: dict = {}
 _SRC_CACHE: dict = {}
 
@@ -101,13 +102,21 @@ def _fn_source(fn) -> str:
 
 
 def _file_hash(path: str) -> str:
-    h = _FILE_HASH_CACHE.get(path)
+    """Memoized on (path, mtime, size) — not path alone — so an on-disk
+    helper edit inside a long-lived process moves source_hash immediately
+    (path-only memoization would pin the stale hash until restart)."""
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return "unreadable"
+    h = _FILE_HASH_CACHE.get(key)
     if h is None:
         try:
             h = hashlib.sha256(Path(path).read_bytes()).hexdigest()[:16]
         except OSError:
             h = "unreadable"
-        _FILE_HASH_CACHE[path] = h
+        _FILE_HASH_CACHE[key] = h
     return h
 
 

@@ -12,6 +12,9 @@ for between-round confidence sweeps:
   6. q140 attribution_core (prefix-count/running-max windows) ==
      pure-Python pair-join replica (equal-t collisions, exact lookback
      boundary, empty lookbacks, null keys)
+  7. seniority cascade: native expr == Spark-SQL CASE == DuckDB CASE
+     (dialect-sensitive escaping, L-level/roman collisions, metachars,
+     unicode, ANSI cast-overflow titles)
 
 Usage: python scripts/fuzz_parity.py [--examples 2000] [--seed 0]
 Prints one PASS/FAIL line per invariant; exits non-zero on any FAIL.
@@ -323,6 +326,82 @@ def fuzz_attribution(spark, rng: random.Random, rounds: int) -> int:
     return bad
 
 
+def fuzz_seniority_render(spark, rng: random.Random, n: int) -> int:
+    """Family #7 (r8 verdict #5): the seniority cascade's THREE renders of
+    one spec — native Column cascade (``seniority_level_expr``), Spark-SQL
+    CASE (``seniority_case_sql('spark')``, backslash-doubled rlike
+    literals), DuckDB CASE (``seniority_case_sql('duckdb')``) — must agree
+    on adversarial titles: regex metachars, quotes, backslashes, LIKE
+    wildcards, unicode, L-level / roman-numeral collisions, huge L-numbers
+    (the ANSI cast-overflow case this family found on day one), empty and
+    null titles."""
+    import duckdb
+
+    from job_etl_spark.functions.text import seniority_case_sql, seniority_level_expr
+
+    frags = [
+        # cascade keywords (every branch reachable)
+        "senior", "sr", "sr.", "lead", "principal", "staff", "architect",
+        "chief", "vp", "vice president", "head of", "director", "manager",
+        "advanced", "intern", "junior", "jr", "jr.", "associate",
+        "entry-level", "entry level", "entry", "intermediate", "mid-level",
+        "mid level", "mid",
+        # roman-numeral / level collisions
+        "i", "ii", "iii", "iv", "engineer i", "engineer ii", "engineer iii",
+        "level i", "level ii", "level iii", "ii,", "ii)", "i/", "iii,",
+        # L-levels incl. boundary-glued and overflow-sized numbers
+        "l1", "l3", "l4", "l5", "l9", "l10", "l15", "L4", "L5", "l04",
+        "xl5", "l5x", "l123", "l2147483648", "l99999999999999999999",
+        # metachars / escaping surface
+        ".", "*", "+", "?", "(", ")", "[", "]", "{", "}", "|", "^", "$",
+        "\\", "\\b", "\\\\", "%", "_", "%senior%", "_lead_", "'", "''",
+        '"', "it's", "a'b", "100%",
+        # unicode
+        "élan", "señor sr", "naïve", "Müller", "日本語", "🚀", "Łukasz",
+        # plain filler
+        "engineer", "developer", "data", "software", "backend", "ml", "x",
+    ]
+    seps = [" ", " ", " ", "", ", ", "-", "/", "  ", " (", ") "]
+    titles: list[str | None] = [None, "", " ", "l4", "senior l2147483648"]
+    while len(titles) < n:
+        k = rng.randint(1, 6)
+        t = ""
+        for j in range(k):
+            if j:
+                t += rng.choice(seps)
+            f = rng.choice(frags)
+            t += f.upper() if rng.random() < 0.2 else f
+        titles.append(t)
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(titles)], "i long, title string")
+    got_expr = {
+        r["i"]: r["lvl"]
+        for r in df.select("i", seniority_level_expr("title").alias("lvl")).collect()
+    }
+    got_spark_sql = {
+        r["i"]: r["lvl"]
+        for r in df.selectExpr("i", seniority_case_sql("title", "spark") + " AS lvl").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, title VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, t) for i, t in enumerate(titles)])
+    got_duck = dict(
+        con.execute(
+            f"SELECT i, {seniority_case_sql('title', 'duckdb')} AS lvl FROM t"
+        ).fetchall()
+    )
+    bad = 0
+    for i, t in enumerate(titles):
+        vals = (got_expr[i], got_spark_sql[i], got_duck[i])
+        if len(set(vals)) != 1:
+            bad += 1
+            print(
+                f"  seniority render mismatch: title={t!r} "
+                f"expr={vals[0]!r} spark-sql={vals[1]!r} duckdb={vals[2]!r}"
+            )
+    return bad
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--examples", type=int, default=2000)
@@ -343,6 +422,7 @@ def main() -> None:
         ("wide banded==bruteforce (120-bit)", fuzz_wide_banding, args.rounds),
         ("pack_greedy==python greedy", fuzz_packing, args.rounds),
         ("attribution windows==python pair join", fuzz_attribution, args.rounds),
+        ("seniority expr==spark-sql==duckdb", fuzz_seniority_render, args.examples),
     ):
         bad = fn(spark, rng, depth)
         print(f"{'FAIL' if bad else 'PASS'} {name} ({depth} cases, {bad} mismatches)", flush=True)

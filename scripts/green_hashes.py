@@ -74,12 +74,29 @@ def main() -> int:
         # definition. Valid ONLY when no query/helper code has changed
         # since the stored greens — it assumes the code on disk is exactly
         # what the driver verified, and re-stamps it under the new scheme.
-        changed = sorted(n for n in stored if stored[n] != current[n])
-        stored = {n: current[n] for n in sorted(current)}
+        # non-hex sentinels (e.g. '*-pending-driver-green') mark a rewrite
+        # that has NOT been re-verified — re-stamping one would erase the
+        # exact marker the sidecar exists to track; carry them through.
+        sentinels = sorted(
+            n for n, h in stored.items()
+            if not re.fullmatch(r"[0-9a-f]+", str(h))
+        )
+        dropped = sorted(n for n in stored if n not in current)
+        changed = sorted(
+            n for n in stored
+            if n in current and n not in sentinels and stored[n] != current[n]
+        )
+        stored = {
+            n: (stored[n] if n in sentinels else current[n])
+            for n in sorted(current)
+            if n in current
+        }
         SIDECAR.write_text(json.dumps(stored, indent=1, sort_keys=True) + "\n")
         print(
             f"rehashed {SIDECAR.name}: {len(stored)} entries re-encoded "
-            f"({len(changed)} differed under the new scheme)"
+            f"({len(changed)} differed under the new scheme, "
+            f"{len(sentinels)} sentinels kept: {sentinels or '—'}, "
+            f"{len(dropped)} removed-from-registry dropped)"
         )
         return 0
 

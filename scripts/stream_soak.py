@@ -215,8 +215,13 @@ def soak_sessionize(
 
     # the cohort formula below yields users//2 + users//2 distinct ids, so
     # an odd --users would plateau at users-1 and break the "state rows ==
-    # user count" invariant the soak reports on
-    users -= users % 2
+    # user count" invariant the soak reports on; surfaced at parse time
+    # rather than silently shrunk (an odd 1 would soak zero users)
+    if users % 2 or users <= 0:
+        raise SystemExit(
+            f"--users must be a positive even number for the sessionize "
+            f"soak (cohort rotation splits the id space in half); got {users}"
+        )
 
     # bursty cohort rotation: half the user space is active for ~10 s,
     # then idle while the other half runs — idle users' sessions pass the

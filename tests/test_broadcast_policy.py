@@ -34,6 +34,7 @@ _ALLOWED = {
     "ml/ann.py::ivf_topk": "codebook: <=C-row centroids + queryset probes",
     "ml/ann.py::lsh_bucketed_topk": "queryset: bucketed query set",
     "operators/bloom.py::bloom_prefilter": "literal: caller-supplied word set",
+    "operators/merge.py::merge_upsert_onto": "keyset: folded delta batches — updates ≪ base is the merge-on-read invariant (both hints target the updates frame / its key projection)",
     "operators/cms.py::probe_cms": "codebook: depth*width CMS cells (fixed)",
     "pipeline/company_match.py::apply_company_matches": "dim: company update set",
     "pipeline/company_match.py::match_companies": "dim: company candidate set",

@@ -141,6 +141,121 @@ def test_rank_writeback_via_mor(spark):
     assert view.count() == view.select("hash_key").distinct().count() == 30
 
 
+def test_normalize_writeback_via_mor(spark):
+    """J3 via merge-on-read (r8 verdict #1): the staging upsert lands each
+    normalized batch as ONE delta — O(batch) per run instead of the COW
+    path's full-outer join + O(table) rewrite — and the read-time fold
+    applies the SAME per-column COALESCE-merge policy, so the two layouts
+    are bit-identical over a multi-batch corpus including enrichment
+    interplay (keep-first of enricher-owned columns) and replay
+    idempotence."""
+    import datetime as dt
+    import glob
+    import os
+
+    from job_etl_spark.pipeline.runner import run_enrich, run_extract, run_normalize
+    from job_etl_spark.sources.mock_adapter import MockAdapter
+
+    ts1 = dt.datetime(2026, 1, 1, 7, 0, 0)
+    ts2 = dt.datetime(2026, 1, 2, 7, 0, 0)
+    ts3 = dt.datetime(2026, 1, 3, 7, 0, 0)
+
+    def canon(store):
+        df = store.read("staging_job_postings")
+        rows = [
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in df.select(*sorted(df.columns)).collect()
+        ]
+        return sorted(rows, key=repr)
+
+    def drive(wh, mor):
+        store = TableStore(spark, wh)
+        # batch 1: 60 jobs → 30 identities, then enrich (seniority+skills)
+        run_extract(store, MockAdapter(num_jobs=60), run_ts=ts1)
+        run_normalize(store, MockAdapter(), run_ts=ts1, mor=mor)
+        run_enrich(store, run_ts=ts1)
+        # batch 2: overlapping + new identities — keep-first must preserve
+        # the enriched seniority, first_seen_at; overwrite bumps last_seen
+        run_extract(store, MockAdapter(num_jobs=100), run_ts=ts2)
+        run_normalize(store, MockAdapter(), min_collected_at=ts2, run_ts=ts2, mor=mor)
+        # replay batch 2 (idempotent rerun)
+        run_normalize(store, MockAdapter(), min_collected_at=ts2, run_ts=ts3, mor=mor)
+        return store
+
+    cow = drive(tempfile.mkdtemp(prefix="jobspark_j3cow_"), mor=False)
+    mor = drive(tempfile.mkdtemp(prefix="jobspark_j3mor_"), mor=True)
+
+    assert canon(cow) == canon(mor)  # bit-identical across layouts
+    # last_seen_at replayed forward, first_seen_at kept, enrichment kept
+    st = mor.read("staging_job_postings")
+    assert st.where(F.col("last_seen_at") == F.lit(ts3)).count() == 30
+    assert st.where(F.col("first_seen_at") == F.lit(ts1)).count() == 30
+    assert st.where(F.col("seniority_enrichment_status") == "not_tried").count() == 0
+
+    # layout invariants: enrich's rewrite replaced the base and cleared
+    # deltas; the two post-enrich batches are deltas 1-2; the base files
+    # were never touched by a delta write; the stale COW files are gone
+    assert mor.mor_deltas("staging_job_postings") == [1, 2]
+    assert not glob.glob(os.path.join(mor.path("staging_job_postings"), "*.parquet"))
+    base_glob = os.path.join(
+        mor.path("staging_job_postings"), "_mor", "base", "*.parquet"
+    )
+    base_before = {f: os.path.getmtime(f) for f in glob.glob(base_glob)}
+
+    # an empty batch (future watermark) must not grow the delta chain
+    run_normalize(
+        mor, MockAdapter(), min_collected_at=dt.datetime(2030, 1, 1), run_ts=ts3, mor=True
+    )
+    assert mor.mor_deltas("staging_job_postings") == [1, 2]
+
+    # compaction folds the policy deltas; the merged view is unchanged
+    before = canon(mor)
+    assert mor.mor_compact("staging_job_postings") == 2
+    assert mor.mor_deltas("staging_job_postings") == []
+    assert canon(mor) == before
+    assert {f: os.path.getmtime(f) for f in glob.glob(base_glob)} != base_before
+
+
+def test_mor_table_visible_to_downstream_stages(spark):
+    """A --mor write-back must never be invisible downstream (r8 ADVICE):
+    store.read redirects MOR tables to the merged view, so marts/dq/
+    report see scores written as deltas, and a marts rewrite folds INTO
+    the MOR layout instead of forking back to COW."""
+    from job_etl_spark.pipeline import report as report_mod
+    from job_etl_spark.pipeline.runner import run_marts, run_rank
+
+    wh = tempfile.mkdtemp(prefix="jobspark_morvis_")
+    run_pipeline(spark, wh, num_jobs=60)
+    store = TableStore(spark, wh)
+    run_rank(store, rank_all=True, mor=True)
+    assert store.mor_exists("fact_jobs") and store.mor_deltas("fact_jobs") == [1]
+
+    # plain read sees the delta scores; dq + digest run over the merged view
+    assert store.read("fact_jobs").where(F.col("rank_score").isNull()).count() == 0
+    assert all(r.passed for r in run_dq(store))
+    digest = report_mod.daily_digest(
+        store.read("fact_jobs"), store.read("dim_companies")
+    )
+    assert digest["unique_jobs"] == 30 and len(digest["top_jobs"]) > 0
+
+    # a marts rewrite lands in the MOR base (deltas folded + cleared),
+    # not a parallel COW copy — and the carried rank scores survive
+    stats = run_marts(store)
+    assert stats["fact_rows"] == 30
+    assert store.mor_exists("fact_jobs")
+    assert store.mor_deltas("fact_jobs") == []
+    import glob as _glob
+    import os as _os
+
+    assert not _glob.glob(_os.path.join(store.path("fact_jobs"), "*.parquet"))
+    assert store.read("fact_jobs").where(F.col("rank_score").isNull()).count() == 0
+
+    # a no-op rank (nothing unranked) must not append an empty delta
+    stats2 = run_rank(store, mor=True)
+    assert stats2["ranked_now"] == 0
+    assert store.mor_deltas("fact_jobs") == []
+
+
 def test_dynamic_partition_overwrite(spark, tmp_path):
     """overwrite_partitions replaces only the partitions present in the
     incoming frame — the 100 TB incremental-write path."""
@@ -180,7 +295,8 @@ rc4 = main(["normalize"])  # missing --warehouse
 rc5 = main(["extract", "--warehouse", {wh!r}, "--num-jobs", "10"])
 rc6 = main(["normalize", "--warehouse", {wh!r}])
 rc7 = main(["marts", "--warehouse", {wh!r}])
-print("RCS", rc1, rc2, rc3, rc4, rc5, rc6, rc7)
+rc8 = main(["normalize", "--warehouse", {wh!r}, "--mor"])
+print("RCS", rc1, rc2, rc3, rc4, rc5, rc6, rc7, rc8)
 """
     out = subprocess.run(
         [sys.executable, "-c", code],
@@ -191,7 +307,11 @@ print("RCS", rc1, rc2, rc3, rc4, rc5, rc6, rc7)
     )
     assert out.returncode == 0, out.stderr[-2000:]
     rcs = [ln for ln in out.stdout.splitlines() if ln.startswith("RCS")][0].split()[1:]
-    assert rcs == ["0", "0", "0", "2", "0", "0", "0"], (rcs, out.stderr[-500:])
+    assert rcs == ["0", "0", "0", "2", "0", "0", "0", "0"], (rcs, out.stderr[-500:])
+    import os as _os
+
+    # the --mor run migrated staging into the merge-on-read layout
+    assert _os.path.exists(f"{wh}/staging_job_postings/_mor/_META")
 
     # publish + notify stages against the same warehouse (S11/S12 CLI
     # surface: publisher_hyper/main.py, notifier/main.py)
