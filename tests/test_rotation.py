@@ -156,3 +156,43 @@ def test_r7_window_contains_verdict_targets():
     assert "q49_variant_extract" in window
     for i in range(130, 142):
         assert any(n.startswith(f"q{i}_") for n in window), f"q{i} not in window"
+
+
+def test_rehash_all_preserves_sentinels_and_drops_removed(tmp_path, monkeypatch):
+    """`green_hashes.py --rehash-all` is a hash-SCHEME migration: it must
+    NOT re-stamp a non-hex '*-pending-driver-green' sentinel (that would
+    erase the rewritten-but-unverified marker — the q49/r6 hole), and a
+    sidecar entry for a query removed from the registry must be dropped,
+    not crash the `changed` computation (r8 ADVICE)."""
+    import importlib
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "green_hashes", ROOT / "scripts" / "green_hashes.py"
+    )
+    gh = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gh)
+
+    from job_etl_spark.queries import registry, source_hash
+
+    reg = registry()
+    names = sorted(reg)[:3]
+    current = {n: source_hash(reg[n]) for n in names}
+    sidecar = tmp_path / "green.json"
+    stored = {
+        names[0]: "deadbeef00000000",            # stale hex -> re-encoded
+        names[1]: "pending-driver-green",        # sentinel -> preserved
+        "q999_removed_query": "cafebabe",        # gone -> dropped, no KeyError
+        names[2]: current[names[2]],             # up-to-date -> unchanged
+    }
+    sidecar.write_text(json.dumps(stored))
+
+    monkeypatch.setattr(gh, "SIDECAR", sidecar)
+    monkeypatch.setattr(sys, "argv", ["green_hashes.py", "--rehash-all"])
+    assert gh.main() == 0
+
+    out = json.loads(sidecar.read_text())
+    assert out[names[0]] == current[names[0]]
+    assert out[names[1]] == "pending-driver-green"
+    assert "q999_removed_query" not in out
+    assert out[names[2]] == current[names[2]]
