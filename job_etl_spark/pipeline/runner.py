@@ -464,6 +464,7 @@ def run_normalize(
     dry_run: bool = False,
     run_ts=None,
     mor: bool = False,
+    compact_every: int = 16,
 ) -> dict:
     """S5 scan (+watermark) → U3/U2 → J3 merge. Exit-code semantics via
     'rejected' in the stats dict (main.py:289-354).
@@ -478,7 +479,11 @@ def run_normalize(
     recorded in the table's _META at migration), so ``store.read`` of
     either layout is bit-identical (pinned by test_pipeline_e2e +
     randomized fold-parity tests). First ``mor=True`` call migrates the
-    COW files into the MOR layout."""
+    COW files into the MOR layout. ``compact_every`` bounds the delta
+    chain: once that many deltas accumulate, the run folds them into a
+    new base (same knob as the streaming twin's ``compact_every``) —
+    read-side fan-in stays O(compact_every), write cost stays O(batch)
+    for every run except the 1-in-N compaction."""
     run_ts = run_ts or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     raw = store.read("raw_job_postings")
     if min_collected_at is not None:
@@ -502,6 +507,10 @@ def run_normalize(
                 )
             if n_ok:  # an empty batch must not grow the delta chain
                 store.mor_upsert("staging_job_postings", res.normalized)
+                if compact_every and len(
+                    store.mor_deltas("staging_job_postings")
+                ) >= compact_every:
+                    store.mor_compact("staging_job_postings")
         else:
             staging = store.read("staging_job_postings", STAGING_SCHEMA)
             merged = merge_into_staging(staging, res.normalized)

@@ -144,6 +144,9 @@ def test_policy_mor_read_never_shuffles_base(spark, tmp_path):
     plan = merged._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_fold_overwrite_null_wins(spark):
     """overwrite class: the latest batch's value lands outright — an
     explicit null in a newer batch beats an older non-null (last-writer
     semantics, same as the COW chain)."""

@@ -215,6 +215,14 @@ def test_normalize_writeback_via_mor(spark):
     assert canon(mor) == before
     assert {f: os.path.getmtime(f) for f in glob.glob(base_glob)} != base_before
 
+    # compact_every bounds the chain in-line: a replay run at threshold 1
+    # lands its delta and immediately folds it; view unchanged (idempotent)
+    run_normalize(
+        mor, MockAdapter(), min_collected_at=ts2, run_ts=ts3, mor=True, compact_every=1
+    )
+    assert mor.mor_deltas("staging_job_postings") == []
+    assert canon(mor) == before
+
 
 def test_mor_table_visible_to_downstream_stages(spark):
     """A --mor write-back must never be invisible downstream (r8 ADVICE):
