@@ -101,6 +101,17 @@ class TableStore:
         become partition-scoped, incremental scans prune partitions, and
         with spark.sql.sources.partitionOverwriteMode=dynamic a merge
         rewrites only the partitions it touched."""
+        if self.mor_exists(name):
+            # a plain parquet write next to a MOR layout would be INVISIBLE
+            # (read() prefers the merged view) — route or refuse, never fork
+            if mode == "overwrite" and not partition_by:
+                self.rewrite(name, df)
+                return
+            raise ValueError(
+                f"table {name!r} uses the merge-on-read layout: use "
+                "mor_upsert (append) or rewrite/mor_compact (rewrite); a "
+                "direct parquet write would be invisible to readers"
+            )
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -120,6 +131,12 @@ class TableStore:
         of it, and concurrent readers of other partitions are unaffected.
         The conf is saved/restored so the session-wide STATIC default (the
         safe mode for full overwrites) still applies elsewhere."""
+        if self.mor_exists(name):
+            raise ValueError(
+                f"table {name!r} uses the merge-on-read layout: partition-"
+                "scoped overwrite would fork an invisible COW copy — land "
+                "the patch as a delta (mor_upsert) instead"
+            )
         conf = self.spark.conf
         prev = conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
         conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -146,6 +146,35 @@ def test_policy_mor_read_never_shuffles_base(spark, tmp_path):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_mor_table_refuses_forking_writes(spark, tmp_path):
+    """A direct parquet write beside a MOR layout would be invisible to
+    readers (read() prefers the merged view): plain overwrite must route
+    through the MOR base replacement, and append / partition-overwrite
+    must refuse loudly instead of silently forking."""
+    import pytest
+
+    from job_etl_spark.pipeline.runner import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(5).selectExpr("cast(id as string) k", "'v' v")
+    store.write("t", df)
+    store.mor_init("t", store.read("t"), ["k"])
+    store.mor_upsert("t", spark.range(5, 8).selectExpr("cast(id as string) k", "'d' v"))
+
+    # overwrite routes through the MOR layout: deltas folded away, view = df2
+    df2 = spark.range(100, 103).selectExpr("cast(id as string) k", "'w' v")
+    store.write("t", df2)
+    assert store.mor_exists("t") and store.mor_deltas("t") == []
+    assert {r["k"] for r in store.read("t").collect()} == {"100", "101", "102"}
+
+    with pytest.raises(ValueError, match="merge-on-read"):
+        store.write("t", df2, mode="append")
+    with pytest.raises(ValueError, match="merge-on-read"):
+        store.write("t", df2, partition_by=["v"])
+    with pytest.raises(ValueError, match="merge-on-read"):
+        store.overwrite_partitions("t", df2, partition_by=["v"])
+
+
 def test_fold_overwrite_null_wins(spark):
     """overwrite class: the latest batch's value lands outright — an
     explicit null in a newer batch beats an older non-null (last-writer
