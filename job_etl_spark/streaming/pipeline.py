@@ -158,7 +158,8 @@ def foreach_batch_merge(
 
 
 def foreach_batch_mor(
-    store, table: str, keys: Sequence[str], compact_every: int = 0
+    store, table: str, keys: Sequence[str], compact_every: int = 0,
+    policy: dict | None = None,
 ):
     """Streaming upsert with O(batch) write cost: each micro-batch lands
     as one immutable merge-on-read delta (``TableStore.mor_upsert``)
@@ -176,7 +177,13 @@ def foreach_batch_mor(
     This is the MOR side — the documented DEFAULT for large mutable
     tables (COVERAGE.md "Choosing COW vs MOR", measured by the r7 soak:
     flat p50 across a 10× base vs COW's proportional growth); its batch
-    twin is ``run_rank(mor=True)`` in ``pipeline/runner.py``."""
+    twins are ``run_rank(mor=True)`` and ``run_normalize(mor=True)`` in
+    ``pipeline/runner.py``. ``policy`` passes the per-column
+    COALESCE-merge classes to ``mor_init`` (a streaming J3: each batch is
+    a merge STATEMENT folded at read time, not a row image) — omit it for
+    latest-wins row-image streams. A replayed batch is idempotent under
+    either resolution: latest-wins re-lands identical rows; the policy
+    fold coalesces the same values again."""
     state = {"batches": 0}
 
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
@@ -184,7 +191,7 @@ def foreach_batch_mor(
         try:
             store._mor_meta(table)
         except FileNotFoundError:
-            store.mor_init(table, batch_df, keys)
+            store.mor_init(table, batch_df, keys, policy=policy)
             return
         store.mor_upsert(table, batch_df)
         state["batches"] += 1

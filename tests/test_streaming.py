@@ -427,6 +427,66 @@ def test_stream_mor_upsert_matches_batch_merge(spark, tmp_path):
     assert got3 == got2 and store.mor_deltas("t") == []
 
 
+def test_stream_mor_policy_fold_matches_batch_merge(spark, tmp_path):
+    """Streaming J3: foreach_batch_mor with a merge POLICY — each
+    micro-batch is a COALESCE-merge statement, and the read-time fold
+    must equal applying merge_upsert batch-by-batch (keep-first keeps
+    the first batch's value, coalesce takes newest non-null, overwrite
+    takes the newest batch outright)."""
+    import os
+
+    from job_etl_spark.operators.merge import merge_upsert
+    from job_etl_spark.pipeline.runner import TableStore
+    from job_etl_spark.streaming.pipeline import foreach_batch_mor
+
+    POL = {"overwrite": ["ow"], "coalesce": ["co"], "keep_first": ["kf"]}
+    schema = "k int, ow string, co string, kf string"
+    src = tmp_path / "src"
+    os.makedirs(src)
+    batches = [
+        [(1, "ow1", None, "kf1"), (2, "ow1", "co1", None)],
+        [(1, "ow2", "co2", "kf2"), (3, "ow2", None, "kf2")],
+        [(2, None, None, "kf3")],
+    ]
+    store = TableStore(spark, str(tmp_path / "tables"))
+    for i, rows in enumerate(batches, start=1):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"f{i}"))
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                foreach_batch_mor(store, "t", ["k"], policy=POL)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch-by-batch COW replica over the same files
+    cow = spark.createDataFrame(batches[0], schema)
+    for rows in batches[1:]:
+        cow = merge_upsert(
+            cow, spark.createDataFrame(rows, schema), ["k"],
+            overwrite_cols=POL["overwrite"], coalesce_cols=POL["coalesce"],
+            keep_first_cols=POL["keep_first"],
+        )
+    want = sorted(tuple(r) for r in cow.collect())
+    got = sorted(tuple(r) for r in store.mor_read("t").collect())
+    assert got == want
+    # spot-pin the class semantics
+    by_k = {r[0]: r for r in got}
+    assert by_k[1] == (1, "ow2", "co2", "kf1")  # overwrite newest, kf first
+    assert by_k[2] == (2, None, "co1", "kf3")   # overwrite takes newest NULL
+    # compaction folds through the same policy
+    store.mor_compact("t")
+    assert sorted(tuple(r) for r in store.mor_read("t").collect()) == want
+
+
 def test_stream_cms_equals_batch_sketch(spark, tmp_path):
     """foreachBatch CMS merging: after streaming N files one per trigger,
     the persisted sketch equals a single batch build over all rows."""
