@@ -122,11 +122,18 @@ def _ascii_word_boundaries(pat: str) -> str:
     semantics in every engine. Input is lower()ed upstream, so the ASCII
     word class is [a-z0-9_]. Non-capturing groups keep ``regexp_extract``
     group numbering stable."""
+    import re as _re
+
     if pat.startswith(r"\b"):
         pat = r"(?:^|[^a-z0-9_])" + pat[2:]
-    if pat.endswith(r"\b"):
-        pat = pat[:-2] + r"(?:[^a-z0-9_]|$)"
-    assert r"\b" not in pat, f"interior \\b unsupported: {pat}"
+    # an edge \b token must not itself be an escaped backslash + literal b
+    if _re.search(r"(?<!\\)(?:\\\\)*\\b$", pat):
+        pat = _re.sub(r"\\b$", r"(?:[^a-z0-9_]|$)", pat)
+    # a \b TOKEN is a backslash preceded by an even number of backslashes
+    # followed by 'b' — a literal \\b (escaped backslash, then 'b') is fine.
+    # ValueError, not assert: the guard must survive python -O.
+    if _re.search(r"(?<!\\)(?:\\\\)*\\b", pat):
+        raise ValueError(f"interior \\b unsupported: {pat}")
     return pat
 
 

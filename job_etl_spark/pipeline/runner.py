@@ -180,9 +180,9 @@ class TableStore:
         into a COW layout the MOR readers would miss."""
         if self.mor_exists(name):
             tmp = self._mor_dir(name, "base._tmp")
-            df.write.mode("overwrite").parquet(tmp)
-            self.spark.catalog.refreshByPath(tmp)
+            self._mor_write_base(name, df, tmp, self._mor_meta(name))
             self._mor_swap_base(name, tmp)
+            self._mor_update_columns(name, df.columns)
             return
         tmp = self.path(f"__tmp_{name}")
         df.write.mode("overwrite").parquet(tmp)
@@ -196,17 +196,18 @@ class TableStore:
         their base (and clear deltas) instead of the COW dir."""
         tmps = {}
         for name, df in updates.items():
-            tmp = (
-                self._mor_dir(name, "base._tmp")
-                if self.mor_exists(name)
-                else self.path(f"__tmp_{name}")
-            )
-            df.write.mode("overwrite").parquet(tmp)
-            self.spark.catalog.refreshByPath(tmp)
+            if self.mor_exists(name):
+                tmp = self._mor_dir(name, "base._tmp")
+                self._mor_write_base(name, df, tmp, self._mor_meta(name))
+            else:
+                tmp = self.path(f"__tmp_{name}")
+                df.write.mode("overwrite").parquet(tmp)
+                self.spark.catalog.refreshByPath(tmp)
             tmps[name] = tmp
         for name, tmp in tmps.items():
             if self.mor_exists(name):
                 self._mor_swap_base(name, tmp)
+                self._mor_update_columns(name, updates[name].columns)
             else:
                 self._swap_in(name, tmp)
 
@@ -300,12 +301,61 @@ class TableStore:
     def mor_exists(self, name: str) -> bool:
         return os.path.exists(self._mor_dir(name, "_META"))
 
+    def _mor_bucket_expr(self, meta: dict):
+        """Stable key→bucket assignment (xxhash64 is a fixed algorithm, so
+        the mapping survives restarts and Spark upgrades)."""
+        return F.pmod(
+            F.xxhash64(*[F.col(k) for k in meta["keys"]]), F.lit(meta["buckets"])
+        )
+
+    def _mor_write_base(self, name: str, df: DataFrame, dest: str, meta: dict) -> None:
+        """Materialize a (new) base under the table's layout: bucketed
+        tables hash-partition by ``_bucket`` (one dir per touched bucket,
+        repartitioned so each bucket lands as ~one file), plain tables
+        write flat."""
+        if meta.get("buckets"):
+            (
+                df.withColumn("_bucket", self._mor_bucket_expr(meta))
+                .repartition(meta["buckets"], F.col("_bucket"))
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(dest)
+            )
+        else:
+            df.write.mode("overwrite").parquet(dest)
+        self.spark.catalog.refreshByPath(dest)
+
+    def _mor_repair_buckets(self, name: str) -> None:
+        """Finish or roll back a bucket swap interrupted mid-rename: a
+        ``._old_bucket=N`` dir whose ``_bucket=N`` twin is missing is the
+        pre-swap content (crash between rename-away and rename-in) —
+        restore it; one whose twin exists is already-swapped debris —
+        drop it. Dot-prefixed dirs are invisible to Spark's partition
+        discovery, so a half-finished swap never double-counts."""
+        import shutil
+
+        basedir = self._mor_dir(name, "base")
+        try:
+            entries = os.listdir(basedir)
+        except FileNotFoundError:
+            return
+        for e in entries:
+            if not e.startswith("._old_bucket="):
+                continue
+            live = os.path.join(basedir, e[len("._old") :])
+            old = os.path.join(basedir, e)
+            if os.path.exists(live):
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.rename(old, live)
+
     def mor_init(
         self,
         name: str,
         df: DataFrame,
         keys: Sequence[str],
         policy: dict | None = None,
+        buckets: int | None = None,
     ) -> None:
         """Write the base and record the key columns. An initial batch may
         carry the ``_deleted`` tombstone column (a CDC feed's first batch
@@ -323,35 +373,59 @@ class TableStore:
           through the same semantics (the staging upsert's contract,
           reference services/normalizer/db_operations.py:427-460).
 
+        ``buckets=N`` hash-partitions the base by key into N stable bucket
+        dirs (``_bucket=i/``) — the table-lifetime layout decision that
+        makes ``mor_compact`` partition-scoped: compaction rewrites only
+        the buckets the delta keys touch, so an amortized compaction costs
+        O(touched buckets), not O(table). This is the MOR twin of the
+        partitioned-COW ``overwrite_partitions`` path. Choose N so a
+        bucket is a few GB at the table's target size; None (default)
+        keeps the flat single-dir base for dimension-sized tables.
+
         Migrating a COW table (the usual first call passes
         ``store.read(name)``) deletes the stale top-level COW files after
         the base materializes, so nothing can silently read pre-migration
         data through a direct parquet path."""
-        import glob as _glob
         import json
 
         if "_deleted" in df.columns:
             df = df.where(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(
                 "_deleted"
             )
-        df.write.mode("overwrite").parquet(self._mor_dir(name, "base"))
-        os.makedirs(self._mor_dir(name, "delta"), exist_ok=True)
-        tmp = self._mor_dir(name, "_META.tmp")
-        meta: dict = {"keys": list(keys)}
+        meta: dict = {"keys": list(keys), "columns": list(df.columns)}
         if policy is not None:
             meta["policy"] = {
                 "overwrite": list(policy.get("overwrite", ())),
                 "coalesce": list(policy.get("coalesce", ())),
                 "keep_first": list(policy.get("keep_first", ())),
             }
+        if buckets:
+            if "_bucket" in df.columns:
+                raise ValueError("'_bucket' is reserved for the bucketed MOR layout")
+            meta["buckets"] = int(buckets)
+        self._mor_write_base(name, df, self._mor_dir(name, "base"), meta)
+        os.makedirs(self._mor_dir(name, "delta"), exist_ok=True)
+        tmp = self._mor_dir(name, "_META.tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, self._mor_dir(name, "_META"))
-        # the base write above already materialized everything it read
-        for stale in _glob.glob(os.path.join(self.path(name), "*.parquet")) + _glob.glob(
-            os.path.join(self.path(name), "_SUCCESS*")
-        ) + _glob.glob(os.path.join(self.path(name), ".*.crc")):
-            os.remove(stale)
+        # the base write above already materialized everything it read.
+        # Remove EVERY stale COW artifact — including partition
+        # subdirectories from a partition_by write — keeping only the MOR
+        # layout and the snapshot store (_v/_LATEST): anything else left
+        # behind would let a direct parquet read of the table path see
+        # pre-migration data.
+        import shutil as _shutil
+
+        keep = {"_mor", "_v", "_LATEST", "_LATEST.tmp"}
+        for entry in os.listdir(self.path(name)):
+            if entry in keep:
+                continue
+            full = os.path.join(self.path(name), entry)
+            if os.path.isdir(full):
+                _shutil.rmtree(full)
+            else:
+                os.remove(full)
         self.spark.catalog.refreshByPath(self.path(name))
 
     def mor_deltas(self, name: str) -> list[int]:
@@ -363,12 +437,77 @@ class TableStore:
             if os.path.basename(d).isdigit()
         )
 
-    def mor_upsert(self, name: str, df: DataFrame) -> int:
+    def mor_upsert(self, name: str, df: DataFrame, classes: dict | None = None) -> int:
         """Land one batch as the next delta. Rows may carry a boolean
         ``_deleted`` tombstone column; within a batch the caller provides
-        at most one row per key (the batch is a statement, not a log)."""
+        at most one row per key (the batch is a statement, not a log) —
+        ENFORCED after the delta materializes: duplicate keys would make
+        the fold's per-key windows tie on ``_seq`` and silently break the
+        COW-parity guarantee, so a duplicate batch fails loudly instead.
+
+        ``classes`` overrides the table policy's column classes FOR THIS
+        STATEMENT only (``{"overwrite": [...], "coalesce": [...],
+        "keep_first": [...]}``) — the enricher's keyed UPDATE overwrites
+        columns the normalize policy keeps-first (reference:
+        services/enricher/db_operations.py:140-176 vs the normalizer's ON
+        CONFLICT list). A statement may also carry a SUBSET of the table's
+        columns: uncarried columns are a no-op (never nulled out). Only
+        policy tables accept overrides; columns not named keep the table
+        policy's class.
+
+        Crash contract: the batch lands in ``delta/<seq>.tmp`` (invisible
+        to ``mor_deltas``), is validated, gets its ``_CLASSES.json``
+        sidecar, and registers via one atomic rename — a crash anywhere
+        before the rename leaves no half-visible delta."""
+        meta = self._mor_meta(name)
+        keys = meta["keys"]
+        if classes is not None:
+            if meta.get("policy") is None:
+                raise ValueError(
+                    f"mor_upsert({name!r}): per-statement classes require a "
+                    "policy table (latest-wins deltas replace rows wholesale)"
+                )
+            good = {"overwrite", "coalesce", "keep_first"}
+            if set(classes) - good:
+                raise ValueError(f"unknown class(es): {sorted(set(classes) - good)}")
+            named = [c for k in good for c in classes.get(k, ())]
+            if len(named) != len(set(named)):
+                raise ValueError("a column may appear in only one class")
+            missing = set(named) - set(df.columns)
+            if missing:
+                raise ValueError(f"classes name columns absent from the batch: {sorted(missing)}")
+            if set(named) & set(keys):
+                raise ValueError("key columns cannot be classified")
         seq = (self.mor_deltas(name) or [0])[-1] + 1
-        df.write.mode("overwrite").parquet(self._mor_dir(name, "delta", str(seq)))
+        final = self._mor_dir(name, "delta", str(seq))
+        tmp = final + ".tmp"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # stale crash leftovers
+        df.write.mode("overwrite").parquet(tmp)
+        # check the LANDED files, not df's lineage: one cheap key-column
+        # scan (column pruning) instead of recomputing an arbitrary plan.
+        # Distinct over a STRUCT of the keys: the struct is non-null even
+        # when a key field is null, so null-keyed rows count too.
+        landed = self.spark.read.parquet(tmp)
+        dup = landed.agg(
+            (
+                F.count(F.lit(1))
+                - F.count_distinct(F.struct(*[F.col(k) for k in keys]))
+            ).alias("d")
+        ).collect()[0]["d"]
+        if dup:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise ValueError(
+                f"mor_upsert({name!r}): batch has {dup} duplicate key row(s); "
+                "a delta is a statement (at most one row per key per batch)"
+            )
+        if classes is not None:
+            import json
+
+            with open(os.path.join(tmp, "_CLASSES.json"), "w") as f:
+                json.dump({k: sorted(v) for k, v in classes.items() if v}, f)
+        os.rename(tmp, final)
         return seq
 
     def mor_read(self, name: str) -> DataFrame:
@@ -386,31 +525,96 @@ class TableStore:
         ``merge_upsert_onto`` — the broadcast-shaped twin of the COW
         path's ``merge_upsert``, so the read is bit-identical to having
         applied each batch as a COW merge, without ever shuffling the
-        base."""
+        base.
+
+        Mixed statements: when any delta carries a per-statement class
+        override (``mor_upsert(classes=...)``) or a partial column set,
+        the read dispatches to ``fold_upsert_statements`` /
+        ``merge_statements_onto`` — still one window pass over the delta
+        rows and one broadcast-shaped base merge, but with the
+        (column, statement)-level class resolution the enricher's keyed
+        UPDATE needs against the normalize policy."""
         meta = self._mor_meta(name)
-        keys = meta["keys"]
+        if meta.get("buckets"):
+            self._mor_repair_buckets(name)
         base = self.spark.read.parquet(self._mor_dir(name, "base"))
+        if meta.get("buckets"):
+            # the partition column is a layout detail, not table schema
+            base = base.select(*meta["columns"])
         seqs = self.mor_deltas(name)
         if not seqs:
             return base
+        return self._mor_apply_deltas(name, meta, base, seqs)
+
+    def _mor_apply_deltas(
+        self, name: str, meta: dict, base: DataFrame, seqs: list[int]
+    ) -> DataFrame:
+        """Resolve the delta stack against ``base`` (the full base for
+        reads; a bucket-filtered base for partition-scoped compaction —
+        valid because every delta key hashes into the touched buckets)."""
+        import json
+
+        keys = meta["keys"]
+        policy = meta.get("policy")
         deltas = None
+        carried: dict[int, list[str]] = {}  # seq -> data columns the statement carries
+        overrides: dict[int, dict] = {}  # seq -> per-statement class overrides
         for s in seqs:
             d = self.spark.read.parquet(self._mor_dir(name, "delta", str(s)))
+            carried[s] = [c for c in d.columns if c not in keys and c != "_deleted"]
+            side = self._mor_dir(name, "delta", str(s), "_CLASSES.json")
+            if os.path.exists(side):
+                with open(side) as f:
+                    overrides[s] = json.load(f)
             if "_deleted" not in d.columns:
                 d = d.withColumn("_deleted", F.lit(False))
             d = d.withColumn("_seq", F.lit(s))
-            deltas = d if deltas is None else deltas.unionByName(d)
-        policy = meta.get("policy")
+            deltas = d if deltas is None else deltas.unionByName(
+                d, allowMissingColumns=True
+            )
         if policy is not None:
             from job_etl_spark.operators.merge import (
                 fold_upsert_batches,
+                fold_upsert_statements,
+                merge_statements_onto,
                 merge_upsert_onto,
             )
 
-            folded, dead = fold_upsert_batches(
+            base_data_cols = [c for c in base.columns if c not in keys]
+            uniform = not overrides and all(
+                set(cs) == set(base_data_cols) for cs in carried.values()
+            )
+            if not uniform:
+                # mixed statements (per-statement classes and/or partial
+                # column sets — e.g. enricher deltas interleaved with
+                # normalize deltas): the generalized one-pass fold
+                def _cls(c: str, s: int) -> str:
+                    ov = overrides.get(s, {})
+                    for k in ("overwrite", "coalesce", "keep_first"):
+                        if c in ov.get(k, ()):
+                            return k
+                    for k in ("overwrite", "coalesce", "keep_first"):
+                        if c in policy.get(k, ()):
+                            return k
+                    return "keep_first"  # the unclassified default
+
+                column_classes = {
+                    c: {s: _cls(c, s) for s in seqs if c in carried[s]}
+                    for c in base_data_cols
+                    if any(c in carried[s] for s in seqs)
+                }
+                framed, reset = fold_upsert_statements(deltas, keys, column_classes)
+                survivors = base.join(F.broadcast(reset), list(keys), "left_anti")
+                return merge_statements_onto(survivors, framed, keys)
+
+            # anti-join on RESET keys (any tombstone in the stack), not just
+            # latest-tombstone keys: a delete-then-revive must insert fresh
+            # from the folded frame, never coalesce pre-delete base values
+            # into the revived row (the sequential-COW contract).
+            folded, reset = fold_upsert_batches(
                 deltas, keys, policy["overwrite"], policy["coalesce"]
             )
-            survivors = base.join(F.broadcast(dead), list(keys), "left_anti")
+            survivors = base.join(F.broadcast(reset), list(keys), "left_anti")
             return merge_upsert_onto(
                 survivors,
                 folded,
@@ -447,19 +651,94 @@ class TableStore:
         shutil.rmtree(old, ignore_errors=True)
         self.spark.catalog.refreshByPath(self._mor_dir(name, "base"))
 
+    def _mor_update_columns(self, name: str, columns: Sequence[str]) -> None:
+        """Record a base schema change (a stage-level rewrite may add or
+        drop columns); atomic pointer-style _META replace."""
+        import json
+
+        meta = self._mor_meta(name)
+        if meta.get("columns") == list(columns):
+            return
+        meta["columns"] = list(columns)
+        tmp = self._mor_dir(name, "_META.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._mor_dir(name, "_META"))
+
     def mor_compact(self, name: str) -> int:
-        """Fold every delta into a new base (temp-dir + atomic swap, same
-        crash contract as rewrite()); returns the number of deltas folded.
-        Readers before the swap see the old base+deltas, after it the new
-        base — both are the same merged view."""
+        """Fold the delta stack into the base; returns the number of
+        deltas folded. Readers before the swap see the old base+deltas,
+        after it the new base — both are the same merged view.
+
+        Flat tables rewrite the whole base (temp-dir + atomic swap, same
+        crash contract as rewrite()). BUCKETED tables rewrite ONLY the
+        buckets the delta keys hash into — at 100 TB an amortized full
+        rewrite is the dominant write cost, while touched buckets track
+        the delta key set, not the table. The per-bucket swap is
+        rename-away → rename-in with dot-prefixed backups; a crash at any
+        point is repaired by ``_mor_repair_buckets`` (run before every
+        read), and because each delta is a merge STATEMENT the fold is
+        idempotent over its own result — re-applying the surviving deltas
+        to an already-compacted bucket reproduces the same rows."""
         seqs = self.mor_deltas(name)
         if not seqs:
             return 0
-        merged = self.mor_read(name)
+        meta = self._mor_meta(name)
+        if not meta.get("buckets"):
+            merged = self.mor_read(name)
+            tmp = self._mor_dir(name, "base._tmp")
+            merged.write.mode("overwrite").parquet(tmp)
+            self.spark.catalog.refreshByPath(tmp)
+            self._mor_swap_base(name, tmp)
+            return len(seqs)
+
+        import shutil
+
+        self._mor_repair_buckets(name)
+        keys = meta["keys"]
+        # touched buckets = hash of every delta key (tombstones included);
+        # the collect is bounded by the bucket count, never by data size
+        dk = None
+        for s in seqs:
+            d = self.spark.read.parquet(self._mor_dir(name, "delta", str(s))).select(*keys)
+            dk = d if dk is None else dk.unionByName(d)
+        touched = sorted(
+            r["b"]
+            for r in dk.select(self._mor_bucket_expr(meta).alias("b"))
+            .distinct()
+            .collect()
+        )
+        # merged view restricted to the touched buckets: every delta key
+        # hashes into one of them, so the full delta stack applies cleanly
+        # to the filtered base and untouched buckets need no work at all
+        base = self.spark.read.parquet(self._mor_dir(name, "base"))
+        base = base.where(F.col("_bucket").isin([int(b) for b in touched])).select(
+            *meta["columns"]
+        )
+        merged = self._mor_apply_deltas(name, meta, base, seqs)
         tmp = self._mor_dir(name, "base._tmp")
-        merged.write.mode("overwrite").parquet(tmp)
-        self.spark.catalog.refreshByPath(tmp)
-        self._mor_swap_base(name, tmp)
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            merged.withColumn("_bucket", self._mor_bucket_expr(meta))
+            .repartition(max(len(touched), 1), F.col("_bucket"))
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(tmp)
+        )
+        for b in touched:
+            live = self._mor_dir(name, "base", f"_bucket={b}")
+            old = self._mor_dir(name, "base", f"._old_bucket={b}")
+            new = os.path.join(tmp, f"_bucket={b}")
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.exists(live):
+                os.rename(live, old)
+            if os.path.exists(new):  # a bucket whose rows all died has no dir
+                os.rename(new, live)
+            shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        for s in seqs:
+            shutil.rmtree(self._mor_dir(name, "delta", str(s)), ignore_errors=True)
+        self.spark.catalog.refreshByPath(self._mor_dir(name, "base"))
         return len(seqs)
 
 
@@ -482,6 +761,7 @@ def run_normalize(
     run_ts=None,
     mor: bool = False,
     compact_every: int = 16,
+    mor_buckets: int | None = None,
 ) -> dict:
     """S5 scan (+watermark) → U3/U2 → J3 merge. Exit-code semantics via
     'rejected' in the stats dict (main.py:289-354).
@@ -521,6 +801,7 @@ def run_normalize(
                     store.read("staging_job_postings", STAGING_SCHEMA),
                     ["hash_key"],
                     policy=staging_merge_policy(),
+                    buckets=mor_buckets,
                 )
             if n_ok:  # an empty batch must not grow the delta chain
                 store.mor_upsert("staging_job_postings", res.normalized)
@@ -542,15 +823,60 @@ def run_enrich(
     include_existing: bool = False,
     dry_run: bool = False,
     run_ts=None,
+    mor: bool = False,
+    compact_every: int = 16,
+    mor_buckets: int | None = None,
 ) -> dict:
+    """S6/S7 scans → U4/U5 → J6 write-back.
+
+    Write-back strategy follows the COW/MOR decision rule (COVERAGE.md
+    "Choosing COW vs MOR"). Default COW: full-table withColumn stages +
+    staging rewrite — O(table) per enrich run. ``mor=True`` is the 100 TB
+    path and matches the reference's ACTUAL shape — its enricher is a
+    keyed point-UPDATE of the PENDING rows only (S6/S7 select the pending
+    subset, services/enricher/db_operations.py:140-176,244-282): compute
+    skills/seniority for the pending subset and land it as ONE
+    merge-on-read delta carrying just (hash_key, skills_raw,
+    seniority_level, seniority_enrichment_status) with OVERWRITE
+    per-statement classes — the staging policy keeps those columns
+    keep-first for normalize statements, so the delta's _CLASSES sidecar
+    overrides them for this statement only. Write cost O(pending), never
+    O(table); the read folds mixed normalize/enrich statements through
+    ``fold_upsert_statements`` bit-identically to the COW chain."""
     run_ts = run_ts or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    if mor and not store.mor_exists("staging_job_postings"):
+        from job_etl_spark.pipeline.normalize import staging_merge_policy
+
+        store.mor_init(
+            "staging_job_postings",
+            store.read("staging_job_postings", STAGING_SCHEMA),
+            ["hash_key"],
+            policy=staging_merge_policy(),
+            buckets=mor_buckets,
+        )
     staging = store.read("staging_job_postings", STAGING_SCHEMA)
     dictionary = SkillsDictionary.load(dictionary_path)
     before_pending = staging.where(
         F.col("seniority_enrichment_status") == "not_tried"
     ).count()
-    enriched = enrich_skills(staging, dictionary, sources, include_existing)
-    enriched = enrich_seniority(enriched)
+    if mor:
+        # the pending subset: exactly the rows either enrichment phase
+        # would touch (S6 skills predicate ∪ S7 seniority-pending)
+        skills_cond = F.col("description").isNotNull()
+        if not include_existing:
+            skills_cond = skills_cond & (
+                F.col("skills_raw").isNull() | (F.size("skills_raw") == 0)
+            )
+        if sources:
+            skills_cond = skills_cond & F.col("source").isin(sources)
+        pending_rows = staging.where(
+            skills_cond | (F.col("seniority_enrichment_status") == "not_tried")
+        )
+        enriched = enrich_skills(pending_rows, dictionary, sources, include_existing)
+        enriched = enrich_seniority(enriched)
+    else:
+        enriched = enrich_skills(staging, dictionary, sources, include_existing)
+        enriched = enrich_seniority(enriched)
     from job_etl_spark.schema import StructType  # noqa: F401
 
     companies_schema = (
@@ -558,7 +884,10 @@ def run_enrich(
         "enriched_at timestamp, created_at timestamp, updated_at timestamp"
     )
     companies = store.read("staging_companies", companies_schema)
-    companies2 = seed_company_records(companies, enriched, run_ts)
+    # company seeding scans ALL distinct staging companies (J4 over the
+    # whole table), not just the pending rows — in MOR mode `enriched` is
+    # pending-only, so seed from the full merged view
+    companies2 = seed_company_records(companies, staging if mor else enriched, run_ts)
     stats = {
         "seniority_pending_before": before_pending,
         "dry_run": dry_run,
@@ -578,12 +907,47 @@ def run_enrich(
         stats["companies_matched"] = n_matched
         companies2 = apply_company_matches(companies2, matches, run_ts)
     if not dry_run:
-        # companies2's plan reads staging; two-phase swap avoids reading
-        # files deleted by the staging rewrite
-        store.rewrite_many(
-            {"staging_job_postings": enriched, "staging_companies": companies2}
-        )
-        stats["companies_total"] = store.read("staging_companies").count()
+        if mor:
+            # O(pending) delta: keys + the three enricher-owned columns,
+            # OVERWRITE per-statement classes (the table policy keeps them
+            # keep-first for normalize statements). Empty pending must not
+            # grow the delta chain.
+            delta = enriched.select(
+                "hash_key",
+                "skills_raw",
+                "seniority_level",
+                "seniority_enrichment_status",
+            )
+            n_pending = delta.count()
+            stats["enriched_rows"] = n_pending
+            if n_pending:
+                store.mor_upsert(
+                    "staging_job_postings",
+                    delta,
+                    classes={
+                        "overwrite": [
+                            "skills_raw",
+                            "seniority_level",
+                            "seniority_enrichment_status",
+                        ]
+                    },
+                )
+            # companies2's plan reads the staging view lazily, but a delta
+            # APPEND never invalidates already-listed files — only the
+            # 1-in-N compaction swaps the base, so compact strictly last
+            store.rewrite("staging_companies", companies2)
+            stats["companies_total"] = store.read("staging_companies").count()
+            if compact_every and len(
+                store.mor_deltas("staging_job_postings")
+            ) >= compact_every:
+                store.mor_compact("staging_job_postings")
+        else:
+            # companies2's plan reads staging; two-phase swap avoids reading
+            # files deleted by the staging rewrite
+            store.rewrite_many(
+                {"staging_job_postings": enriched, "staging_companies": companies2}
+            )
+            stats["companies_total"] = store.read("staging_companies").count()
     return stats
 
 
@@ -611,6 +975,7 @@ def run_rank(
     limit: int | None = None,
     dry_run: bool = False,
     mor: bool = False,
+    mor_buckets: int | None = None,
 ) -> dict:
     """Rank unranked fact rows and write the scores back.
 
@@ -628,7 +993,9 @@ def run_rank(
     """
     cfg = config or RankingConfig()
     if mor and not store.mor_exists("fact_jobs"):
-        store.mor_init("fact_jobs", store.read("fact_jobs"), ["hash_key"])
+        store.mor_init(
+            "fact_jobs", store.read("fact_jobs"), ["hash_key"], buckets=mor_buckets
+        )
     fact = store.read("fact_jobs")  # MOR-aware: merged view either way
     target = F.lit(True) if rank_all else F.col("rank_score").isNull()
     if min_ingested_at is not None and not rank_all:
@@ -801,9 +1168,17 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument(
         "--mor",
         action="store_true",
-        help="rank/normalize stage: land the write-back as a merge-on-read "
-        "delta instead of a table rewrite (fact-sized tables; COVERAGE.md "
-        "'Choosing COW vs MOR')",
+        help="rank/normalize/enrich stage: land the write-back as a "
+        "merge-on-read delta instead of a table rewrite (fact-sized tables; "
+        "COVERAGE.md 'Choosing COW vs MOR')",
+    )
+    parser.add_argument(
+        "--mor-buckets",
+        type=int,
+        default=None,
+        help="with --mor: hash-bucket the base into N stable dirs at "
+        "migration so compaction rewrites only delta-touched buckets "
+        "(table-lifetime layout; pick N so a bucket is a few GB at scale)",
     )
     parser.add_argument("--include-existing", action="store_true")
     parser.add_argument("--dry-run", action="store_true")
@@ -893,7 +1268,7 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 stats = run_normalize(
                     store, MockAdapter(), limit=args.limit, dry_run=args.dry_run,
-                    min_collected_at=wm, mor=args.mor,
+                    min_collected_at=wm, mor=args.mor, mor_buckets=args.mor_buckets,
                 )
             elif args.stage == "enrich":
                 stats = run_enrich(
@@ -902,11 +1277,14 @@ def main(argv: list[str] | None = None) -> int:
                     args.source,
                     args.include_existing,
                     args.dry_run,
+                    mor=args.mor,
+                    mor_buckets=args.mor_buckets,
                 )
             elif args.stage == "rank":
                 cfg = RankingConfig.load(args.config) if args.config else RankingConfig()
                 stats = run_rank(store, cfg, rank_all=args.all, limit=args.limit,
-                                 dry_run=args.dry_run, mor=args.mor)
+                                 dry_run=args.dry_run, mor=args.mor,
+                                 mor_buckets=args.mor_buckets)
             elif args.stage == "publish":
                 if not args.output_dir:
                     print(json.dumps({"error": "--output-dir required"}), file=sys.stderr)

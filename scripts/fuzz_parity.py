@@ -15,6 +15,10 @@ for between-round confidence sweeps:
   7. seniority cascade: native expr == Spark-SQL CASE == DuckDB CASE
      (dialect-sensitive escaping, L-level/roman collisions, metachars,
      unicode, ANSI cast-overflow titles)
+  8. merge-on-read delta fold (uniform + per-statement classes, flat +
+     bucketed store layouts, compaction) == sequential COW merge chain
+     (random policies, tombstones, revives, partial columns, empty
+     batches)
 
 Usage: python scripts/fuzz_parity.py [--examples 2000] [--seed 0]
 Prints one PASS/FAIL line per invariant; exits non-zero on any FAIL.
@@ -402,6 +406,223 @@ def fuzz_seniority_render(spark, rng: random.Random, n: int) -> int:
     return bad
 
 
+
+
+def fuzz_mor_fold(spark, rng: random.Random, rounds: int) -> int:
+    """Family #8 (r9 verdict #5): the merge-on-read delta fold — uniform
+    policy fold (``fold_upsert_batches``) AND the per-statement
+    generalization (``fold_upsert_statements``) — must be bit-identical to
+    applying every batch as its own sequential COW ``merge_upsert``, for
+    random policies (column classes drawn per corpus), random delta stacks
+    (nulls everywhere, tombstones, re-inserts after tombstones of
+    base-present keys, repeated keys across batches, empty batches,
+    partial column sets, per-statement class overrides), and mixed string/
+    int/array column types. Every Nth corpus also round-trips through the
+    REAL TableStore layout (mor_init/mor_upsert/mor_read, flat and
+    bucketed, plus a compaction) so the dispatch + sidecar + layout code
+    is fuzzed, not just the algebra."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from job_etl_spark.operators.merge import (
+        fold_upsert_batches,
+        fold_upsert_statements,
+        merge_statements_onto,
+        merge_upsert,
+        merge_upsert_onto,
+    )
+    from job_etl_spark.pipeline.runner import TableStore
+
+    COLS = ["c0", "c1", "c2", "c3"]
+    TYPES = {"c0": "string", "c1": "int", "c2": "string", "c3": "array<int>"}
+    SCHEMA = "k string, " + ", ".join(f"{c} {TYPES[c]}" for c in COLS)
+    CLASSES = ["overwrite", "coalesce", "keep_first"]
+
+    def val(c, tag, key):
+        if TYPES[c] == "int":
+            return rng.randint(-5, 5)
+        if TYPES[c].startswith("array"):
+            return [rng.randint(0, 3) for _ in range(rng.randint(0, 3))]
+        return f"{c}-{tag}-{key}"
+
+    def canon(df):
+        rows = [
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in df.select("k", *COLS).collect()
+        ]
+        return sorted(rows, key=repr)
+
+    bad = 0
+    for rd in range(rounds):
+        keys = [f"k{i}" for i in range(rng.randint(4, 14))]
+        # policy drawn per corpus; unclassified columns default keep-first
+        policy = {"overwrite": [], "coalesce": [], "keep_first": []}
+        table_cls = {}
+        for c in COLS:
+            ch = rng.choice(CLASSES + ["unclassified"])
+            table_cls[c] = "keep_first" if ch == "unclassified" else ch
+            if ch != "unclassified":
+                policy[ch].append(c)
+        base_rows = [
+            tuple(
+                [k]
+                + [val(c, "b", k) if rng.random() < 0.7 else None for c in COLS]
+            )
+            for k in keys
+            if rng.random() < 0.75
+        ]
+        base = spark.createDataFrame(base_rows, SCHEMA)
+
+        # random statement stack
+        batches = []  # (rows, carried, stmt_cls or None)
+        for s in range(1, rng.randint(1, 6) + 1):
+            override = rng.random() < 0.4
+            carried = (
+                sorted(rng.sample(COLS, rng.randint(1, len(COLS))))
+                if override
+                else list(COLS)
+            )
+            stmt_cls = (
+                {c: rng.choice(CLASSES) for c in carried} if override else None
+            )
+            rows = []
+            for k in keys:
+                r = rng.random()
+                if r < 0.5:
+                    continue
+                if r < 0.58:
+                    rows.append((k, None))  # tombstone
+                else:
+                    rows.append(
+                        (
+                            k,
+                            {
+                                c: (val(c, f"t{s}", k) if rng.random() < 0.6 else None)
+                                for c in carried
+                            },
+                        )
+                    )
+            batches.append((rows, carried, stmt_cls))
+
+        # ---- sequential COW ground truth --------------------------------
+        cow = base
+        for rows, carried, stmt_cls in batches:
+            dead = [k for k, v in rows if v is None]
+            if dead:
+                cow = cow.where(~F.col("k").isin(dead))
+            ups_rows = [
+                tuple([k] + [v.get(c) for c in carried]) for k, v in rows if v is not None
+            ]
+            if not ups_rows:
+                continue
+            ups = spark.createDataFrame(
+                ups_rows, "k string, " + ", ".join(f"{c} {TYPES[c]}" for c in carried)
+            )
+            cls = stmt_cls or table_cls
+            cow = merge_upsert(
+                cow,
+                ups,
+                ["k"],
+                overwrite_cols=[c for c in carried if cls[c] == "overwrite"],
+                coalesce_cols=[c for c in carried if cls[c] == "coalesce"],
+                keep_first_cols=[c for c in carried if cls[c] == "keep_first"],
+            )
+        want = canon(cow)
+
+        # ---- fold path (algebra only, no files) -------------------------
+        stack, col_classes, any_override = None, {}, False
+        for s, (rows, carried, stmt_cls) in enumerate(batches, start=1):
+            drows = []
+            for k, v in rows:
+                if v is None:
+                    drows.append(tuple([k] + [None] * len(COLS) + [True]))
+                else:
+                    drows.append(tuple([k] + [v.get(c) for c in COLS] + [False]))
+            d = spark.createDataFrame(drows, SCHEMA + ", _deleted boolean").withColumn(
+                "_seq", F.lit(s)
+            )
+            stack = d if stack is None else stack.unionByName(d)
+            cls = stmt_cls or table_cls
+            any_override = any_override or stmt_cls is not None
+            for c in carried:
+                col_classes.setdefault(c, {})[s] = cls[c]
+        if stack is not None:
+            if any_override:
+                framed, reset = fold_upsert_statements(stack, ["k"], col_classes)
+                survivors = base.join(F.broadcast(reset), ["k"], "left_anti")
+                got = canon(merge_statements_onto(survivors, framed, ["k"]))
+            else:
+                folded, reset = fold_upsert_batches(
+                    stack, ["k"], policy["overwrite"], policy["coalesce"]
+                )
+                survivors = base.join(F.broadcast(reset), ["k"], "left_anti")
+                got = canon(
+                    merge_upsert_onto(
+                        survivors,
+                        folded,
+                        ["k"],
+                        overwrite_cols=policy["overwrite"],
+                        coalesce_cols=policy["coalesce"],
+                        keep_first_cols=policy["keep_first"],
+                    )
+                )
+        else:
+            got = canon(base)
+        if got != want:
+            bad += 1
+            print(f"  mor fold mismatch (corpus {rd}, override={any_override})")
+            continue
+
+        # ---- store round-trip every 5th corpus --------------------------
+        if rd % 5 == 0:
+            root = tempfile.mkdtemp(prefix="fuzz_mor_")
+            try:
+                store = TableStore(spark, root)
+                buckets = rng.choice([None, 4]) if rd % 10 == 0 else None
+                store.write("t", base)
+                store.mor_init(
+                    "t", store.read("t"), ["k"], policy=policy, buckets=buckets
+                )
+                for rows, carried, stmt_cls in batches:
+                    drows = [
+                        tuple([k] + [None] * len(carried) + [True])
+                        if v is None
+                        else tuple([k] + [v.get(c) for c in carried] + [False])
+                        for k, v in rows
+                    ]
+                    d = spark.createDataFrame(
+                        drows,
+                        "k string, "
+                        + ", ".join(f"{c} {TYPES[c]}" for c in carried)
+                        + ", _deleted boolean",
+                    )
+                    store.mor_upsert(
+                        "t",
+                        d,
+                        classes=(
+                            {
+                                cl: [c for c in carried if stmt_cls[c] == cl]
+                                for cl in CLASSES
+                            }
+                            if stmt_cls is not None
+                            else None
+                        ),
+                    )
+                if canon(store.read("t")) != want:
+                    bad += 1
+                    print(f"  mor STORE mismatch (corpus {rd}, buckets={buckets})")
+                elif batches:
+                    store.mor_compact("t")
+                    if canon(store.read("t")) != want:
+                        bad += 1
+                        print(f"  mor COMPACT mismatch (corpus {rd}, buckets={buckets})")
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+    return bad
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--examples", type=int, default=2000)
@@ -423,6 +644,7 @@ def main() -> None:
         ("pack_greedy==python greedy", fuzz_packing, args.rounds),
         ("attribution windows==python pair join", fuzz_attribution, args.rounds),
         ("seniority expr==spark-sql==duckdb", fuzz_seniority_render, args.examples),
+        ("mor fold==sequential COW", fuzz_mor_fold, max(args.rounds, 200)),
     ):
         bad = fn(spark, rng, depth)
         print(f"{'FAIL' if bad else 'PASS'} {name} ({depth} cases, {bad} mismatches)", flush=True)

@@ -106,15 +106,53 @@ def test_fold_tombstones(spark):
         [("b", "ow-3", None, None, "ot-3", False)], SCHEMA + ", _deleted boolean"
     ).withColumn("_seq", F.lit(3))
     stack = d1.unionByName(d2).unionByName(d3)
-    folded, dead = fold_upsert_batches(stack, ["k"], ["ow"], ["co"])
-    assert [r["k"] for r in dead.collect()] == ["a"]
-    survivors = base.join(dead, ["k"], "left_anti")
+    folded, reset = fold_upsert_batches(stack, ["k"], ["ow"], ["co"])
+    # EVERY tombstoned key resets (a dead, b revived later) — the caller
+    # anti-joins the base on the full set so revives insert fresh
+    assert sorted(r["k"] for r in reset.collect()) == ["a", "b"]
+    survivors = base.join(reset, ["k"], "left_anti")
     out = {r["k"]: r for r in merge_upsert_onto(survivors, folded, **CLASSES).collect()}
     assert set(out) == {"b", "z"}  # a deleted, z untouched, b revived
     # b's pre-tombstone history (d1) must NOT leak into the revived row
     assert out["b"]["ow"] == "ow-3" and out["b"]["co"] is None
     assert out["b"]["kf"] is None and out["b"]["other"] == "ot-3"
     assert out["z"]["ow"] == "ow-b"
+
+
+def test_fold_tombstone_revive_of_base_key(spark):
+    """A key PRESENT IN THE BASE that is tombstoned then re-upserted must
+    insert fresh: no keep-first/coalesce leakage of pre-delete base values
+    into the revived row (sequential COW deletes the base row before the
+    revive batch arrives). Regression test for the r9 advisory: anti-join
+    on latest-tombstone keys alone kept the base row alive here."""
+    base = spark.createDataFrame(
+        [("a", "ow-b", "co-b", "kf-b", "ot-b"), ("z", "ow-b", "co-b", "kf-b", "ot-b")],
+        SCHEMA,
+    )
+    d1 = spark.createDataFrame(
+        [("a", None, None, None, None, True)], SCHEMA + ", _deleted boolean"
+    ).withColumn("_seq", F.lit(1))
+    d2 = spark.createDataFrame(
+        [("a", "ow-2", None, None, None, False)], SCHEMA + ", _deleted boolean"
+    ).withColumn("_seq", F.lit(2))
+    stack = d1.unionByName(d2)
+    folded, reset = fold_upsert_batches(stack, ["k"], ["ow"], ["co"])
+    assert [r["k"] for r in reset.collect()] == ["a"]
+    survivors = base.join(reset, ["k"], "left_anti")
+    out = {r["k"]: r for r in merge_upsert_onto(survivors, folded, **CLASSES).collect()}
+
+    # ground truth: sequential COW — delete a, then merge d2
+    cow = base.join(
+        d1.where(F.col("_deleted")).select("k"), ["k"], "left_anti"
+    )
+    cow = merge_upsert(cow, d2.drop("_deleted", "_seq"), **CLASSES)
+    ref = {r["k"]: r for r in cow.collect()}
+    assert set(out) == set(ref) == {"a", "z"}
+    for k in ref:
+        assert tuple(out[k]) == tuple(ref[k]), k
+    # the revived row must NOT carry any pre-delete base value
+    assert out["a"]["ow"] == "ow-2"
+    assert out["a"]["co"] is None and out["a"]["kf"] is None and out["a"]["other"] is None
 
 
 def test_policy_mor_read_never_shuffles_base(spark, tmp_path):
@@ -193,3 +231,334 @@ def test_fold_overwrite_null_wins(spark):
     row = mor.first()
     assert row["ow"] is None  # d2's null overwrote
     assert row["co"] == "co-1" and row["kf"] == "kf-b"
+
+
+def test_mor_init_removes_partitioned_cow_files(spark, tmp_path):
+    """Migrating a COW table written with partition_by must delete the
+    partition SUBDIRECTORIES too, not just top-level part files — a direct
+    parquet read of the table path after migration must see only the MOR
+    view, never pre-migration data (r9 advisory)."""
+    import os
+
+    from job_etl_spark.pipeline.runner import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(6).selectExpr("cast(id as string) k", "cast(id % 2 as string) p")
+    store.write("t", df, partition_by=["p"])
+    assert any(e.startswith("p=") for e in os.listdir(store.path("t")))
+    store.mor_init("t", store.read("t"), ["k"])
+    left = set(os.listdir(store.path("t")))
+    assert left <= {"_mor", "_v", "_LATEST"}, left
+    assert {r["k"] for r in store.read("t").collect()} == {str(i) for i in range(6)}
+
+
+def test_mor_upsert_rejects_duplicate_key_batch(spark, tmp_path):
+    """A delta is a statement: duplicate keys in one batch would tie on
+    _seq inside the fold windows and silently break COW parity — mor_upsert
+    must fail loudly and leave the delta chain unchanged (r9 advisory)."""
+    import pytest
+
+    from job_etl_spark.pipeline.runner import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(5).selectExpr("cast(id as string) k", "'v' v")
+    store.write("t", df)
+    store.mor_init("t", store.read("t"), ["k"])
+    dup = spark.createDataFrame([("7", "a"), ("7", "b"), ("8", "c")], "k string, v string")
+    with pytest.raises(ValueError, match="duplicate key"):
+        store.mor_upsert("t", dup)
+    assert store.mor_deltas("t") == []
+    # a clean batch still lands
+    ok = spark.createDataFrame([("7", "a"), ("8", "c")], "k string, v string")
+    assert store.mor_upsert("t", ok) == 1
+
+
+# ---------------------------------------------------------------------------
+# Per-statement classes (fold_upsert_statements / merge_statements_onto):
+# the generalization the incremental enricher needs — one table accumulating
+# deltas with DIFFERENT per-column classes and partial column sets.
+# ---------------------------------------------------------------------------
+
+from job_etl_spark.operators.merge import (  # noqa: E402
+    fold_upsert_statements,
+    merge_statements_onto,
+)
+
+_ST_SCHEMA = "k string, a string, b string, c string"
+_ST_COLS = ["a", "b", "c"]
+_ST_CLASSES = ["overwrite", "coalesce", "keep_first"]
+
+
+def _stmt_batch(rng, keys, tag):
+    """One statement: a random carried-column subset, a random class per
+    carried column, random nulls, occasional tombstones."""
+    carried = sorted(rng.sample(_ST_COLS, rng.randint(1, 3)))
+    classes = {c: rng.choice(_ST_CLASSES) for c in carried}
+    rows = []
+    for k in keys:
+        if rng.random() < 0.5:
+            continue
+        if rng.random() < 0.15:
+            rows.append((k, None, None, None, True))
+        else:
+            vals = {c: (None if rng.random() < 0.4 else f"{c}-{tag}-{k}") for c in carried}
+            rows.append((k, vals.get("a"), vals.get("b"), vals.get("c"), False))
+    return rows, carried, classes
+
+
+def _stmt_ground_truth(spark, acc, rows, carried, classes):
+    """Sequential COW: tombstones delete, then a merge_upsert carrying ONLY
+    the statement's columns with the statement's classes."""
+    df = spark.createDataFrame(rows, _ST_SCHEMA + ", _deleted boolean")
+    alive = acc.join(df.where(F.col("_deleted")).select("k"), ["k"], "left_anti")
+    ups = df.where(~F.col("_deleted")).select("k", *carried)
+    return merge_upsert(
+        alive,
+        ups,
+        ["k"],
+        overwrite_cols=[c for c in carried if classes[c] == "overwrite"],
+        coalesce_cols=[c for c in carried if classes[c] == "coalesce"],
+        keep_first_cols=[c for c in carried if classes[c] == "keep_first"],
+    )
+
+
+def test_statement_fold_equals_sequential_mixed_cow(spark):
+    """Randomized: a stack of statements with heterogeneous per-column
+    classes, partial column sets, nulls, and tombstones folds (ONE window
+    pass + ONE broadcast-shaped base merge) bit-identically to applying
+    each statement as its own COW merge in sequence."""
+
+    def collect(df):
+        rows = [tuple(r) for r in df.select("k", *_ST_COLS).collect()]
+        return sorted(rows, key=lambda t: tuple((v is None, str(v)) for v in t))
+
+    for trial in range(4):
+        rng = random.Random(7000 + trial)
+        keys = [f"k{i}" for i in range(12)]
+        base_rows = [
+            (
+                k,
+                f"a-b-{k}" if rng.random() < 0.7 else None,
+                f"b-b-{k}" if rng.random() < 0.7 else None,
+                f"c-b-{k}" if rng.random() < 0.7 else None,
+            )
+            for k in keys
+            if rng.random() < 0.7
+        ]
+        base = spark.createDataFrame(base_rows, _ST_SCHEMA)
+        cow = base
+        stack, col_classes = None, {}
+        for s in range(1, rng.randint(2, 6)):
+            rows, carried, classes = _stmt_batch(rng, keys, f"t{s}")
+            cow = _stmt_ground_truth(spark, cow, rows, carried, classes)
+            d = spark.createDataFrame(rows, _ST_SCHEMA + ", _deleted boolean")
+            for c in _ST_COLS:
+                if c not in carried:
+                    d = d.withColumn(c, F.lit(None).cast("string"))
+            d = d.withColumn("_seq", F.lit(s)).select("k", *_ST_COLS, "_deleted", "_seq")
+            stack = d if stack is None else stack.unionByName(d)
+            for c in carried:
+                col_classes.setdefault(c, {})[s] = classes[c]
+        framed, reset = fold_upsert_statements(stack, ["k"], col_classes)
+        survivors = base.join(F.broadcast(reset), ["k"], "left_anti")
+        mor = merge_statements_onto(survivors, framed, ["k"])
+        assert collect(cow) == collect(mor), f"trial {trial}"
+
+
+def test_store_mixed_statement_round_trip(spark, tmp_path):
+    """TableStore end-to-end: normalize-style full statements interleaved
+    with an enricher-style partial OVERWRITE statement; the mixed read is
+    bit-identical to the sequential COW chain, never shuffles the base,
+    and compaction preserves the view."""
+    from job_etl_spark.pipeline.runner import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    pol = {"overwrite": ["ow"], "coalesce": ["co"], "keep_first": ["kf"]}
+    base = spark.createDataFrame(
+        [("a", "ow-b", "co-b", "kf-b"), ("z", "ow-b", None, None)],
+        "k string, ow string, co string, kf string",
+    )
+    store.write("t", base)
+    store.mor_init("t", store.read("t"), ["k"], policy=pol)
+    d1 = spark.createDataFrame(
+        [("a", "ow-1", None, "kf-1"), ("b", "ow-1", "co-1", None)],
+        "k string, ow string, co string, kf string",
+    )
+    store.mor_upsert("t", d1)
+    # enricher-style statement: carries ONLY kf, and OVERWRITES it
+    d2 = spark.createDataFrame([("a", "kf-ENR"), ("b", "kf-ENR")], "k string, kf string")
+    store.mor_upsert("t", d2, classes={"overwrite": ["kf"]})
+    d3 = spark.createDataFrame(
+        [("a", "ow-3", "co-3", "kf-3")], "k string, ow string, co string, kf string"
+    )
+    store.mor_upsert("t", d3)
+
+    cow = merge_upsert(base, d1, ["k"], overwrite_cols=["ow"], coalesce_cols=["co"], keep_first_cols=["kf"])
+    cow = merge_upsert(cow, d2, ["k"], overwrite_cols=["kf"], coalesce_cols=[], keep_first_cols=[])
+    cow = merge_upsert(cow, d3, ["k"], overwrite_cols=["ow"], coalesce_cols=["co"], keep_first_cols=["kf"])
+    ref = {r["k"]: tuple(r) for r in cow.collect()}
+    view = store.read("t")
+    got = {r["k"]: tuple(r) for r in view.select(*cow.columns).collect()}
+    assert got == ref
+    # the enricher's overwrite beats both the policy keep-first AND a later
+    # normalize statement's keep-first
+    assert got["a"][3] == "kf-ENR" and got["b"][3] == "kf-ENR"
+    plan = view._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert store.mor_compact("t") == 3
+    got2 = {r["k"]: tuple(r) for r in store.read("t").select(*cow.columns).collect()}
+    assert got2 == ref
+
+
+def test_mor_upsert_classes_validation(spark, tmp_path):
+    """Per-statement classes are rejected on latest-wins tables, for
+    unknown class names, for key columns, and for columns the batch does
+    not carry."""
+    import pytest
+
+    from job_etl_spark.pipeline.runner import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(3).selectExpr("cast(id as string) k", "'v' v")
+    store.write("lw", df)
+    store.mor_init("lw", store.read("lw"), ["k"])
+    with pytest.raises(ValueError, match="latest-wins"):
+        store.mor_upsert("lw", df, classes={"overwrite": ["v"]})
+
+    store.write("pt", df)
+    store.mor_init("pt", store.read("pt"), ["k"], policy={"overwrite": ["v"]})
+    with pytest.raises(ValueError, match="unknown class"):
+        store.mor_upsert("pt", df, classes={"replace": ["v"]})
+    with pytest.raises(ValueError, match="absent from the batch"):
+        store.mor_upsert("pt", df, classes={"overwrite": ["nope"]})
+    with pytest.raises(ValueError, match="key columns"):
+        store.mor_upsert("pt", df, classes={"overwrite": ["k"]})
+    with pytest.raises(ValueError, match="only one class"):
+        store.mor_upsert("pt", df, classes={"overwrite": ["v"], "coalesce": ["v"]})
+    assert store.mor_deltas("pt") == []
+    assert store.mor_upsert("pt", df, classes={"coalesce": ["v"]}) == 1
+
+
+def test_bucketed_mor_partition_scoped_compaction(spark, tmp_path):
+    """mor_init(buckets=N) hash-partitions the base by key; mor_compact
+    then rewrites ONLY the buckets the delta keys touch (r9 verdict #3 —
+    at 100 TB an amortized full-base rewrite is the dominant write cost;
+    touched buckets track the delta key set, not the table). File-level
+    assert: untouched bucket files keep their mtimes through compaction;
+    the merged view is bit-identical before and after."""
+    import glob
+    import os
+
+    from job_etl_spark.pipeline.runner import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    pol = {"overwrite": ["ow"], "coalesce": ["co"], "keep_first": ["kf"]}
+    base = spark.range(0, 400).selectExpr(
+        "cast(id as string) k", "'ow-b' ow", "cast(null as string) co", "'kf-b' kf"
+    )
+    store.write("t", base)
+    store.mor_init("t", store.read("t"), ["k"], policy=pol, buckets=8)
+
+    basedir = os.path.join(str(tmp_path), "t", "_mor", "base")
+    bucket_dirs = sorted(
+        d for d in os.listdir(basedir) if d.startswith("_bucket=")
+    )
+    assert len(bucket_dirs) == 8, bucket_dirs
+    # the merged view never exposes the layout column
+    assert "_bucket" not in store.read("t").columns
+
+    # deltas touching a FEW keys (few buckets): an upsert, a partial
+    # enricher-style statement, and a tombstone
+    store.mor_upsert(
+        "t",
+        spark.createDataFrame(
+            [("1", "ow-1", "co-1", None), ("999", "ow-new", None, "kf-new")],
+            "k string, ow string, co string, kf string",
+        ),
+    )
+    store.mor_upsert(
+        "t",
+        spark.createDataFrame([("2", "kf-ENR")], "k string, kf string"),
+        classes={"overwrite": ["kf"]},
+    )
+    store.mor_upsert(
+        "t",
+        spark.createDataFrame([("3", True)], "k string, _deleted boolean"),
+    )
+    before = {
+        r["k"]: tuple(r) for r in store.read("t").collect()
+    }
+    assert "999" in before and "3" not in before
+    assert before["2"][3] == "kf-ENR"
+
+    mtimes_before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(basedir, "_bucket=*", "*.parquet"))
+    }
+    folded = store.mor_compact("t")
+    assert folded == 3 and store.mor_deltas("t") == []
+    mtimes_after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(basedir, "_bucket=*", "*.parquet"))
+    }
+    # the 4 touched keys hash into at most 4 buckets — at least 4 of the 8
+    # bucket dirs must be byte-untouched (same files, same mtimes)
+    untouched = {
+        f for f in mtimes_before if f in mtimes_after and mtimes_before[f] == mtimes_after[f]
+    }
+    touched_dirs = {
+        os.path.basename(os.path.dirname(f))
+        for f in set(mtimes_before) - untouched
+    } | {
+        os.path.basename(os.path.dirname(f))
+        for f in set(mtimes_after) - set(mtimes_before)
+    }
+    assert len(touched_dirs) <= 4, touched_dirs
+    untouched_dirs = {os.path.basename(os.path.dirname(f)) for f in untouched}
+    assert len(untouched_dirs) >= 4, untouched_dirs
+
+    after = {r["k"]: tuple(r) for r in store.read("t").collect()}
+    assert after == before
+
+    # a later delta + compact keeps working on the compacted layout
+    store.mor_upsert(
+        "t", spark.createDataFrame([("5", None, "co-5", None)],
+                                   "k string, ow string, co string, kf string")
+    )
+    v1 = {r["k"]: tuple(r) for r in store.read("t").collect()}
+    assert store.mor_compact("t") == 1
+    assert {r["k"]: tuple(r) for r in store.read("t").collect()} == v1
+
+
+def test_bucketed_mor_rewrite_and_repair(spark, tmp_path):
+    """A stage-level rewrite of a bucketed table keeps the bucketed layout
+    (compaction stays partition-scoped afterwards), and an interrupted
+    bucket swap (simulated ._old_bucket leftovers) is repaired on the next
+    read — both crash states: renamed-away-only and fully-swapped."""
+    import os
+    import shutil
+
+    from job_etl_spark.pipeline.runner import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    base = spark.range(0, 100).selectExpr("cast(id as string) k", "'v0' v")
+    store.write("t", base)
+    store.mor_init("t", store.read("t"), ["k"], buckets=4)
+    basedir = os.path.join(str(tmp_path), "t", "_mor", "base")
+
+    # rewrite must re-bucket
+    store.rewrite("t", store.read("t").withColumn("v", F.lit("v1")))
+    dirs = sorted(d for d in os.listdir(basedir) if d.startswith("_bucket="))
+    assert len(dirs) == 4, dirs
+    assert {r["v"] for r in store.read("t").collect()} == {"v1"}
+
+    # crash state A: bucket renamed away, replacement never arrived
+    victim = os.path.join(basedir, dirs[0])
+    os.rename(victim, os.path.join(basedir, "._old" + dirs[0]))
+    assert store.read("t").count() == 100  # repaired: restored
+    assert os.path.exists(victim)
+
+    # crash state B: swap finished but the backup was never cleaned
+    shutil.copytree(victim, os.path.join(basedir, "._old" + dirs[0]))
+    assert store.read("t").count() == 100  # repaired: debris dropped
+    assert not os.path.exists(os.path.join(basedir, "._old" + dirs[0]))

@@ -401,3 +401,97 @@ print("RCS", rc1, rc2)
     rows = [ln for ln in lines if ln.startswith("{")]
     assert 1 <= len(rows) <= 3 and "event_type" in _json.loads(rows[0])
     assert "candidates" in out.stderr
+
+
+def test_enrich_writeback_via_mor(spark):
+    """J6 enrich via merge-on-read (r9 verdict #2): run_enrich(mor=True)
+    computes skills/seniority for the PENDING subset only and lands it as
+    ONE delta carrying just (hash_key + the three enricher-owned columns)
+    with per-statement OVERWRITE classes — the staging policy keeps those
+    columns keep-first for normalize statements, so the read folds mixed
+    normalize/enrich statements through fold_upsert_statements. Write cost
+    O(pending): the base is NEVER rewritten by an enrich run."""
+    import datetime as dt
+    import glob
+    import os
+
+    from job_etl_spark.pipeline.runner import run_enrich, run_extract, run_normalize
+    from job_etl_spark.sources.mock_adapter import MockAdapter
+
+    ts1 = dt.datetime(2026, 2, 1, 7, 0, 0)
+    ts2 = dt.datetime(2026, 2, 2, 7, 0, 0)
+
+    def canon(store, table="staging_job_postings"):
+        df = store.read(table)
+        rows = [
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in df.select(*sorted(df.columns)).collect()
+        ]
+        return sorted(rows, key=repr)
+
+    def drive(wh, mor, buckets=None):
+        store = TableStore(spark, wh)
+        run_extract(store, MockAdapter(num_jobs=60), run_ts=ts1)
+        run_normalize(store, MockAdapter(), run_ts=ts1, mor=mor, mor_buckets=buckets)
+        run_enrich(store, run_ts=ts1, mor=mor)
+        # batch 2 re-normalizes overlapping identities (keep-first must NOT
+        # reset the enriched columns) and adds new pending rows
+        run_extract(store, MockAdapter(num_jobs=100), run_ts=ts2)
+        run_normalize(store, MockAdapter(), min_collected_at=ts2, run_ts=ts2, mor=mor)
+        run_enrich(store, run_ts=ts2, mor=mor)
+        # batch 2 fully overlaps batch 1's identities, so that enrich is a
+        # no-op (0 pending) — a forced full recompute exercises a SECOND
+        # enrich statement on top of the mixed stack in both layouts
+        run_enrich(store, run_ts=ts2, include_existing=True, mor=mor)
+        return store
+
+    cow = drive(tempfile.mkdtemp(prefix="jobspark_j6cow_"), mor=False)
+    mor = drive(tempfile.mkdtemp(prefix="jobspark_j6mor_"), mor=True)
+    # third arm: the 100 TB layout — bucketed base, same bit-identical view
+    bkt = drive(tempfile.mkdtemp(prefix="jobspark_j6bkt_"), mor=True, buckets=8)
+
+    # bit-identical across layouts, for BOTH tables the stage writes
+    assert canon(cow) == canon(mor)
+    assert canon(cow) == canon(bkt)
+    assert canon(cow, "staging_companies") == canon(mor, "staging_companies")
+    # bucketed compaction folds the same mixed stack partition-scoped
+    assert bkt.mor_compact("staging_job_postings") == 4
+    assert canon(cow) == canon(bkt)
+    st = mor.read("staging_job_postings")
+    assert st.where(F.col("seniority_enrichment_status") == "not_tried").count() == 0
+
+    # layout invariants: normalize batch 1 → delta 1, enrich 1 → delta 2,
+    # normalize batch 2 → delta 3, the no-op enrich lands NOTHING (an empty
+    # pending set must not grow the chain), the forced recompute → delta 4;
+    # base files written once at migration and NEVER rewritten by any run
+    assert mor.mor_deltas("staging_job_postings") == [1, 2, 3, 4]
+    base_glob = os.path.join(
+        mor.path("staging_job_postings"), "_mor", "base", "*.parquet"
+    )
+    base_mtimes = {f: os.path.getmtime(f) for f in glob.glob(base_glob)}
+
+    # the enrich deltas are O(pending) and carry ONLY the enricher columns
+    d2 = spark.read.parquet(
+        os.path.join(mor.path("staging_job_postings"), "_mor", "delta", "2")
+    )
+    assert set(d2.columns) == {
+        "hash_key", "skills_raw", "seniority_level", "seniority_enrichment_status",
+    }
+    assert os.path.exists(
+        os.path.join(
+            mor.path("staging_job_postings"), "_mor", "delta", "2", "_CLASSES.json"
+        )
+    )
+
+    # plain re-run: nothing pending → no new delta, view unchanged, and
+    # the base is still byte-untouched
+    before = canon(mor)
+    run_enrich(mor, run_ts=ts2, mor=True)
+    assert mor.mor_deltas("staging_job_postings") == [1, 2, 3, 4]
+    assert canon(mor) == before
+    assert {f: os.path.getmtime(f) for f in glob.glob(base_glob)} == base_mtimes
+
+    # compaction folds the mixed-statement stack; view unchanged
+    assert mor.mor_compact("staging_job_postings") >= 4
+    assert mor.mor_deltas("staging_job_postings") == []
+    assert canon(mor) == before
