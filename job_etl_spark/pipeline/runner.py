@@ -182,7 +182,7 @@ class TableStore:
             tmp = self._mor_dir(name, "base._tmp")
             self._mor_write_base(name, df, tmp, self._mor_meta(name))
             self._mor_swap_base(name, tmp)
-            self._mor_update_columns(name, df.columns)
+            self._mor_update_columns(name, df)
             return
         tmp = self.path(f"__tmp_{name}")
         df.write.mode("overwrite").parquet(tmp)
@@ -207,7 +207,7 @@ class TableStore:
         for name, tmp in tmps.items():
             if self.mor_exists(name):
                 self._mor_swap_base(name, tmp)
-                self._mor_update_columns(name, updates[name].columns)
+                self._mor_update_columns(name, updates[name])
             else:
                 self._swap_in(name, tmp)
 
@@ -392,7 +392,14 @@ class TableStore:
             df = df.where(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(
                 "_deleted"
             )
-        meta: dict = {"keys": list(keys), "columns": list(df.columns)}
+        meta: dict = {
+            "keys": list(keys),
+            "columns": list(df.columns),
+            # the authoritative base schema: bucketed bases NEED it (an
+            # empty partitionBy write leaves no footer to infer from) and
+            # every read skips footer inference with it
+            "schema": df.schema.json(),
+        }
         if policy is not None:
             meta["policy"] = {
                 "overwrite": list(policy.get("overwrite", ())),
@@ -535,9 +542,7 @@ class TableStore:
         (column, statement)-level class resolution the enricher's keyed
         UPDATE needs against the normalize policy."""
         meta = self._mor_meta(name)
-        if meta.get("buckets"):
-            self._mor_repair_buckets(name)
-        base = self.spark.read.parquet(self._mor_dir(name, "base"))
+        base = self._mor_read_base(name, meta)
         if meta.get("buckets"):
             # the partition column is a layout detail, not table schema
             base = base.select(*meta["columns"])
@@ -651,19 +656,42 @@ class TableStore:
         shutil.rmtree(old, ignore_errors=True)
         self.spark.catalog.refreshByPath(self._mor_dir(name, "base"))
 
-    def _mor_update_columns(self, name: str, columns: Sequence[str]) -> None:
+    def _mor_update_columns(self, name: str, df: DataFrame) -> None:
         """Record a base schema change (a stage-level rewrite may add or
         drop columns); atomic pointer-style _META replace."""
         import json
 
         meta = self._mor_meta(name)
-        if meta.get("columns") == list(columns):
+        schema_json = df.schema.json()
+        if meta.get("columns") == list(df.columns) and meta.get("schema") == schema_json:
             return
-        meta["columns"] = list(columns)
+        meta["columns"] = list(df.columns)
+        meta["schema"] = schema_json
         tmp = self._mor_dir(name, "_META.tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, self._mor_dir(name, "_META"))
+
+    def _mor_read_base(self, name: str, meta: dict) -> DataFrame:
+        """Base scan under the table's layout. The _META schema is
+        authoritative when present: an EMPTY bucketed base has no parquet
+        footer to infer from (partitionBy writes no files for zero rows),
+        and explicit schemas skip footer inference everywhere else. The
+        ``_bucket`` partition column is appended for bucketed layouts so
+        compaction can prune on it; plain reads select it away."""
+        import json as _json
+
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        if meta.get("buckets"):
+            self._mor_repair_buckets(name)
+        schema_json = meta.get("schema")
+        if schema_json is None:  # pre-r10 table: infer as before
+            return self.spark.read.parquet(self._mor_dir(name, "base"))
+        st = StructType.fromJson(_json.loads(schema_json))
+        if meta.get("buckets"):
+            st = StructType(st.fields + [StructField("_bucket", LongType())])
+        return self.spark.read.schema(st).parquet(self._mor_dir(name, "base"))
 
     def mor_compact(self, name: str) -> int:
         """Fold the delta stack into the base; returns the number of
@@ -711,7 +739,7 @@ class TableStore:
         # merged view restricted to the touched buckets: every delta key
         # hashes into one of them, so the full delta stack applies cleanly
         # to the filtered base and untouched buckets need no work at all
-        base = self.spark.read.parquet(self._mor_dir(name, "base"))
+        base = self._mor_read_base(name, meta)
         base = base.where(F.col("_bucket").isin([int(b) for b in touched])).select(
             *meta["columns"]
         )

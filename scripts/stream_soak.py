@@ -339,6 +339,146 @@ def soak_upsert(
     return _report(f"foreach_batch_{mode}", prog, extra)
 
 
+
+
+def soak_upsert_policy(
+    spark,
+    triggers: int,
+    rate: int,
+    workdir: Path,
+    seed_keys: int = 200_000,
+    compact_every: int = 10,
+) -> dict:
+    """Policy-fold streaming J3 soak (r9 verdict #6): each micro-batch is
+    a merge STATEMENT (overwrite updated_us / coalesce val / keep-first
+    first_val) landed as one MOR delta; the read folds the stack through
+    fold_upsert_batches. Measures per-trigger latency across a growing
+    base, kills and restarts the query mid-run (replay-after-kill must be
+    idempotent under the fold), bounds delta fan-in via compact_every, and
+    VALIDATES the final merged view against an append-only raw log of the
+    same batches: per key, updated_us == max(value), val == 0.5*max(value)
+    (latest statement wins both classes — values are never null), and
+    first_val == 0.5*min(value) (keep-first pins the first statement)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from job_etl_spark.pipeline.runner import TableStore
+    from job_etl_spark.streaming.pipeline import foreach_batch_mor
+
+    store = TableStore(spark, str(workdir / "upsert_policy"))
+    tname = "target"
+    policy = {"overwrite": ["updated_us"], "coalesce": ["val"], "keep_first": ["first_val"]}
+    seed = spark.range(seed_keys).select(
+        F.col("id").alias("key"),
+        (F.col("id") * 0.25).alias("val"),
+        (F.col("id") * 0.25).alias("first_val"),
+        F.lit(0).cast("long").alias("updated_us"),
+    )
+    mor_ingest = foreach_batch_mor(
+        store, tname, keys=["key"], compact_every=compact_every, policy=policy
+    )
+    mor_ingest(seed, -1)  # mor_init with the policy
+    logdir = str(workdir / "policy_log")
+
+    def ingest(batch_df, batch_id):
+        # raw log first (append-only; replays duplicate rows — the oracle
+        # dedups by value), then the policy upsert
+        batch_df.write.mode("append").parquet(logdir)
+        mor_ingest(batch_df, batch_id)
+
+    def stream():
+        updates = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", rate)
+            .load()
+            .select(
+                F.when(
+                    F.pmod("value", F.lit(10)) == 0,
+                    F.lit(seed_keys) + (F.col("value") / 10).cast("long"),
+                )
+                .otherwise(F.pmod("value", F.lit(seed_keys)))
+                .cast("long")
+                .alias("key"),
+                (F.col("value") * 0.5).cast("double").alias("val"),
+                (F.col("value") * 0.5).cast("double").alias("first_val"),
+                F.col("value").cast("long").alias("updated_us"),
+                F.col("value").alias("value"),
+            )
+        )
+        return (
+            updates.writeStream.foreachBatch(
+                lambda df, bid: ingest(df.drop("value"), bid)
+            )
+            .option("checkpointLocation", str(workdir / "policy_ckpt"))
+            .trigger(processingTime="1 second")
+            .start()
+        )
+
+    # segment 1, then a hard stop + restart from the checkpoint (replay)
+    q = stream()
+    prog1 = _drain_progress(q, max(triggers // 2, 2), timeout_s=triggers * 6 + 180)
+    q.stop()
+    q.awaitTermination(30)
+    q = stream()
+    prog2 = _drain_progress(q, triggers - len(prog1), timeout_s=triggers * 6 + 180)
+    q.stop()
+
+    # oracle over the deduped raw log (replay-duplicated rows collapse on
+    # the monotone rate value carried in updated_us). The FINAL q.stop()
+    # can cut ingest between the log append and the upsert; with no later
+    # restart that batch never replays, so compare against the view's
+    # committed prefix (statements commit in value order — everything at
+    # or below the view's max updated_us must have landed exactly).
+    view = store.read(tname)
+    vmax = view.agg(F.max("updated_us").alias("m")).collect()[0]["m"]
+    log = (
+        spark.read.parquet(logdir)
+        .dropDuplicates(["updated_us"])
+        .where(F.col("updated_us") <= vmax)
+    )
+    expect = log.groupBy("key").agg(
+        F.max("updated_us").alias("mx"), F.min("updated_us").alias("mn")
+    )
+    joined = view.join(expect, "key", "left")
+    bad_updated = joined.where(
+        F.col("mx").isNotNull() & (F.col("updated_us") != F.col("mx"))
+    ).count()
+    bad_val = joined.where(
+        F.col("mx").isNotNull() & (F.abs(F.col("val") - F.col("mx") * 0.5) > 1e-9)
+    ).count()
+    # keep-first: seeded keys pin the seed value; fresh keys pin their
+    # first statement
+    bad_first_seeded = joined.where(
+        (F.col("key") < seed_keys)
+        & F.col("mx").isNotNull()
+        & (F.abs(F.col("first_val") - F.col("key") * 0.25) > 1e-9)
+    ).count()
+    bad_first_fresh = joined.where(
+        (F.col("key") >= seed_keys)
+        & (F.abs(F.col("first_val") - F.col("mn") * 0.5) > 1e-9)
+    ).count()
+    missing = expect.join(view.select("key"), "key", "left_anti").count()
+    files = len(
+        glob.glob(str(workdir / "upsert_policy" / tname / "**" / "*.parquet"), recursive=True)
+    )
+    extra = {
+        "rate_rows_per_sec": rate,
+        "seed_keys": seed_keys,
+        "final_rows": view.count(),
+        "parquet_files": files,
+        "compact_every": compact_every,
+        "deltas_now": len(store.mor_deltas(tname)),
+        "restart_replay": True,
+        "oracle_bad_updated": bad_updated,
+        "oracle_bad_val": bad_val,
+        "oracle_bad_first_seeded": bad_first_seeded,
+        "oracle_bad_first_fresh": bad_first_fresh,
+        "oracle_missing_keys": missing,
+    }
+    return _report("foreach_batch_mor_policy", prog1 + prog2, extra)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--triggers", type=int, default=50)
@@ -347,7 +487,7 @@ def main() -> None:
     ap.add_argument("--users", type=int, default=1000)
     ap.add_argument(
         "--only",
-        choices=["ewma", "lsh", "sessionize", "merge", "mor"],
+        choices=["ewma", "lsh", "sessionize", "merge", "mor", "mor_policy"],
         default=None,
     )
     ap.add_argument("--compact-every", type=int, default=None)
@@ -396,6 +536,15 @@ def main() -> None:
                 args.upsert_rate,
                 workdir,
                 "mor",
+                seed_keys=args.seed_keys,
+                compact_every=args.compact_every or 10,
+            )
+        if args.only in (None, "mor_policy"):
+            soak_upsert_policy(
+                spark,
+                args.triggers,
+                args.upsert_rate,
+                workdir,
                 seed_keys=args.seed_keys,
                 compact_every=args.compact_every or 10,
             )
