@@ -817,7 +817,11 @@ def run_normalize(
         raw = raw.orderBy(F.desc("collected_at"), F.asc("raw_id")).limit(limit)
     common = common_from_raw(raw, adapter)
     res = normalize_common(common, run_ts)
-    n_ok = res.normalized.count()
+    # the batch plan is executed twice (row count for the stats/exit-code
+    # contract, then the write) — pin it so the raw scan + normalize
+    # expressions run once, not per action
+    normalized = res.normalized.persist()
+    n_ok = normalized.count()
     n_bad = res.rejected.count()
     if not dry_run:
         if mor:
@@ -832,15 +836,16 @@ def run_normalize(
                     buckets=mor_buckets,
                 )
             if n_ok:  # an empty batch must not grow the delta chain
-                store.mor_upsert("staging_job_postings", res.normalized)
+                store.mor_upsert("staging_job_postings", normalized)
                 if compact_every and len(
                     store.mor_deltas("staging_job_postings")
                 ) >= compact_every:
                     store.mor_compact("staging_job_postings")
         else:
             staging = store.read("staging_job_postings", STAGING_SCHEMA)
-            merged = merge_into_staging(staging, res.normalized)
+            merged = merge_into_staging(staging, normalized)
             store.rewrite("staging_job_postings", merged)
+    normalized.unpersist()
     return {"normalized": n_ok, "rejected": n_bad, "dry_run": dry_run}
 
 
@@ -945,7 +950,7 @@ def run_enrich(
                 "skills_raw",
                 "seniority_level",
                 "seniority_enrichment_status",
-            )
+            ).persist()  # count + write: run the pending scan + regex once
             n_pending = delta.count()
             stats["enriched_rows"] = n_pending
             if n_pending:
@@ -960,6 +965,7 @@ def run_enrich(
                         ]
                     },
                 )
+            delta.unpersist()
             # companies2's plan reads the staging view lazily, but a delta
             # APPEND never invalidates already-listed files — only the
             # 1-in-N compaction swaps the base, so compact strictly last
