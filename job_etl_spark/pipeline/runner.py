@@ -889,12 +889,15 @@ def run_enrich(
         )
     staging = store.read("staging_job_postings", STAGING_SCHEMA)
     dictionary = SkillsDictionary.load(dictionary_path)
-    before_pending = staging.where(
-        F.col("seniority_enrichment_status") == "not_tried"
-    ).count()
+    pending_rows = None
     if mor:
         # the pending subset: exactly the rows either enrichment phase
-        # would touch (S6 skills predicate ∪ S7 seniority-pending)
+        # would touch (S6 skills predicate ∪ S7 seniority-pending).
+        # Materialize it ONCE — the before_pending stat, the enrich
+        # expressions, the delta count, and the delta write all run over
+        # the pinned subset instead of re-scanning the table per action
+        # (the probe showed the stat scan costing as much as the write
+        # savings at 3M rows).
         skills_cond = F.col("description").isNotNull()
         if not include_existing:
             skills_cond = skills_cond & (
@@ -904,10 +907,16 @@ def run_enrich(
             skills_cond = skills_cond & F.col("source").isin(sources)
         pending_rows = staging.where(
             skills_cond | (F.col("seniority_enrichment_status") == "not_tried")
-        )
+        ).persist()
+        before_pending = pending_rows.where(
+            F.col("seniority_enrichment_status") == "not_tried"
+        ).count()
         enriched = enrich_skills(pending_rows, dictionary, sources, include_existing)
         enriched = enrich_seniority(enriched)
     else:
+        before_pending = staging.where(
+            F.col("seniority_enrichment_status") == "not_tried"
+        ).count()
         enriched = enrich_skills(staging, dictionary, sources, include_existing)
         enriched = enrich_seniority(enriched)
     from job_etl_spark.schema import StructType  # noqa: F401
@@ -945,12 +954,13 @@ def run_enrich(
             # OVERWRITE per-statement classes (the table policy keeps them
             # keep-first for normalize statements). Empty pending must not
             # grow the delta chain.
+            # (count + write both run over the pinned pending subset)
             delta = enriched.select(
                 "hash_key",
                 "skills_raw",
                 "seniority_level",
                 "seniority_enrichment_status",
-            ).persist()  # count + write: run the pending scan + regex once
+            )
             n_pending = delta.count()
             stats["enriched_rows"] = n_pending
             if n_pending:
@@ -965,7 +975,6 @@ def run_enrich(
                         ]
                     },
                 )
-            delta.unpersist()
             # companies2's plan reads the staging view lazily, but a delta
             # APPEND never invalidates already-listed files — only the
             # 1-in-N compaction swaps the base, so compact strictly last
@@ -982,6 +991,8 @@ def run_enrich(
                 {"staging_job_postings": enriched, "staging_companies": companies2}
             )
             stats["companies_total"] = store.read("staging_companies").count()
+    if pending_rows is not None:
+        pending_rows.unpersist()
     return stats
 
 
