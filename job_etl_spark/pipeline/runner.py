@@ -1048,7 +1048,9 @@ def run_rank(
     to_rank = fact.where(target)
     if limit:
         to_rank = to_rank.orderBy(F.desc("ingested_at"), F.asc("hash_key")).limit(limit)
-    ranked = rank_jobs(to_rank, None, cfg)
+    # count + write(s) re-execute the scoring plan otherwise (the COW arm
+    # reads it twice more: key anti-join + the union) — pin it once
+    ranked = rank_jobs(to_rank, None, cfg).persist()
     n = ranked.count()
     if not dry_run:
         if mor:
@@ -1065,6 +1067,7 @@ def run_rank(
         # store.read is MOR-aware, so downstream stages and these stats
         # see the merged view regardless of write-back strategy
         stats = report_mod.ranking_stats(store.read("fact_jobs"))
+    ranked.unpersist()
     return {"ranked_now": n, "dry_run": dry_run, **stats}
 
 
