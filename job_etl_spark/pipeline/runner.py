@@ -1130,20 +1130,26 @@ def run_pipeline(
     warehouse: str | None = None,
     num_jobs: int = 100,
     run_ts=None,
+    mor: bool = False,
+    mor_buckets: int | None = None,
 ) -> dict:
     """The full DAG slice on the mock source — SURVEY.md §7.1's 'one real
-    query' end-to-end."""
+    query' end-to-end. ``mor=True`` runs every mutable write-back
+    (normalize/enrich/rank) through the merge-on-read layout — the 100 TB
+    configuration — with ``mor_buckets`` selecting the bucketed base."""
     warehouse = warehouse or tempfile.mkdtemp(prefix="jobspark_wh_")
     run_ts = run_ts or dt.datetime(2026, 1, 1, 7, 0, 0)
     store = TableStore(spark, warehouse)
     adapter = MockAdapter(num_jobs=num_jobs)
     stats: dict = {"warehouse": warehouse}
     stats["extract"] = run_extract(store, adapter, run_ts=run_ts)
-    stats["normalize"] = run_normalize(store, adapter, run_ts=run_ts)
-    stats["enrich"] = run_enrich(store, run_ts=run_ts)
+    stats["normalize"] = run_normalize(
+        store, adapter, run_ts=run_ts, mor=mor, mor_buckets=mor_buckets
+    )
+    stats["enrich"] = run_enrich(store, run_ts=run_ts, mor=mor, mor_buckets=mor_buckets)
     stats["marts"] = run_marts(store, run_ts=run_ts)
     stats["dedupe"] = run_dedupe_report(store)
-    stats["rank"] = run_rank(store, RankingConfig())
+    stats["rank"] = run_rank(store, RankingConfig(), mor=mor, mor_buckets=mor_buckets)
     stats["dq"] = {r.name: r.violations for r in run_dq(store)}
     digest = report_mod.daily_digest(store.read("fact_jobs"), store.read("dim_companies"))
     stats["digest_unique_jobs"] = digest["unique_jobs"]
@@ -1296,7 +1302,10 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps(row.asDict(), default=str))
             return 0
         if args.stage == "pipeline":
-            stats = run_pipeline(spark, args.warehouse, num_jobs=args.num_jobs)
+            stats = run_pipeline(
+                spark, args.warehouse, num_jobs=args.num_jobs,
+                mor=args.mor, mor_buckets=args.mor_buckets,
+            )
         else:
             if not args.warehouse:
                 print(json.dumps({"error": "--warehouse required"}), file=sys.stderr)

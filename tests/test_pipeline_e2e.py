@@ -495,3 +495,30 @@ def test_enrich_writeback_via_mor(spark):
     assert mor.mor_compact("staging_job_postings") >= 4
     assert mor.mor_deltas("staging_job_postings") == []
     assert canon(mor) == before
+
+
+def test_full_pipeline_mor_mode(spark):
+    """run_pipeline(mor=True, mor_buckets=N) — every mutable write-back
+    (normalize/enrich/rank) through the bucketed merge-on-read layout —
+    produces bit-identical tables to the COW pipeline, and the mutable
+    tables really are in the MOR layout afterwards."""
+    def canon(wh, table):
+        store = TableStore(spark, wh)
+        df = store.read(table)
+        rows = [
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in df.select(*sorted(df.columns)).collect()
+        ]
+        return sorted(rows, key=repr)
+
+    wh_cow = tempfile.mkdtemp(prefix="jobspark_pipecow_")
+    wh_mor = tempfile.mkdtemp(prefix="jobspark_pipemor_")
+    s_cow = run_pipeline(spark, wh_cow, num_jobs=80)
+    s_mor = run_pipeline(spark, wh_mor, num_jobs=80, mor=True, mor_buckets=8)
+    assert s_cow["rank"]["ranked_now"] == s_mor["rank"]["ranked_now"]
+    for table in ("staging_job_postings", "fact_jobs", "dim_companies"):
+        assert canon(wh_cow, table) == canon(wh_mor, table), table
+    store = TableStore(spark, wh_mor)
+    assert store.mor_exists("staging_job_postings")
+    assert store.mor_exists("fact_jobs")
+    assert store._mor_meta("staging_job_postings").get("buckets") == 8
