@@ -497,17 +497,30 @@ class TableStore:
         # Distinct over a STRUCT of the keys: the struct is non-null even
         # when a key field is null, so null-keyed rows count too.
         landed = self.spark.read.parquet(tmp)
-        dup = landed.agg(
+        null_key = None
+        for k in keys:
+            c = F.col(k).isNull()
+            null_key = c if null_key is None else (null_key | c)
+        checks = landed.agg(
             (
                 F.count(F.lit(1))
                 - F.count_distinct(F.struct(*[F.col(k) for k in keys]))
-            ).alias("d")
-        ).collect()[0]["d"]
-        if dup:
+            ).alias("d"),
+            F.count(F.when(null_key, 1)).alias("nk"),
+        ).collect()[0]
+        if checks["d"] or checks["nk"]:
             shutil.rmtree(tmp, ignore_errors=True)
+            if checks["nk"]:
+                # the reference's conflict target is a PRIMARY KEY — null
+                # keys can't exist there, and the fold would group them
+                # while a sequential COW chain inserts one row per batch
+                raise ValueError(
+                    f"mor_upsert({name!r}): batch has {checks['nk']} "
+                    "null-keyed row(s); delta statements require non-null keys"
+                )
             raise ValueError(
-                f"mor_upsert({name!r}): batch has {dup} duplicate key row(s); "
-                "a delta is a statement (at most one row per key per batch)"
+                f"mor_upsert({name!r}): batch has {checks['d']} duplicate key "
+                "row(s); a delta is a statement (at most one row per key per batch)"
             )
         if classes is not None:
             import json
@@ -877,7 +890,8 @@ def run_enrich(
     O(table); the read folds mixed normalize/enrich statements through
     ``fold_upsert_statements`` bit-identically to the COW chain."""
     run_ts = run_ts or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-    if mor and not store.mor_exists("staging_job_postings"):
+    # a dry run must not mutate ANYTHING, the layout included
+    if mor and not dry_run and not store.mor_exists("staging_job_postings"):
         from job_etl_spark.pipeline.normalize import staging_merge_policy
 
         store.mor_init(
@@ -1037,7 +1051,8 @@ def run_rank(
     ``mor=True`` call migrates the COW files into the MOR layout.
     """
     cfg = config or RankingConfig()
-    if mor and not store.mor_exists("fact_jobs"):
+    # a dry run must not mutate ANYTHING, the layout included
+    if mor and not dry_run and not store.mor_exists("fact_jobs"):
         store.mor_init(
             "fact_jobs", store.read("fact_jobs"), ["hash_key"], buckets=mor_buckets
         )

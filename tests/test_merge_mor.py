@@ -562,3 +562,48 @@ def test_bucketed_mor_rewrite_and_repair(spark, tmp_path):
     shutil.copytree(victim, os.path.join(basedir, "._old" + dirs[0]))
     assert store.read("t").count() == 100  # repaired: debris dropped
     assert not os.path.exists(os.path.join(basedir, "._old" + dirs[0]))
+
+
+def test_mor_upsert_rejects_null_keys(spark, tmp_path):
+    """Null-keyed delta rows are refused: the reference's conflict target
+    is a PRIMARY KEY, and the fold would group null keys while sequential
+    COW inserts one per batch — fail loudly instead of diverging."""
+    import pytest
+
+    from job_etl_spark.pipeline.runner import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    df = spark.range(3).selectExpr("cast(id as string) k", "'v' v")
+    store.write("t", df)
+    store.mor_init("t", store.read("t"), ["k"])
+    bad = spark.createDataFrame([(None, "x"), ("9", "y")], "k string, v string")
+    with pytest.raises(ValueError, match="null-keyed"):
+        store.mor_upsert("t", bad)
+    assert store.mor_deltas("t") == []
+
+
+def test_mor_stages_dry_run_is_pure(spark, tmp_path):
+    """run_enrich/run_rank with mor=True + dry_run=True must not migrate
+    the table layout (a dry run mutates nothing)."""
+    import datetime as dt
+
+    from job_etl_spark.pipeline.runner import (
+        TableStore,
+        run_enrich,
+        run_extract,
+        run_marts,
+        run_normalize,
+        run_rank,
+    )
+    from job_etl_spark.sources.mock_adapter import MockAdapter
+
+    store = TableStore(spark, str(tmp_path))
+    ts = dt.datetime(2026, 3, 1, 7, 0, 0)
+    run_extract(store, MockAdapter(num_jobs=20), run_ts=ts)
+    run_normalize(store, MockAdapter(), run_ts=ts)
+    stats = run_enrich(store, run_ts=ts, mor=True, dry_run=True)
+    assert stats["dry_run"] and not store.mor_exists("staging_job_postings")
+    run_enrich(store, run_ts=ts)
+    run_marts(store, run_ts=ts)
+    stats = run_rank(store, rank_all=True, mor=True, dry_run=True)
+    assert stats["dry_run"] and not store.mor_exists("fact_jobs")
