@@ -488,9 +488,13 @@ class TableStore:
         seq = (self.mor_deltas(name) or [0])[-1] + 1
         final = self._mor_dir(name, "delta", str(seq))
         tmp = final + ".tmp"
+        import glob as _glob
         import shutil
 
-        shutil.rmtree(tmp, ignore_errors=True)  # stale crash leftovers
+        # sweep ALL stale .tmp deltas (a crash before rename can leave one
+        # under any seq number; they are invisible to readers, but debris)
+        for stale in _glob.glob(self._mor_dir(name, "delta", "*.tmp")):
+            shutil.rmtree(stale, ignore_errors=True)
         df.write.mode("overwrite").parquet(tmp)
         # check the LANDED files, not df's lineage: one cheap key-column
         # scan (column pruning) instead of recomputing an arbitrary plan.
