@@ -19,6 +19,7 @@ import os
 import sys
 import tempfile
 from collections.abc import Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -179,10 +180,11 @@ class TableStore:
         a stage-level rewrite (marts, enrich) never forks the table back
         into a COW layout the MOR readers would miss."""
         if self.mor_exists(name):
-            tmp = self._mor_dir(name, "base._tmp")
-            self._mor_write_base(name, df, tmp, self._mor_meta(name))
-            self._mor_swap_base(name, tmp)
-            self._mor_update_columns(name, df)
+            with self._mor_writer_lock(name):
+                tmp = self._mor_dir(name, "base._tmp")
+                self._mor_write_base(name, df, tmp, self._mor_meta(name))
+                self._mor_swap_base(name, tmp)
+                self._mor_update_columns(name, df)
             return
         tmp = self.path(f"__tmp_{name}")
         df.write.mode("overwrite").parquet(tmp)
@@ -206,8 +208,9 @@ class TableStore:
             tmps[name] = tmp
         for name, tmp in tmps.items():
             if self.mor_exists(name):
-                self._mor_swap_base(name, tmp)
-                self._mor_update_columns(name, updates[name])
+                with self._mor_writer_lock(name):
+                    self._mor_swap_base(name, tmp)
+                    self._mor_update_columns(name, updates[name])
             else:
                 self._swap_in(name, tmp)
 
@@ -301,6 +304,38 @@ class TableStore:
     def mor_exists(self, name: str) -> bool:
         return os.path.exists(self._mor_dir(name, "_META"))
 
+    @contextmanager
+    def _mor_writer_lock(self, name: str):
+        """Enforce the single-writer contract on a MOR table's mutating
+        surface (init / upsert / compact / base rewrite). The reference's
+        orchestration runs each table's writer with ``max_active_runs=1``
+        (airflow/dags/jobs_etl_daily.py), so a second concurrent writer is
+        a deployment error — it must FAIL LOUDLY, not queue and not
+        silently sweep the first writer's in-flight tmp dirs. ``flock`` on
+        ``_mor/_LOCK``, non-blocking: the OS releases it if the holder
+        dies, so a crashed writer never wedges the table. Local-FS
+        semantics; an object-store deployment swaps this seam for a lease
+        (the same seam note as ``_swap_in``). Readers never take the lock:
+        ``mor_read`` is safe against a concurrent upsert (delta register
+        is one atomic rename) — only compaction/base-swaps additionally
+        assume no concurrent reader mid-swap (see ``mor_compact``)."""
+        import fcntl
+
+        os.makedirs(self._mor_dir(name), exist_ok=True)
+        fd = os.open(self._mor_dir(name, "_LOCK"), os.O_CREAT | os.O_RDWR)
+        try:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                raise ValueError(
+                    f"MOR table {name!r} has a concurrent writer (lock "
+                    "_mor/_LOCK is held); MOR tables are single-writer — "
+                    "serialize the callers (max_active_runs=1)"
+                )
+            yield
+        finally:
+            os.close(fd)  # closing the fd releases the flock
+
     def _mor_bucket_expr(self, meta: dict):
         """Stable key→bucket assignment (xxhash64 is a fixed algorithm, so
         the mapping survives restarts and Spark upgrades)."""
@@ -312,7 +347,17 @@ class TableStore:
         """Materialize a (new) base under the table's layout: bucketed
         tables hash-partition by ``_bucket`` (one dir per touched bucket,
         repartitioned so each bucket lands as ~one file), plain tables
-        write flat."""
+        write flat.
+
+        The authoritative column list + schema ride INSIDE the base dir
+        as a ``_SCHEMA.json`` sidecar (underscore prefix — invisible to
+        Spark's file listing), so the single base-swap rename publishes
+        data and schema atomically: a crash between the swap and the
+        _META convenience update can no longer leave new base files read
+        under a stale explicit schema (added columns vanishing, dropped
+        columns reading as null)."""
+        import json
+
         if meta.get("buckets"):
             (
                 df.withColumn("_bucket", self._mor_bucket_expr(meta))
@@ -323,7 +368,23 @@ class TableStore:
             )
         else:
             df.write.mode("overwrite").parquet(dest)
+        with open(os.path.join(dest, "_SCHEMA.json"), "w") as f:
+            json.dump({"columns": list(df.columns), "schema": df.schema.json()}, f)
         self.spark.catalog.refreshByPath(dest)
+
+    def _mor_base_info(self, name: str, meta: dict) -> dict:
+        """Resolve the base's authoritative ``{"columns", "schema"}``: the
+        in-base ``_SCHEMA.json`` sidecar when present (committed atomically
+        WITH the data by the base-swap rename), else the _META copy
+        (pre-sidecar tables)."""
+        import json
+
+        side = self._mor_dir(name, "base", "_SCHEMA.json")
+        try:
+            with open(side) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"columns": meta.get("columns"), "schema": meta.get("schema")}
 
     def _mor_repair_buckets(self, name: str) -> None:
         """Finish or roll back a bucket swap interrupted mid-rename: a
@@ -350,6 +411,19 @@ class TableStore:
                 os.rename(old, live)
 
     def mor_init(
+        self,
+        name: str,
+        df: DataFrame,
+        keys: Sequence[str],
+        policy: dict | None = None,
+        buckets: int | None = None,
+    ) -> None:
+        """Single-writer-locked entry point for ``_mor_init_locked``
+        (the concurrency contract lives on ``_mor_writer_lock``)."""
+        with self._mor_writer_lock(name):
+            self._mor_init_locked(name, df, keys, policy, buckets)
+
+    def _mor_init_locked(
         self,
         name: str,
         df: DataFrame,
@@ -435,6 +509,39 @@ class TableStore:
                 os.remove(full)
         self.spark.catalog.refreshByPath(self.path(name))
 
+    def mor_set_policy(self, name: str, policy: dict) -> None:
+        """Upgrade a latest-wins MOR table to a policy table (e.g. a
+        fact_jobs migrated before the marts stage learned MOR). The
+        existing delta stack folds into the base FIRST, under the
+        semantics it was written with (latest-wins), so the policy only
+        ever governs deltas landed after the upgrade — no historical
+        statement is reinterpreted. Changing an EXISTING policy is
+        refused: old deltas' classes would silently change meaning
+        (per-statement overrides are the supported path for that)."""
+        import json
+
+        with self._mor_writer_lock(name):
+            meta = self._mor_meta(name)
+            if meta.get("policy") is not None:
+                if meta["policy"] == {
+                    k: list(policy.get(k, ())) for k in ("overwrite", "coalesce", "keep_first")
+                }:
+                    return
+                raise ValueError(
+                    f"MOR table {name!r} already has a different policy; "
+                    "reinterpreting landed deltas is not supported"
+                )
+            self._mor_compact_locked(name)
+            meta["policy"] = {
+                "overwrite": list(policy.get("overwrite", ())),
+                "coalesce": list(policy.get("coalesce", ())),
+                "keep_first": list(policy.get("keep_first", ())),
+            }
+            tmp = self._mor_dir(name, "_META.tmp")
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, self._mor_dir(name, "_META"))
+
     def mor_deltas(self, name: str) -> list[int]:
         import glob
 
@@ -445,6 +552,14 @@ class TableStore:
         )
 
     def mor_upsert(self, name: str, df: DataFrame, classes: dict | None = None) -> int:
+        """Single-writer-locked entry point for ``_mor_upsert_locked``
+        (the concurrency contract lives on ``_mor_writer_lock``)."""
+        with self._mor_writer_lock(name):
+            return self._mor_upsert_locked(name, df, classes)
+
+    def _mor_upsert_locked(
+        self, name: str, df: DataFrame, classes: dict | None = None
+    ) -> int:
         """Land one batch as the next delta. Rows may carry a boolean
         ``_deleted`` tombstone column; within a batch the caller provides
         at most one row per key (the batch is a statement, not a log) —
@@ -462,10 +577,13 @@ class TableStore:
         policy tables accept overrides; columns not named keep the table
         policy's class.
 
-        Crash contract: the batch lands in ``delta/<seq>.tmp`` (invisible
-        to ``mor_deltas``), is validated, gets its ``_CLASSES.json``
-        sidecar, and registers via one atomic rename — a crash anywhere
-        before the rename leaves no half-visible delta."""
+        Crash contract: the batch lands in ``delta/<seq>.tmp.<pid>``
+        (invisible to ``mor_deltas``), is validated, gets its
+        ``_CLASSES.json`` sidecar, and registers via one atomic rename —
+        a crash anywhere before the rename leaves no half-visible delta,
+        and the next writer sweeps the debris (own-pid-dead check only;
+        see the sweep comment below). Concurrency: single-writer, lock-
+        enforced (``_mor_writer_lock``)."""
         meta = self._mor_meta(name)
         keys = meta["keys"]
         if classes is not None:
@@ -487,13 +605,26 @@ class TableStore:
                 raise ValueError("key columns cannot be classified")
         seq = (self.mor_deltas(name) or [0])[-1] + 1
         final = self._mor_dir(name, "delta", str(seq))
-        tmp = final + ".tmp"
+        # pid-stamped tmp: defense-in-depth under the writer lock — even a
+        # writer that bypasses the lock (older code, operator error) can't
+        # have its in-flight dir swept, because the sweep only removes tmp
+        # dirs whose stamped owner process is DEAD (plus pre-r11 unstamped
+        # ones, which no live writer can own under this code).
+        tmp = f"{final}.tmp.{os.getpid()}"
         import glob as _glob
         import shutil
 
-        # sweep ALL stale .tmp deltas (a crash before rename can leave one
-        # under any seq number; they are invisible to readers, but debris)
-        for stale in _glob.glob(self._mor_dir(name, "delta", "*.tmp")):
+        for stale in _glob.glob(self._mor_dir(name, "delta", "*.tmp*")):
+            suffix = stale.rsplit(".tmp", 1)[1]
+            pid = int(suffix[1:]) if suffix.startswith(".") and suffix[1:].isdigit() else None
+            if pid is not None and pid != os.getpid():
+                try:
+                    os.kill(pid, 0)  # signal 0: existence probe only
+                    continue  # owner alive — never sweep a live writer
+                except ProcessLookupError:
+                    pass
+                except PermissionError:
+                    continue  # exists under another uid — leave it
             shutil.rmtree(stale, ignore_errors=True)
         df.write.mode("overwrite").parquet(tmp)
         # check the LANDED files, not df's lineage: one cheap key-column
@@ -562,7 +693,7 @@ class TableStore:
         base = self._mor_read_base(name, meta)
         if meta.get("buckets"):
             # the partition column is a layout detail, not table schema
-            base = base.select(*meta["columns"])
+            base = base.select(*self._mor_base_info(name, meta)["columns"])
         seqs = self.mor_deltas(name)
         if not seqs:
             return base
@@ -690,19 +821,21 @@ class TableStore:
         os.replace(tmp, self._mor_dir(name, "_META"))
 
     def _mor_read_base(self, name: str, meta: dict) -> DataFrame:
-        """Base scan under the table's layout. The _META schema is
-        authoritative when present: an EMPTY bucketed base has no parquet
-        footer to infer from (partitionBy writes no files for zero rows),
-        and explicit schemas skip footer inference everywhere else. The
-        ``_bucket`` partition column is appended for bucketed layouts so
-        compaction can prune on it; plain reads select it away."""
+        """Base scan under the table's layout. The explicit schema is
+        authoritative when present (the in-base ``_SCHEMA.json`` sidecar,
+        falling back to _META for pre-sidecar tables): an EMPTY bucketed
+        base has no parquet footer to infer from (partitionBy writes no
+        files for zero rows), and explicit schemas skip footer inference
+        everywhere else. The ``_bucket`` partition column is appended for
+        bucketed layouts so compaction can prune on it; plain reads
+        select it away."""
         import json as _json
 
         from pyspark.sql.types import LongType, StructField, StructType
 
         if meta.get("buckets"):
             self._mor_repair_buckets(name)
-        schema_json = meta.get("schema")
+        schema_json = self._mor_base_info(name, meta).get("schema")
         if schema_json is None:  # pre-r10 table: infer as before
             return self.spark.read.parquet(self._mor_dir(name, "base"))
         st = StructType.fromJson(_json.loads(schema_json))
@@ -711,6 +844,12 @@ class TableStore:
         return self.spark.read.schema(st).parquet(self._mor_dir(name, "base"))
 
     def mor_compact(self, name: str) -> int:
+        """Single-writer-locked entry point for ``_mor_compact_locked``
+        (the concurrency contract lives on ``_mor_writer_lock``)."""
+        with self._mor_writer_lock(name):
+            return self._mor_compact_locked(name)
+
+    def _mor_compact_locked(self, name: str) -> int:
         """Fold the delta stack into the base; returns the number of
         deltas folded. Readers before the swap see the old base+deltas,
         after it the new base — both are the same merged view.
@@ -724,7 +863,19 @@ class TableStore:
         point is repaired by ``_mor_repair_buckets`` (run before every
         read), and because each delta is a merge STATEMENT the fold is
         idempotent over its own result — re-applying the surviving deltas
-        to an already-compacted bucket reproduces the same rows."""
+        to an already-compacted bucket reproduces the same rows.
+
+        Concurrency contract (matches the enrich-stage ordering comment
+        for the flat path): compaction is CRASH-safe but not concurrent-
+        READER-safe — between a bucket's rename-away and rename-in a plan
+        built at that instant sees the bucket missing, and the delta dirs
+        are removed while a plan built before the compaction may still
+        list them. Run compaction only from the single writer, ordered
+        strictly after any same-process reads have executed (the DAG's
+        stage ordering guarantees this; ad-hoc readers must not overlap a
+        compaction). Cross-process mutual exclusion of WRITERS is
+        enforced by ``_mor_writer_lock``; reader fencing at 100 TB is the
+        snapshot-isolation seam a Delta/Iceberg commit log would fill."""
         seqs = self.mor_deltas(name)
         if not seqs:
             return 0
@@ -758,7 +909,7 @@ class TableStore:
         # to the filtered base and untouched buckets need no work at all
         base = self._mor_read_base(name, meta)
         base = base.where(F.col("_bucket").isin([int(b) for b in touched])).select(
-            *meta["columns"]
+            *self._mor_base_info(name, meta)["columns"]
         )
         merged = self._mor_apply_deltas(name, meta, base, seqs)
         tmp = self._mor_dir(name, "base._tmp")
@@ -838,31 +989,35 @@ def run_normalize(
     # contract, then the write) — pin it so the raw scan + normalize
     # expressions run once, not per action
     normalized = res.normalized.persist()
-    n_ok = normalized.count()
-    n_bad = res.rejected.count()
-    if not dry_run:
-        if mor:
-            from job_etl_spark.pipeline.normalize import staging_merge_policy
+    # try/finally: mor_upsert can raise (duplicate/null keys) — the cached
+    # blocks must not outlive the stage on the error path
+    try:
+        n_ok = normalized.count()
+        n_bad = res.rejected.count()
+        if not dry_run:
+            if mor:
+                from job_etl_spark.pipeline.normalize import staging_merge_policy
 
-            if not store.mor_exists("staging_job_postings"):
-                store.mor_init(
-                    "staging_job_postings",
-                    store.read("staging_job_postings", STAGING_SCHEMA),
-                    ["hash_key"],
-                    policy=staging_merge_policy(),
-                    buckets=mor_buckets,
-                )
-            if n_ok:  # an empty batch must not grow the delta chain
-                store.mor_upsert("staging_job_postings", normalized)
-                if compact_every and len(
-                    store.mor_deltas("staging_job_postings")
-                ) >= compact_every:
-                    store.mor_compact("staging_job_postings")
-        else:
-            staging = store.read("staging_job_postings", STAGING_SCHEMA)
-            merged = merge_into_staging(staging, normalized)
-            store.rewrite("staging_job_postings", merged)
-    normalized.unpersist()
+                if not store.mor_exists("staging_job_postings"):
+                    store.mor_init(
+                        "staging_job_postings",
+                        store.read("staging_job_postings", STAGING_SCHEMA),
+                        ["hash_key"],
+                        policy=staging_merge_policy(),
+                        buckets=mor_buckets,
+                    )
+                if n_ok:  # an empty batch must not grow the delta chain
+                    store.mor_upsert("staging_job_postings", normalized)
+                    if compact_every and len(
+                        store.mor_deltas("staging_job_postings")
+                    ) >= compact_every:
+                        store.mor_compact("staging_job_postings")
+            else:
+                staging = store.read("staging_job_postings", STAGING_SCHEMA)
+                merged = merge_into_staging(staging, normalized)
+                store.rewrite("staging_job_postings", merged)
+    finally:
+        normalized.unpersist()
     return {"normalized": n_ok, "rejected": n_bad, "dry_run": dry_run}
 
 
@@ -908,113 +1063,169 @@ def run_enrich(
     staging = store.read("staging_job_postings", STAGING_SCHEMA)
     dictionary = SkillsDictionary.load(dictionary_path)
     pending_rows = None
-    if mor:
-        # the pending subset: exactly the rows either enrichment phase
-        # would touch (S6 skills predicate ∪ S7 seniority-pending).
-        # Materialize it ONCE — the before_pending stat, the enrich
-        # expressions, the delta count, and the delta write all run over
-        # the pinned subset instead of re-scanning the table per action
-        # (the probe showed the stat scan costing as much as the write
-        # savings at 3M rows).
-        skills_cond = F.col("description").isNotNull()
-        if not include_existing:
-            skills_cond = skills_cond & (
-                F.col("skills_raw").isNull() | (F.size("skills_raw") == 0)
-            )
-        if sources:
-            skills_cond = skills_cond & F.col("source").isin(sources)
-        pending_rows = staging.where(
-            skills_cond | (F.col("seniority_enrichment_status") == "not_tried")
-        ).persist()
-        before_pending = pending_rows.where(
-            F.col("seniority_enrichment_status") == "not_tried"
-        ).count()
-        enriched = enrich_skills(pending_rows, dictionary, sources, include_existing)
-        enriched = enrich_seniority(enriched)
-    else:
-        before_pending = staging.where(
-            F.col("seniority_enrichment_status") == "not_tried"
-        ).count()
-        enriched = enrich_skills(staging, dictionary, sources, include_existing)
-        enriched = enrich_seniority(enriched)
-    from job_etl_spark.schema import StructType  # noqa: F401
-
-    companies_schema = (
-        "company_id string, name string, source_first_seen string, "
-        "enriched_at timestamp, created_at timestamp, updated_at timestamp"
-    )
-    companies = store.read("staging_companies", companies_schema)
-    # company seeding scans ALL distinct staging companies (J4 over the
-    # whole table), not just the pending rows — in MOR mode `enriched` is
-    # pending-only, so seed from the full merged view
-    companies2 = seed_company_records(companies, staging if mor else enriched, run_ts)
-    stats = {
-        "seniority_pending_before": before_pending,
-        "dry_run": dry_run,
-    }
-    # company enrichment sub-phase (U6/J5/S13): runs when a cached
-    # candidates table exists (offline snapshot of per-name API results);
-    # matched + unmatched pending rows both get enriched_at stamped
-    if store.exists("company_candidates"):
-        from job_etl_spark.pipeline.company_match import (
-            apply_company_matches,
-            match_companies,
-        )
-
-        candidates = store.read("company_candidates")
-        matches = match_companies(companies2, candidates)
-        n_matched = matches.where(F.col("candidate_name").isNotNull()).count()
-        stats["companies_matched"] = n_matched
-        companies2 = apply_company_matches(companies2, matches, run_ts)
-    if not dry_run:
+    # try/finally: mor_upsert can raise (duplicate/null keys) — the cached
+    # pending subset must not outlive the stage on the error path
+    try:
         if mor:
-            # O(pending) delta: keys + the three enricher-owned columns,
-            # OVERWRITE per-statement classes (the table policy keeps them
-            # keep-first for normalize statements). Empty pending must not
-            # grow the delta chain.
-            # (count + write both run over the pinned pending subset)
-            delta = enriched.select(
-                "hash_key",
-                "skills_raw",
-                "seniority_level",
-                "seniority_enrichment_status",
-            )
-            n_pending = delta.count()
-            stats["enriched_rows"] = n_pending
-            if n_pending:
-                store.mor_upsert(
-                    "staging_job_postings",
-                    delta,
-                    classes={
-                        "overwrite": [
-                            "skills_raw",
-                            "seniority_level",
-                            "seniority_enrichment_status",
-                        ]
-                    },
+            # the pending subset: exactly the rows either enrichment phase
+            # would touch (S6 skills predicate ∪ S7 seniority-pending).
+            # Materialize it ONCE — the before_pending stat, the enrich
+            # expressions, the delta count, and the delta write all run over
+            # the pinned subset instead of re-scanning the table per action
+            # (the probe showed the stat scan costing as much as the write
+            # savings at 3M rows).
+            skills_cond = F.col("description").isNotNull()
+            if not include_existing:
+                skills_cond = skills_cond & (
+                    F.col("skills_raw").isNull() | (F.size("skills_raw") == 0)
                 )
-            # companies2's plan reads the staging view lazily, but a delta
-            # APPEND never invalidates already-listed files — only the
-            # 1-in-N compaction swaps the base, so compact strictly last
-            store.rewrite("staging_companies", companies2)
-            stats["companies_total"] = store.read("staging_companies").count()
-            if compact_every and len(
-                store.mor_deltas("staging_job_postings")
-            ) >= compact_every:
-                store.mor_compact("staging_job_postings")
+            if sources:
+                skills_cond = skills_cond & F.col("source").isin(sources)
+            pending_rows = staging.where(
+                skills_cond | (F.col("seniority_enrichment_status") == "not_tried")
+            ).persist()
+            before_pending = pending_rows.where(
+                F.col("seniority_enrichment_status") == "not_tried"
+            ).count()
+            enriched = enrich_skills(pending_rows, dictionary, sources, include_existing)
+            enriched = enrich_seniority(enriched)
         else:
-            # companies2's plan reads staging; two-phase swap avoids reading
-            # files deleted by the staging rewrite
-            store.rewrite_many(
-                {"staging_job_postings": enriched, "staging_companies": companies2}
+            before_pending = staging.where(
+                F.col("seniority_enrichment_status") == "not_tried"
+            ).count()
+            enriched = enrich_skills(staging, dictionary, sources, include_existing)
+            enriched = enrich_seniority(enriched)
+        from job_etl_spark.schema import StructType  # noqa: F401
+
+        companies_schema = (
+            "company_id string, name string, source_first_seen string, "
+            "enriched_at timestamp, created_at timestamp, updated_at timestamp"
+        )
+        companies = store.read("staging_companies", companies_schema)
+        # company seeding scans ALL distinct staging companies (J4 over the
+        # whole table), not just the pending rows — in MOR mode `enriched` is
+        # pending-only, so seed from the full merged view
+        companies2 = seed_company_records(companies, staging if mor else enriched, run_ts)
+        stats = {
+            "seniority_pending_before": before_pending,
+            "dry_run": dry_run,
+        }
+        # company enrichment sub-phase (U6/J5/S13): runs when a cached
+        # candidates table exists (offline snapshot of per-name API results);
+        # matched + unmatched pending rows both get enriched_at stamped
+        if store.exists("company_candidates"):
+            from job_etl_spark.pipeline.company_match import (
+                apply_company_matches,
+                match_companies,
             )
-            stats["companies_total"] = store.read("staging_companies").count()
-    if pending_rows is not None:
-        pending_rows.unpersist()
-    return stats
+
+            candidates = store.read("company_candidates")
+            matches = match_companies(companies2, candidates)
+            n_matched = matches.where(F.col("candidate_name").isNotNull()).count()
+            stats["companies_matched"] = n_matched
+            companies2 = apply_company_matches(companies2, matches, run_ts)
+        if not dry_run:
+            if mor:
+                # O(pending) delta: keys + the three enricher-owned columns,
+                # OVERWRITE per-statement classes (the table policy keeps them
+                # keep-first for normalize statements). Empty pending must not
+                # grow the delta chain.
+                # (count + write both run over the pinned pending subset)
+                delta = enriched.select(
+                    "hash_key",
+                    "skills_raw",
+                    "seniority_level",
+                    "seniority_enrichment_status",
+                )
+                n_pending = delta.count()
+                stats["enriched_rows"] = n_pending
+                if n_pending:
+                    store.mor_upsert(
+                        "staging_job_postings",
+                        delta,
+                        classes={
+                            "overwrite": [
+                                "skills_raw",
+                                "seniority_level",
+                                "seniority_enrichment_status",
+                            ]
+                        },
+                    )
+                # companies2's plan reads the staging view lazily, but a delta
+                # APPEND never invalidates already-listed files — only the
+                # 1-in-N compaction swaps the base, so compact strictly last
+                store.rewrite("staging_companies", companies2)
+                stats["companies_total"] = store.read("staging_companies").count()
+                if compact_every and len(
+                    store.mor_deltas("staging_job_postings")
+                ) >= compact_every:
+                    store.mor_compact("staging_job_postings")
+            else:
+                # companies2's plan reads staging; two-phase swap avoids reading
+                # files deleted by the staging rewrite
+                store.rewrite_many(
+                    {"staging_job_postings": enriched, "staging_companies": companies2}
+                )
+                stats["companies_total"] = store.read("staging_companies").count()
+        return stats
+    finally:
+        if pending_rows is not None:
+            pending_rows.unpersist()
 
 
-def run_marts(store: TableStore, run_ts=None) -> dict:
+def _ensure_fact_mor(store: TableStore, buckets: int | None) -> None:
+    """One shared fact_jobs MOR table spec for every writer (marts
+    increment + rank write-back): keyed on hash_key under
+    ``fact_merge_policy`` — data columns overwrite, the rank pair
+    coalesces (the J2 carry). A table migrated latest-wins by pre-r11
+    code is upgraded in place (compact-then-set-policy), so a marts
+    delta with NULL rank columns can never be resolved wholesale and
+    silently null out landed scores."""
+    from job_etl_spark.pipeline.marts import fact_merge_policy
+
+    if not store.mor_exists("fact_jobs"):
+        store.mor_init(
+            "fact_jobs",
+            store.read("fact_jobs"),
+            ["hash_key"],
+            policy=fact_merge_policy(),
+            buckets=buckets,
+        )
+    elif store._mor_meta("fact_jobs").get("policy") is None:
+        store.mor_set_policy("fact_jobs", fact_merge_policy())
+
+
+def run_marts(
+    store: TableStore,
+    run_ts=None,
+    mor: bool = False,
+    mor_buckets: int | None = None,
+    compact_every: int = 16,
+) -> dict:
+    """Marts stage: the two dbt models (dim_companies SCD1, fact_jobs
+    incremental + rank carry).
+
+    Write-back strategy follows the COW/MOR decision rule (COVERAGE.md
+    "Choosing COW vs MOR"). Default COW: rebuild-and-rewrite both marts
+    — O(table) per run even when the watermark admits zero rows, the
+    write amplification the dbt full-refresh model pays. ``mor=True`` is
+    the 100 TB path and matches the dbt INCREMENTAL semantics the models
+    declare (``fact_jobs.sql:23-31``, ``dim_companies.sql:38-44``): the
+    increment past each watermark lands as ONE merge-on-read delta —
+    O(new rows) per run, a no-op run touches no base file —
+
+    - fact_jobs: ``fact_increment`` rows (NULL rank columns) under
+      ``fact_merge_policy`` — the fold's COALESCE on the rank pair IS
+      the J2 rank carry, so the COW self-join disappears;
+    - dim_companies: latest-wins keyed on company_id; the delta is the
+      rows past the created_at watermark (every dim attribute is
+      immutable post-seed — company_id is a function of the name — so
+      the created_at watermark is exact, not approximate).
+
+    First ``mor=True`` call migrates COW marts into the MOR layout;
+    ``compact_every`` bounds the fact delta chain as in the other
+    stages. Both layouts read bit-identically through ``store.read``
+    (dual-mode parity test)."""
     run_ts = run_ts or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     staging = store.read("staging_job_postings", STAGING_SCHEMA)
     companies = store.read(
@@ -1022,12 +1233,81 @@ def run_marts(store: TableStore, run_ts=None) -> dict:
         "company_id string, name string, source_first_seen string, "
         "enriched_at timestamp, created_at timestamp, updated_at timestamp",
     )
+    if mor:
+        return _run_marts_mor(
+            store, staging, companies, run_ts, mor_buckets, compact_every
+        )
     existing_fact = store.read("fact_jobs") if store.exists("fact_jobs") else None
     dim = build_dim_companies(companies, None)
     fact = build_fact_jobs(staging, existing_fact, run_ts)
     store.rewrite("dim_companies", dim)
     store.rewrite("fact_jobs", fact)
     return {"dim_rows": store.read("dim_companies").count(), "fact_rows": store.read("fact_jobs").count()}
+
+
+def _run_marts_mor(
+    store: TableStore,
+    staging: DataFrame,
+    companies: DataFrame,
+    run_ts,
+    mor_buckets: int | None,
+    compact_every: int,
+) -> dict:
+    from job_etl_spark.operators.watermark import high_watermark
+    from job_etl_spark.pipeline.marts import fact_increment, fact_merge_policy
+
+    stats: dict = {}
+    # -- dim_companies: latest-wins deltas past the created_at watermark.
+    # The COW build is a stateless projection of staging_companies, so
+    # migration and first build share one init frame. Dimension-sized →
+    # flat base (no buckets).
+    if not store.mor_exists("dim_companies"):
+        store.mor_init(
+            "dim_companies", build_dim_companies(companies, None), ["company_id"]
+        )
+        stats["dim_new"] = None  # init run: the whole projection is the base
+    else:
+        wm = high_watermark(store.read("dim_companies"), "created_at")
+        fresh = build_dim_companies(companies, None)
+        if wm is not None:
+            fresh = fresh.where(F.col("created_at") > F.lit(wm))
+        fresh = fresh.persist()  # count + delta write: one execution
+        try:
+            n_dim = fresh.count()
+            stats["dim_new"] = n_dim
+            if n_dim:  # an empty increment must not grow the delta chain
+                store.mor_upsert("dim_companies", fresh)
+        finally:
+            fresh.unpersist()
+    # -- fact_jobs: the increment as ONE delta under fact_merge_policy
+    # (rank carry via the fold's COALESCE — no self-join, no base write)
+    had_fact = store.exists("fact_jobs")
+    if not store.mor_exists("fact_jobs") and not had_fact:
+        # first build: the full projection IS the base
+        store.mor_init(
+            "fact_jobs",
+            fact_increment(staging, None, run_ts),
+            ["hash_key"],
+            policy=fact_merge_policy(),
+            buckets=mor_buckets,
+        )
+        stats["fact_new"] = None
+    else:
+        _ensure_fact_mor(store, mor_buckets)  # migrate/upgrade if needed
+        existing = store.read("fact_jobs")
+        inc = fact_increment(staging, existing, run_ts).persist()
+        try:
+            n_fact = inc.count()
+            stats["fact_new"] = n_fact
+            if n_fact:
+                store.mor_upsert("fact_jobs", inc)
+        finally:
+            inc.unpersist()
+        if compact_every and len(store.mor_deltas("fact_jobs")) >= compact_every:
+            store.mor_compact("fact_jobs")
+    stats["dim_rows"] = store.read("dim_companies").count()
+    stats["fact_rows"] = store.read("fact_jobs").count()
+    return stats
 
 
 def run_rank(
@@ -1056,10 +1336,8 @@ def run_rank(
     """
     cfg = config or RankingConfig()
     # a dry run must not mutate ANYTHING, the layout included
-    if mor and not dry_run and not store.mor_exists("fact_jobs"):
-        store.mor_init(
-            "fact_jobs", store.read("fact_jobs"), ["hash_key"], buckets=mor_buckets
-        )
+    if mor and not dry_run:
+        _ensure_fact_mor(store, mor_buckets)
     fact = store.read("fact_jobs")  # MOR-aware: merged view either way
     target = F.lit(True) if rank_all else F.col("rank_score").isNull()
     if min_ingested_at is not None and not rank_all:
@@ -1070,24 +1348,30 @@ def run_rank(
     # count + write(s) re-execute the scoring plan otherwise (the COW arm
     # reads it twice more: key anti-join + the union) — pin it once
     ranked = rank_jobs(to_rank, None, cfg).persist()
-    n = ranked.count()
-    if not dry_run:
-        if mor:
-            if n:  # an empty batch must not grow the delta chain
-                store.mor_upsert("fact_jobs", ranked.select(*fact.columns))
+    # try/finally: mor_upsert can raise (duplicate/null keys) — the cached
+    # ranked batch must not outlive the stage on the error path
+    try:
+        n = ranked.count()
+        if not dry_run:
+            if mor:
+                if n:  # an empty batch must not grow the delta chain
+                    store.mor_upsert("fact_jobs", ranked.select(*fact.columns))
+            else:
+                untouched = fact.join(
+                    ranked.select("hash_key"), "hash_key", "left_anti"
+                )
+                store.rewrite(
+                    "fact_jobs", untouched.unionByName(ranked.select(*fact.columns))
+                )
+        if dry_run:
+            stats = {}
         else:
-            untouched = fact.join(ranked.select("hash_key"), "hash_key", "left_anti")
-            store.rewrite(
-                "fact_jobs", untouched.unionByName(ranked.select(*fact.columns))
-            )
-    if dry_run:
-        stats = {}
-    else:
-        # store.read is MOR-aware, so downstream stages and these stats
-        # see the merged view regardless of write-back strategy
-        stats = report_mod.ranking_stats(store.read("fact_jobs"))
-    ranked.unpersist()
-    return {"ranked_now": n, "dry_run": dry_run, **stats}
+            # store.read is MOR-aware, so downstream stages and these stats
+            # see the merged view regardless of write-back strategy
+            stats = report_mod.ranking_stats(store.read("fact_jobs"))
+        return {"ranked_now": n, "dry_run": dry_run, **stats}
+    finally:
+        ranked.unpersist()
 
 
 def run_dq(store: TableStore) -> list[dq.DQResult]:
@@ -1166,7 +1450,7 @@ def run_pipeline(
         store, adapter, run_ts=run_ts, mor=mor, mor_buckets=mor_buckets
     )
     stats["enrich"] = run_enrich(store, run_ts=run_ts, mor=mor, mor_buckets=mor_buckets)
-    stats["marts"] = run_marts(store, run_ts=run_ts)
+    stats["marts"] = run_marts(store, run_ts=run_ts, mor=mor, mor_buckets=mor_buckets)
     stats["dedupe"] = run_dedupe_report(store)
     stats["rank"] = run_rank(store, RankingConfig(), mor=mor, mor_buckets=mor_buckets)
     stats["dq"] = {r.name: r.violations for r in run_dq(store)}
@@ -1241,7 +1525,7 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument(
         "--mor",
         action="store_true",
-        help="rank/normalize/enrich stage: land the write-back as a "
+        help="rank/normalize/enrich/marts stage: land the write-back as a "
         "merge-on-read delta instead of a table rewrite (fact-sized tables; "
         "COVERAGE.md 'Choosing COW vs MOR')",
     )
@@ -1333,7 +1617,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.stage == "extract":
                 stats = run_extract(store, MockAdapter(num_jobs=args.num_jobs))
             elif args.stage == "marts":
-                stats = run_marts(store)
+                stats = run_marts(store, mor=args.mor, mor_buckets=args.mor_buckets)
             elif args.stage == "normalize":
                 import datetime as _dt
 

@@ -623,6 +623,209 @@ def fuzz_mor_fold(spark, rng: random.Random, rounds: int) -> int:
     return bad
 
 
+def fuzz_statement_oracle(spark, rng: random.Random, rounds: int) -> int:
+    """Family #9 (r10 verdict #6): the per-statement fold
+    (``fold_upsert_statements`` + ``merge_statements_onto``) against a
+    PURE-PYTHON sequential oracle — independent of ``merge_upsert``, so a
+    bug shared by the COW merge and the fold (family #8 compares those
+    two against each other) cannot hide. The oracle applies each
+    statement to a plain dict-of-dicts under the reference's ON CONFLICT
+    semantics (services/normalizer/db_operations.py:427-460): insert
+    takes the carried values (uncarried → NULL), matched rows update only
+    carried columns by class — overwrite takes the statement value (NULL
+    included), coalesce takes it only when non-NULL, keep-first is
+    COALESCE(base, statement) (first NON-NULL wins, so a null base slot
+    may still be filled) — tombstones delete, and a revive inserts
+    fresh. Every Nth corpus also round-trips the REAL TableStore layout
+    (flat and bucketed, plus a compaction)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from job_etl_spark.operators.merge import (
+        fold_upsert_statements,
+        merge_statements_onto,
+    )
+    from job_etl_spark.pipeline.runner import TableStore
+
+    COLS = ["c0", "c1", "c2", "c3"]
+    TYPES = {"c0": "string", "c1": "int", "c2": "string", "c3": "array<int>"}
+    SCHEMA = "k string, " + ", ".join(f"{c} {TYPES[c]}" for c in COLS)
+    CLASSES = ["overwrite", "coalesce", "keep_first"]
+
+    def val(c, tag, key):
+        if TYPES[c] == "int":
+            return rng.randint(-5, 5)
+        if TYPES[c].startswith("array"):
+            return [rng.randint(0, 3) for _ in range(rng.randint(0, 3))]
+        return f"{c}-{tag}-{key}"
+
+    def canon(df):
+        rows = [
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in df.select("k", *COLS).collect()
+        ]
+        return sorted(rows, key=repr)
+
+    bad = 0
+    for rd in range(rounds):
+        keys = [f"k{i}" for i in range(rng.randint(4, 14))]
+        policy = {"overwrite": [], "coalesce": [], "keep_first": []}
+        table_cls = {}
+        for c in COLS:
+            ch = rng.choice(CLASSES + ["unclassified"])
+            table_cls[c] = "keep_first" if ch == "unclassified" else ch
+            if ch != "unclassified":
+                policy[ch].append(c)
+        base_rows = [
+            tuple([k] + [val(c, "b", k) if rng.random() < 0.7 else None for c in COLS])
+            for k in keys
+            if rng.random() < 0.75
+        ]
+        base = spark.createDataFrame(base_rows, SCHEMA)
+
+        # random statement stack: partial column sets + per-statement
+        # overrides are the NORM here (this family exists for them)
+        batches = []  # (rows, carried, stmt_cls or None)
+        for s in range(1, rng.randint(1, 6) + 1):
+            override = rng.random() < 0.7
+            carried = (
+                sorted(rng.sample(COLS, rng.randint(1, len(COLS))))
+                if override
+                else list(COLS)
+            )
+            stmt_cls = {c: rng.choice(CLASSES) for c in carried} if override else None
+            rows = []
+            for k in keys:
+                r = rng.random()
+                if r < 0.5:
+                    continue
+                if r < 0.58:
+                    rows.append((k, None))  # tombstone
+                else:
+                    rows.append(
+                        (
+                            k,
+                            {
+                                c: (val(c, f"t{s}", k) if rng.random() < 0.6 else None)
+                                for c in carried
+                            },
+                        )
+                    )
+            batches.append((rows, carried, stmt_cls))
+
+        # ---- pure-Python sequential oracle ------------------------------
+        state: dict = {
+            r[0]: {c: r[1 + i] for i, c in enumerate(COLS)} for r in base_rows
+        }
+        for rows, carried, stmt_cls in batches:
+            cls = stmt_cls or table_cls
+            for k, v in rows:
+                if v is None:
+                    state.pop(k, None)
+                    continue
+                if k not in state:
+                    state[k] = {c: None for c in COLS}
+                    for c in carried:
+                        state[k][c] = v.get(c)
+                    continue
+                for c in carried:
+                    if cls[c] == "overwrite":
+                        state[k][c] = v.get(c)
+                    elif cls[c] == "coalesce" and v.get(c) is not None:
+                        state[k][c] = v.get(c)
+                    elif cls[c] == "keep_first" and state[k][c] is None:
+                        state[k][c] = v.get(c)  # first non-null wins
+        want = sorted(
+            (
+                tuple(
+                    [k]
+                    + [
+                        tuple(state[k][c]) if isinstance(state[k][c], list) else state[k][c]
+                        for c in COLS
+                    ]
+                )
+                for k in state
+            ),
+            key=repr,
+        )
+
+        # ---- one-pass statement fold ------------------------------------
+        stack, col_classes = None, {}
+        for s, (rows, carried, stmt_cls) in enumerate(batches, start=1):
+            drows = []
+            for k, v in rows:
+                if v is None:
+                    drows.append(tuple([k] + [None] * len(COLS) + [True]))
+                else:
+                    drows.append(tuple([k] + [v.get(c) for c in COLS] + [False]))
+            d = spark.createDataFrame(drows, SCHEMA + ", _deleted boolean").withColumn(
+                "_seq", F.lit(s)
+            )
+            stack = d if stack is None else stack.unionByName(d)
+            cls = stmt_cls or table_cls
+            for c in carried:
+                col_classes.setdefault(c, {})[s] = cls[c]
+        if stack is not None:
+            framed, reset = fold_upsert_statements(stack, ["k"], col_classes)
+            survivors = base.join(F.broadcast(reset), ["k"], "left_anti")
+            got = canon(merge_statements_onto(survivors, framed, ["k"]))
+        else:
+            got = canon(base)
+        if got != want:
+            bad += 1
+            print(f"  statement-oracle mismatch (corpus {rd})")
+            continue
+
+        # ---- store round-trip every 5th corpus --------------------------
+        if rd % 5 == 0:
+            root = tempfile.mkdtemp(prefix="fuzz_stmt_")
+            try:
+                store = TableStore(spark, root)
+                buckets = rng.choice([None, 4]) if rd % 10 == 0 else None
+                store.write("t", base)
+                store.mor_init("t", store.read("t"), ["k"], policy=policy, buckets=buckets)
+                for rows, carried, stmt_cls in batches:
+                    if not rows:
+                        continue
+                    drows = [
+                        tuple([k] + [None] * len(carried) + [True])
+                        if v is None
+                        else tuple([k] + [v.get(c) for c in carried] + [False])
+                        for k, v in rows
+                    ]
+                    d = spark.createDataFrame(
+                        drows,
+                        "k string, "
+                        + ", ".join(f"{c} {TYPES[c]}" for c in carried)
+                        + ", _deleted boolean",
+                    )
+                    store.mor_upsert(
+                        "t",
+                        d,
+                        classes=(
+                            {
+                                cl: [c for c in carried if stmt_cls[c] == cl]
+                                for cl in CLASSES
+                            }
+                            if stmt_cls is not None
+                            else None
+                        ),
+                    )
+                if canon(store.read("t")) != want:
+                    bad += 1
+                    print(f"  statement-oracle STORE mismatch (corpus {rd}, buckets={buckets})")
+                elif batches:
+                    store.mor_compact("t")
+                    if canon(store.read("t")) != want:
+                        bad += 1
+                        print(f"  statement-oracle COMPACT mismatch (corpus {rd})")
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+    return bad
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--examples", type=int, default=2000)
@@ -645,6 +848,7 @@ def main() -> None:
         ("attribution windows==python pair join", fuzz_attribution, args.rounds),
         ("seniority expr==spark-sql==duckdb", fuzz_seniority_render, args.examples),
         ("mor fold==sequential COW", fuzz_mor_fold, max(args.rounds, 200)),
+        ("statement fold==python oracle", fuzz_statement_oracle, max(args.rounds, 200)),
     ):
         bad = fn(spark, rng, depth)
         print(f"{'FAIL' if bad else 'PASS'} {name} ({depth} cases, {bad} mismatches)", flush=True)

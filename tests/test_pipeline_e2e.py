@@ -113,18 +113,19 @@ def test_rank_writeback_via_mor(spark):
     base_glob = os.path.join(wh, "fact_jobs", "_mor", "base", "*.parquet")
     base_before = {f: os.path.getmtime(f) for f in glob.glob(base_glob)}
 
-    # incremental cycle: a delta nulls 10 scores (CDC-style partial
-    # update); run_rank(mor=True) must rank exactly those 10 via a new
-    # delta, never touching the base
-    fact_cols = store.mor_read("fact_jobs").columns
+    # incremental cycle: a delta nulls 10 scores. fact_jobs is a POLICY
+    # table since r11 (rank pair = coalesce, the marts rank-carry), so a
+    # plain full-row statement can no longer null a score — the
+    # legitimate path is a partial statement with an explicit OVERWRITE
+    # class (the enricher-style keyed UPDATE). run_rank(mor=True) must
+    # then rank exactly those 10 via a new delta, never touching the base
     damaged = (
         store.mor_read("fact_jobs")
         .orderBy("hash_key")
         .limit(10)
-        .withColumn("rank_score", F.lit(None).cast("double"))
-        .select(*fact_cols)
+        .select("hash_key", F.lit(None).cast("double").alias("rank_score"))
     )
-    store.mor_upsert("fact_jobs", damaged)
+    store.mor_upsert("fact_jobs", damaged, classes={"overwrite": ["rank_score"]})
     assert sum(v is None for v in scores(store.mor_read("fact_jobs")).values()) == 10
 
     stats2 = run_rank(store, mor=True)  # default target: rank_score IS NULL
@@ -262,6 +263,126 @@ def test_mor_table_visible_to_downstream_stages(spark):
     stats2 = run_rank(store, mor=True)
     assert stats2["ranked_now"] == 0
     assert store.mor_deltas("fact_jobs") == []
+
+
+def test_marts_writeback_via_mor(spark):
+    """MOR marts (r10 verdict #1 — the LAST O(table) write in the DAG):
+    ``run_marts(mor=True)`` lands the increment past each watermark as
+    ONE delta — fact_jobs under ``fact_merge_policy`` (the fold's
+    COALESCE on the rank pair IS the J2 rank carry), dim_companies
+    latest-wins — and a zero-new rerun touches NO base file. Dual-mode:
+    a COW twin driven identically must match bit-for-bit at every step."""
+    import datetime as dt
+    import glob
+    import os
+
+    from job_etl_spark.pipeline.runner import (
+        run_enrich,
+        run_extract,
+        run_marts,
+        run_normalize,
+        run_rank,
+    )
+    from job_etl_spark.sources.mock_adapter import MockAdapter
+
+    ts1 = dt.datetime(2026, 1, 1, 7, 0, 0)
+    ts2 = dt.datetime(2026, 1, 2, 7, 0, 0)
+    ts3 = dt.datetime(2026, 1, 3, 7, 0, 0)
+
+    def canon(store, table):
+        df = store.read(table)
+        rows = [
+            tuple(
+                tuple(sorted(v.items())) if isinstance(v, dict)
+                else tuple(v) if isinstance(v, list) else v
+                for v in r
+            )
+            for r in df.select(*sorted(df.columns)).collect()
+        ]
+        return sorted(rows, key=repr)
+
+    def snap(store):
+        return (canon(store, "fact_jobs"), canon(store, "dim_companies"))
+
+    def drive(wh, mor):
+        store = TableStore(spark, wh)
+        snaps = []
+        # run 1: 60 jobs → 30 identities; marts, then rank
+        run_extract(store, MockAdapter(num_jobs=60), run_ts=ts1)
+        run_normalize(store, MockAdapter(), run_ts=ts1, mor=mor)
+        run_enrich(store, run_ts=ts1, mor=mor)
+        run_marts(store, run_ts=ts1, mor=mor)
+        snaps.append(snap(store))
+        run_rank(store, mor=mor)
+        snaps.append(snap(store))
+        # run 2: 30 genuinely NEW identities (the mock's pools cycle with
+        # period 30, so a bigger num_jobs adds no new keys — land novel
+        # raw rows through the S4 landing path); marts must carry run-1
+        # ranks forward while inserting these
+        from job_etl_spark.sources.base import JobPostingRaw, land_raw
+
+        template = MockAdapter(num_jobs=1).fetch_all()[0]
+        novel = []
+        for j in range(30):
+            payload = dict(template.payload)
+            payload["title"] = f"Staff Quantum Engineer {j}"
+            payload["company"] = f"Nimbus Labs {j}"
+            payload["description"] = (
+                f"We are seeking a Staff Quantum Engineer {j} to join "
+                f"Nimbus Labs {j}. Skills: Python, SQL."
+            )
+            novel.append(JobPostingRaw(source=template.source, payload=payload))
+        store.write("raw_job_postings", land_raw(spark, novel, ts2), mode="append")
+        run_normalize(store, MockAdapter(), min_collected_at=ts2, run_ts=ts2, mor=mor)
+        run_enrich(store, run_ts=ts2, mor=mor)
+        run_marts(store, run_ts=ts2, mor=mor)
+        snaps.append(snap(store))
+        run_rank(store, mor=mor)
+        snaps.append(snap(store))
+        return store, snaps
+
+    cow, cow_snaps = drive(tempfile.mkdtemp(prefix="jobspark_martscow_"), mor=False)
+    mor, mor_snaps = drive(tempfile.mkdtemp(prefix="jobspark_martsmor_"), mor=True)
+    assert cow_snaps == mor_snaps  # bit-identical across layouts, per step
+
+    # run-1 ranks survived run-2's marts increment (the carry), and the
+    # 30 new rows got ranked in run 2
+    scores = {
+        r["hash_key"]: r["rank_score"]
+        for r in mor.read("fact_jobs").select("hash_key", "rank_score").collect()
+    }
+    assert len(scores) == 60 and None not in scores.values()
+
+    # MOR layout exists for both marts and the increments landed as deltas
+    assert mor.mor_exists("fact_jobs") and mor.mor_exists("dim_companies")
+    # fact deltas: marts#2 increment + rank#1 + rank#2 batches (run-1's
+    # projection IS the base); dim delta: run-2's 30 new companies
+    assert len(mor.mor_deltas("fact_jobs")) == 3
+    assert len(mor.mor_deltas("dim_companies")) == 1
+
+    # zero-new rerun: no delta growth, base files byte-untouched
+    def mtimes(store, table):
+        return {
+            f: os.path.getmtime(f)
+            for f in glob.glob(
+                os.path.join(store.path(table), "_mor", "base", "**", "*"),
+                recursive=True,
+            )
+        }
+    fact_before = mtimes(mor, "fact_jobs")
+    dim_before = mtimes(mor, "dim_companies")
+    deltas_before = (mor.mor_deltas("fact_jobs"), mor.mor_deltas("dim_companies"))
+    stats = run_marts(mor, run_ts=ts3, mor=True)
+    assert stats["fact_new"] == 0 and stats["dim_new"] == 0
+    assert (mor.mor_deltas("fact_jobs"), mor.mor_deltas("dim_companies")) == deltas_before
+    assert mtimes(mor, "fact_jobs") == fact_before
+    assert mtimes(mor, "dim_companies") == dim_before
+
+    # compaction preserves the view and the COW twin equality
+    mor.mor_compact("fact_jobs")
+    mor.mor_compact("dim_companies")
+    assert snap(mor) == cow_snaps[-1]
+    assert all(r.passed for r in run_dq(mor))
 
 
 def test_dynamic_partition_overwrite(spark, tmp_path):
