@@ -20,6 +20,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -31,6 +32,8 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from job_etl_spark.shipping import ensure_worker_package
 
 MEDIA_SCHEMA = StructType(
     [
@@ -162,6 +165,7 @@ def extract_features(media: DataFrame, codec: str = "stub") -> DataFrame:
                 )
             yield out
 
+    ensure_worker_package(media.sparkSession)
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
@@ -212,6 +216,7 @@ def resize_images(media: DataFrame, max_side: int = 224, codec: str = "stub") ->
                 out["payload"] = pd.Series([r[2] for r in resized], dtype="object")
             yield out
 
+    ensure_worker_package(media.sparkSession)
     return media.mapInPandas(run, schema=RESIZED_SCHEMA)
 
 
@@ -258,6 +263,7 @@ def with_perceptual_hash(media: DataFrame) -> DataFrame:
             pdf["phash"] = pdf["payload"].map(ph).astype("object")
             yield pdf
 
+    ensure_worker_package(media.sparkSession)
     return media.mapInPandas(run, out_schema)
 
 
@@ -286,6 +292,7 @@ def with_audio_fingerprint(media: DataFrame) -> DataFrame:
             pdf["afp"] = pdf["payload"].map(fp).astype("object")
             yield pdf
 
+    ensure_worker_package(media.sparkSession)
     return media.mapInPandas(run, out_schema)
 
 

@@ -1327,10 +1327,40 @@ def _q159_render(batches):
         yield out
 
 
-def q159_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    from job_etl_spark.ml.dedup import tokens_expr, with_simhash
-    from job_etl_spark.ml.multimodal import image_neardup_pairs
+def _q159_hash(batches):
+    # Fused render→decode→dHash: the PNG bytes are encoded AND decoded
+    # inside ONE Arrow stage (ml/codecs.png_encode → perceptual_hash), so
+    # the payload never crosses the Python↔JVM boundary at all and each
+    # task needs one Python worker, not two concurrently (the chained
+    # render/hash mapInPandas pair cost 64 workers per run — measured
+    # 11.7 s cold / 2.4 s warm vs 1.7 s fused at sf0.1). Same int64
+    # precondition as _q159_render (kept for tests/probes).
+    from job_etl_spark.ml.codecs import perceptual_hash, png_encode
 
+    pad = _Q159_PAD
+
+    def ph(sig):
+        bits = [(int(sig) >> k) & 1 for k in range(60)] + pad
+        h = perceptual_hash(png_encode(8, 8, 1, bytes(255 * b for b in bits)))
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    for pdf in batches:
+        if str(pdf["simhash"].dtype) != "int64":
+            raise TypeError(
+                f"simhash batch dtype {pdf['simhash'].dtype}; caller must "
+                "pre-filter NULL signatures (int64 end-to-end required)"
+            )
+        out = pdf[["media_id"]].copy()
+        out["phash"] = pdf["simhash"].map(ph)
+        yield out
+
+
+def q159_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.ml.dedup import simhash_block_pairs, tokens_expr, with_simhash
+    from job_etl_spark.shipping import ensure_worker_package
+
+    # _q159_hash is pickled by reference — workers must import the package
+    ensure_worker_package(spark)
     docs = parallel_table(spark, sf, "documents")
     # NULL sigs (empty token lists) can never form a near-dup pair, and
     # they must not reach the Arrow boundary (see _q159_render). Filter on
@@ -1343,8 +1373,16 @@ def q159_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
     sigs = with_simhash(docs, "text", "simhash").select(
         F.col("doc_id").alias("media_id"), "simhash"
     )
-    media = sigs.mapInPandas(_q159_render, "media_id bigint, payload binary")
-    return image_neardup_pairs(media, max_hamming=_Q159_MAX_HAMMING)
+    hashed = (
+        sigs.mapInPandas(_q159_hash, "media_id bigint, phash bigint")
+        .where(F.col("phash").isNotNull())
+        .select(
+            F.col("media_id").alias("doc_id"),
+            F.shiftrightunsigned("phash", 56).alias("block"),
+            F.col("phash").alias("simhash"),
+        )
+    )
+    return simhash_block_pairs(hashed, ("block",), max_hamming=_Q159_MAX_HAMMING, bits=64)
 
 
 def _q159_sql() -> str:
@@ -1442,10 +1480,39 @@ def _q160_render(batches):
         yield out
 
 
-def q160_audio_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    from job_etl_spark.ml.dedup import tokens_expr, with_simhash
-    from job_etl_spark.ml.multimodal import audio_neardup_pairs
+def _q160_hash(batches):
+    # Fused render→decode→fingerprint, the WAV twin of _q159_hash: encode
+    # and decode in one Arrow stage so the PCM payload never reaches the
+    # JVM and the chained-two-Python-stages worker demand is halved.
+    from job_etl_spark.ml.codecs import audio_fingerprint, wav_encode
 
+    pad = _Q160_PAD
+
+    def fp(sig):
+        bits = [(int(sig) >> k) & 1 for k in range(60)] + pad
+        samples = []
+        for b in bits:
+            samples += [1000 * b, 1000 * b]
+        h = audio_fingerprint(wav_encode(_Q160_RATE, samples))
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    for pdf in batches:
+        if str(pdf["simhash"].dtype) != "int64":
+            raise TypeError(
+                f"simhash batch dtype {pdf['simhash'].dtype}; caller must "
+                "pre-filter NULL signatures (int64 end-to-end required)"
+            )
+        out = pdf[["media_id"]].copy()
+        out["afp"] = pdf["simhash"].map(fp)
+        yield out
+
+
+def q160_audio_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.ml.dedup import simhash_block_pairs, tokens_expr, with_simhash
+    from job_etl_spark.shipping import ensure_worker_package
+
+    # _q160_hash is pickled by reference — workers must import the package
+    ensure_worker_package(spark)
     docs = parallel_table(spark, sf, "documents")
     # Cheap-equivalent NULL-sig pre-filter BEFORE with_simhash — same
     # predicate-substitution trap and same rationale as q159 above.
@@ -1453,8 +1520,16 @@ def q160_audio_neardup(spark: SparkSession, sf: str) -> DataFrame:
     sigs = with_simhash(docs, "text", "simhash").select(
         F.col("doc_id").alias("media_id"), "simhash"
     )
-    media = sigs.mapInPandas(_q160_render, "media_id bigint, payload binary")
-    return audio_neardup_pairs(media, max_hamming=_Q160_MAX_HAMMING)
+    hashed = (
+        sigs.mapInPandas(_q160_hash, "media_id bigint, afp bigint")
+        .where(F.col("afp").isNotNull())
+        .select(
+            F.col("media_id").alias("doc_id"),
+            F.shiftrightunsigned("afp", 56).alias("block"),
+            F.col("afp").alias("simhash"),
+        )
+    )
+    return simhash_block_pairs(hashed, ("block",), max_hamming=_Q160_MAX_HAMMING, bits=64)
 
 
 def _q160_sql() -> str:

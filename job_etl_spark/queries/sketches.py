@@ -108,20 +108,43 @@ GROUP BY t.uid, t.exact_n
 _KMV_K = 64
 
 
-def q96_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    from job_etl_spark.operators.sketch import kmv_estimate, kmv_sketch, merge_kmv
-
+def _q96_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-checkpoint distinct (event_type, uid) pass — factored so
+    tests/test_plans.py can assert column pruning on the frame whose
+    FileScan the checkpoint hides (the q117 pattern)."""
     ev = parallel_table(spark, sf, "events").select(
         "event_type", F.col("user_id").cast("string").alias("uid")
     )
-    sk = kmv_sketch(ev, "uid", ["event_type"], k=_KMV_K)
+    return ev.where(F.col("uid").isNotNull()).distinct()
+
+
+def q96_kmv_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.operators.sketch import kmv_estimate, kmv_sketch, merge_kmv
+
+    # ONE deduplicating pass over the fact table feeds sketch AND exact
+    # sides (r11, guide §2.2): the naive form scanned events 4× (sketch,
+    # merge, per-type exact, global exact — 18 Exchanges, zero reuse).
+    # countDistinct(uid) per type ≡ COUNT(*) over the distinct non-NULL
+    # pairs (countDistinct ignores NULLs; kmv drops NULL hashes; a type
+    # with only NULL uids sketches empty and is inner-join-dropped either
+    # way), and kmv_sketch re-dedups on (group, hash) so feeding pairs is
+    # identical.
+    pairs = _q96_pairs(spark, sf).localCheckpoint(eager=False)
+    # the sketch is ≤ n_types·k rows — checkpoint it so the '__all__'
+    # merge and the estimate read it instead of re-running the salted
+    # two-phase top-k twice more
+    sk = kmv_sketch(pairs, "uid", ["event_type"], k=_KMV_K).localCheckpoint(
+        eager=False
+    )
     sk_all = merge_kmv(
         ["event_type"], _KMV_K, sk.withColumn("event_type", F.lit("__all__"))
     )
     est = kmv_estimate(sk.unionByName(sk_all), ["event_type"], _KMV_K)
-    exact = ev.groupBy("event_type").agg(F.countDistinct("uid").alias("n_exact"))
+    exact = pairs.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
     exact_all = (
-        ev.agg(F.countDistinct("uid").alias("n_exact"))
+        pairs.select("uid")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_exact"))
         .select(F.lit("__all__").alias("event_type"), "n_exact")
     )
     return (
@@ -841,7 +864,14 @@ def q105_windowed_distinct(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.col("user_id").cast("string").alias("uid"),
     )
-    hourly = kmv_sketch(ev, "uid", ["hour_id"], k=_Q105_K)
+    # one deduplicating pass feeds sketch AND exact (r11, guide §2.2 —
+    # same restructure as q96): countDistinct at window grain ≡ distinct
+    # (window, uid) count over the distinct non-NULL hour-grain pairs,
+    # and kmv_sketch re-dedups on (hour, hash) so feeding pairs is
+    # identical. A window whose only uids are NULL sketches empty and is
+    # inner-join-dropped on both forms.
+    pairs = ev.where(F.col("uid").isNotNull()).distinct().localCheckpoint(eager=False)
+    hourly = kmv_sketch(pairs, "uid", ["hour_id"], k=_Q105_K)
     coarse = merge_kmv(
         ["window_id"],
         _Q105_K,
@@ -849,9 +879,10 @@ def q105_windowed_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
     est = kmv_estimate(coarse, ["window_id"], _Q105_K)
     exact = (
-        ev.select(F.floor(F.col("hour_id") / 6).alias("window_id"), "uid")
+        pairs.select(F.floor(F.col("hour_id") / 6).alias("window_id"), "uid")
+        .distinct()
         .groupBy("window_id")
-        .agg(F.countDistinct("uid").alias("n_exact"))
+        .agg(F.count(F.lit(1)).alias("n_exact"))
     )
     return exact.join(est, "window_id").select(
         "window_id", "n_exact", "n_kept", "kth_min",

@@ -214,4 +214,9 @@ def batch_lookup(
                 ],
             )
 
+    # fetch references module-level names (LookupTransportError, the
+    # client factory) by reference — workers must import the package
+    from job_etl_spark.shipping import ensure_worker_package
+
+    ensure_worker_package(names.sparkSession)
     return names.mapInPandas(fetch, schema=CANDIDATE_SCHEMA)

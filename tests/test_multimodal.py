@@ -326,3 +326,65 @@ def test_render_raises_loudly_on_float64_batch(render_name):
     assert str(pdf["simhash"].dtype) == "float64"  # the trap dtype
     with pytest.raises(TypeError, match="int64"):
         list(render(iter([pdf])))
+
+
+def test_fused_hash_equals_render_then_decode(spark):
+    """r11 optimization guard: the fused single-stage codec hash
+    (_q159_hash/_q160_hash — encode AND decode inside one Arrow stage, so
+    the payload never crosses the Python->JVM boundary) must emit exactly
+    the hash the unfused render->with_perceptual_hash/with_audio_fingerprint
+    composition produced. Covers wide (>2^53) signatures so the int64
+    precondition path is exercised too."""
+    from job_etl_spark.ml.multimodal import with_audio_fingerprint, with_perceptual_hash
+    from job_etl_spark.queries.lifedata import (
+        _q159_hash,
+        _q159_render,
+        _q160_hash,
+        _q160_render,
+    )
+
+    sigs = spark.createDataFrame(
+        [(1, 576460752303423499), (2, 5), (3, (1 << 60) - 1), (4, 0)],
+        "media_id bigint, simhash bigint",
+    ).coalesce(1)
+
+    for fused, render, wither, col in (
+        (_q159_hash, _q159_render, with_perceptual_hash, "phash"),
+        (_q160_hash, _q160_render, with_audio_fingerprint, "afp"),
+    ):
+        got = {
+            r.media_id: r[col]
+            for r in sigs.mapInPandas(fused, f"media_id bigint, {col} bigint").collect()
+        }
+        media = sigs.mapInPandas(render, "media_id bigint, payload binary")
+        want = {r.media_id: r[col] for r in wither(media).select("media_id", col).collect()}
+        assert got == want and len(got) == 4
+
+
+def test_worker_package_shipping_is_cwd_independent():
+    """r11: _q159_hash is pickled by reference, so executor Python workers
+    must be able to import job_etl_spark. When the driver runs from a cwd
+    outside the repo (the __spark_entry__ contract: only a driver-side
+    sys.path insert), that import only works because the query ships the
+    package via shipping.ensure_worker_package — this test drives that
+    path end-to-end in a vanilla subprocess session from a temp cwd."""
+    import subprocess
+    import sys
+    import tempfile
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = SparkSession.builder.master('local[2]').getOrCreate()\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "import __spark_entry__ as e\n"
+        "n = e.queries()['q159_image_neardup'](spark, '/root/testdata/sf0.001').count()\n"
+        "print('PAIRS', n)\n"
+    )
+    with tempfile.TemporaryDirectory() as cwd:
+        out = subprocess.run(
+            [sys.executable, "-c", code], cwd=cwd, capture_output=True, text=True,
+            timeout=420,
+        )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "PAIRS" in out.stdout

@@ -219,6 +219,12 @@ def test_scan_reads_only_needed_columns(spark, name):
         from job_etl_spark.queries.modelprep import _q117_toks
 
         plan = _plan(_q117_toks(spark, SF_SMOKE))
+    elif name == "q96_kmv_distinct":
+        # r11: the distinct (type, uid) pass is checkpointed (one events
+        # scan feeds sketch + both exact sides) — same carve-out as q117
+        from job_etl_spark.queries.sketches import _q96_pairs
+
+        plan = _plan(_q96_pairs(spark, SF_SMOKE))
     else:
         plan = _plan(_REG[name].fn(spark, SF_SMOKE))
     scans = [
