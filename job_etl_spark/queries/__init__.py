@@ -17,6 +17,7 @@ query here follows the parity rules in ``queries._util``:
 from __future__ import annotations
 
 import hashlib
+import importlib
 import inspect
 import json
 import os
@@ -189,8 +190,14 @@ def _dependency_closure(fn) -> tuple[list[str], set[str]]:
         if obj is None and name.startswith("job_etl_spark"):
             # function-local `from job_etl_spark.x import y` / `import
             # job_etl_spark.x` leaves the dotted module name in co_names
-            # with no globals binding — resolve it via sys.modules
-            obj = sys.modules.get(name)
+            # with no globals binding — IMPORT it (not sys.modules.get:
+            # before the query's first call the module may be absent, and
+            # the memoized closure would then be missing the dependency
+            # for the process lifetime — q95's operators.cms path, r11)
+            try:
+                obj = importlib.import_module(name)
+            except ImportError:
+                obj = None
         if obj is None:
             continue
         const = _const_repr(name, obj)

@@ -304,12 +304,18 @@ def _cosine(a, b):
     return cosine_expr(a, b)
 
 
-def q26_ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+def q26_ann_cosine_topk(
+    spark: SparkSession, sf: str, emb: DataFrame | None = None
+) -> DataFrame:
+    # ``emb``: optional pre-built (vec_id, vec) frame so a composing query
+    # (q142) can share ONE embeddings scan across retrieval arms (r11,
+    # guide §2.4); standalone calls build it from the table as before.
     from pyspark.sql import Window
 
-    emb = parallel_table(spark, sf, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
-    )
+    if emb is None:
+        emb = parallel_table(spark, sf, "embeddings").select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+        )
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
     )
@@ -547,12 +553,16 @@ FROM documents
 # ---------------------------------------------------------------------------
 # q32 — LSH-bucketed ANN (random-hyperplane buckets → in-bucket exact rank)
 # ---------------------------------------------------------------------------
-def q32_ann_lsh_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+def q32_ann_lsh_bucketed(
+    spark: SparkSession, sf: str, emb: DataFrame | None = None
+) -> DataFrame:
+    # ``emb``: optional shared (vec_id, vec) frame — see q26's note.
     from job_etl_spark.ml.ann import lsh_bucketed_topk
 
-    emb = parallel_table(spark, sf, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
-    )
+    if emb is None:
+        emb = parallel_table(spark, sf, "embeddings").select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+        )
     out = lsh_bucketed_topk(emb, F.col("vec_id") < 10, k=3)
     return out.select(
         "q_id", "rn", "neighbor_id", dround(F.col("sim"), 6).alias("cosine")

@@ -337,17 +337,26 @@ _Q132_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_ord
 def q132_profile_table(
     spark: SparkSession, sf: str, approx: bool = False, rsd: float = 0.05
 ) -> DataFrame:
-    df = table(spark, sf, "orders")
+    df = table(spark, sf, "orders").select(*_Q132_COLS)
     ndv = (lambda c: F.approx_count_distinct(c, rsd)) if approx else F.countDistinct
-    aggs = []
+    # Two single-row aggregates instead of one (r11, guide §2.3/§5): mixing
+    # the exact-NDV arms with min/max(string) put variable-length buffers in
+    # the multi-distinct Expand rewrite, forcing SortAggregate — a full sort
+    # of the 6×N expanded rows before BOTH aggregation phases. Split, the
+    # NDV pass keeps fixed-width buffers (HashAggregate over the Expand,
+    # partial dedup before the shuffle) and the min/max/null pass is a plain
+    # sortless global aggregate; the extra column-pruned scan is far cheaper
+    # than sorting a 6× row expansion at any scale. The 1×1-row cross join
+    # reassembles the profile row; results are column-identical.
+    ndv_row = df.agg(*[ndv(c).alias(f"{c}__ndv") for c in _Q132_COLS])
+    stat_aggs = []
     for c in _Q132_COLS:
-        aggs += [
-            ndv(c).alias(f"{c}__ndv"),
+        stat_aggs += [
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
             F.min(F.col(c).cast("string")).alias(f"{c}__min"),
             F.max(F.col(c).cast("string")).alias(f"{c}__max"),
         ]
-    one = df.agg(*aggs)
+    one = ndv_row.crossJoin(df.agg(*stat_aggs))
     rows = F.array(
         *[
             F.struct(
@@ -1175,14 +1184,23 @@ def q142_rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
         q26_ann_cosine_topk,
         q32_ann_lsh_bucketed,
     )
+    from job_etl_spark.tables import parallel_table
 
     contrib = lambda rn: F.round(  # noqa: E731
         F.lit(1).cast("decimal(20,12)") / (F.lit(_RRF_K) + rn), 12
     )
-    r1 = q26_ann_cosine_topk(spark, sf).select(
+    # ONE embeddings scan shared by both retrieval arms (r11, guide §2.4):
+    # composed standalone, q26 + q32 each scanned embeddings twice (corpus +
+    # query set) — 4 scans of the corpus for one fusion. The checkpointed
+    # (vec_id, vec) frame feeds all four consumers; each arm's internal
+    # algebra (and the fused result) is unchanged.
+    emb = parallel_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    ).localCheckpoint(eager=False)
+    r1 = q26_ann_cosine_topk(spark, sf, emb=emb).select(
         "q_id", "neighbor_id", contrib(F.col("rn")).alias("s1")
     )
-    r2 = q32_ann_lsh_bucketed(spark, sf).select(
+    r2 = q32_ann_lsh_bucketed(spark, sf, emb=emb).select(
         "q_id", "neighbor_id", contrib(F.col("rn")).alias("s2")
     )
     fused = r1.join(r2, ["q_id", "neighbor_id"], "full_outer").select(

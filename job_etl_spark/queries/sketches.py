@@ -38,31 +38,52 @@ _SQL_TOKENS = (
 
 # ---------------------------------------------------------------------------
 # q95 — count-min-sketch heavy hitters: per-user event counts estimated
-# from a 4×256 counter matrix built INCREMENTALLY — two half-corpus
-# sketches (split on md5(event_id)) merged by union+re-sum, then the
-# top-20 exact heavy hitters probed against it. est ≥ exact always (the
-# one-sided CMS guarantee); the md5 hash rows make the whole matrix —
-# collisions included — engine-reproducible, so the oracle matches the
-# estimates bit-for-bit, not just the exact counts.
+# from a 4×256 counter matrix, then the top-20 exact heavy hitters probed
+# against it. est ≥ exact always (the one-sided CMS guarantee); the md5
+# hash rows make the whole matrix — collisions included — engine-
+# reproducible, so the oracle matches the estimates bit-for-bit, not just
+# the exact counts. The matrix is built from the per-uid count table (one
+# corpus pass; see q95's in-function equivalence note) — the mergeable
+# half-build algebra itself lives in operators/cms.py with its own tests.
 # ---------------------------------------------------------------------------
 _CMS_D = 4
 _CMS_W = 256
 
 
-def q95_heavy_hitters_cms(spark: SparkSession, sf: str) -> DataFrame:
-    from job_etl_spark.ml.dedup import hexint
-    from job_etl_spark.operators.cms import build_cms, merge_cms, probe_cms
-
+def _q95_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-checkpoint per-uid count pass — factored so tests/test_plans.py
+    can assert column pruning on the frame whose FileScan the checkpoint
+    hides (the q96/q117 pattern)."""
     ev = parallel_table(spark, sf, "events").select(
-        "event_id", F.col("user_id").cast("string").alias("uid")
+        F.col("user_id").cast("string").alias("uid")
     )
-    half = hexint(F.col("event_id").cast("string")) % 2
-    sk = merge_cms(
-        build_cms(ev.where(half == 0), "uid", _CMS_D, _CMS_W),
-        build_cms(ev.where(half == 1), "uid", _CMS_D, _CMS_W),
+    return ev.groupBy("uid").agg(F.count(F.lit(1)).alias("exact_n"))
+
+
+def q95_heavy_hitters_cms(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.operators.cms import cms_cells, probe_cms
+
+    # ONE aggregating pass over the fact table feeds sketch AND exact sides
+    # (r11, guide §2.3 "aggregate before you shuffle"): the prior form
+    # scanned events 4× (two half-builds, exact counts, and their merge).
+    # Equivalence is two associativity identities: (a) the two-half merge is
+    # union+re-sum, so it EQUALS the single full-corpus build (the identity
+    # the oracle already relies on — its SQL is single-pass); (b) each CMS
+    # cell's count is the sum over keys hashing there of that key's event
+    # count, so building from per-uid counts (explode D cells per KEY,
+    # sum counts) equals building from raw events (explode D cells per
+    # EVENT, count rows). NULL uids contribute NULL cells identically on
+    # both forms. The per-uid count table is also exactly what the top-20
+    # probe side needs, so it is checkpointed and read twice.
+    counts = _q95_counts(spark, sf).localCheckpoint(eager=False)
+    sk = (
+        counts.select(
+            F.explode(cms_cells(F.col("uid"), _CMS_D, _CMS_W)).alias("h"), "exact_n"
+        )
+        .groupBy(F.col("h.depth").alias("depth"), F.col("h.cell").alias("cell"))
+        .agg(F.sum("exact_n").alias("n"))
     )
-    exact = ev.groupBy("uid").agg(F.count(F.lit(1)).alias("exact_n"))
-    top = exact.orderBy(F.desc("exact_n"), F.asc("uid")).limit(20)
+    top = counts.orderBy(F.desc("exact_n"), F.asc("uid")).limit(20)
     out = probe_cms(sk, top, "uid", _CMS_D, _CMS_W)
     return out.select(
         F.col("uid").cast("bigint").alias("user_id"), "exact_n", F.col("est").alias("cms_est")

@@ -29,6 +29,15 @@ ROOT = Path(__file__).resolve().parents[1]
 # plus a "why". An entry authorizes raises UP TO the stated value only —
 # a further raise needs a fresh entry (and therefore a fresh review).
 _BUDGET_RAISE_OK: dict[str, dict] = {
+    "q132_profile_table": {
+        "scans": {"orders": 2},
+        "shuffles": 3,
+        "why": "r11 split: exact-NDV arms and min/max(string) arms in one "
+        "aggregate forced SortAggregate over the 6xN multi-distinct Expand "
+        "(full sort both phases); two column-pruned scans — hash-agg NDV "
+        "pass + sortless min/max/null pass — are strictly cheaper than "
+        "sorting a 6x row expansion at any scale",
+    },
     "q140_attribution": {
         "shuffles": 5,
         "scans": {"events": 3},

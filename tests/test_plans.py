@@ -31,6 +31,8 @@ _BNLJ_OK = {
     "q140_attribution",  # conv endpoints × touch-type dim (distinct
     # event_type values — enum-sized broadcast, not a data-sized side)
     "q130_skew_report",  # 1-row totals × 1-row top-10-mass combine
+    "q132_profile_table",  # 1-row NDV agg × 1-row min/max/null agg combine
+    # (the r11 split that keeps string buffers off the multi-distinct Expand)
 }
 
 
@@ -162,7 +164,7 @@ _PRUNED_SCANS = {
         "lineitem.parquet",
         {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"},
     ),
-    "q95_heavy_hitters_cms": ("events.parquet", {"event_id", "user_id"}),
+    "q95_heavy_hitters_cms": ("events.parquet", {"user_id"}),
     "q96_kmv_distinct": ("events.parquet", {"event_type", "user_id"}),
     "q100_group_sample": ("documents.parquet", {"doc_id", "lang", "source"}),
     "q59_train_test_split": ("documents.parquet", {"doc_id", "lang"}),
@@ -225,6 +227,12 @@ def test_scan_reads_only_needed_columns(spark, name):
         from job_etl_spark.queries.sketches import _q96_pairs
 
         plan = _plan(_q96_pairs(spark, SF_SMOKE))
+    elif name == "q95_heavy_hitters_cms":
+        # r11: the per-uid count pass is checkpointed (one events scan
+        # feeds CMS build + exact top-20) — same carve-out as q96/q117
+        from job_etl_spark.queries.sketches import _q95_counts
+
+        plan = _plan(_q95_counts(spark, SF_SMOKE))
     else:
         plan = _plan(_REG[name].fn(spark, SF_SMOKE))
     scans = [
@@ -322,7 +330,6 @@ _MULTI_SCAN_OK = {
     "q83_trimmed_stats": "roles: quantile bounds + trimmed aggregate",
     "q90_source_mixture": "roles: per-source counts + global total",
     "q94_snapshot_diff": "roles: old vs new snapshot slices",
-    "q95_heavy_hitters_cms": "sketch: two CMS half-builds merged",
     "q96_kmv_distinct": "sketch: two KMV half-builds merged",
     "q98_inverted_index": "roles: postings + df-count halves",
     "q105_windowed_distinct": "sketch: per-window half-sketches merged",
@@ -334,6 +341,10 @@ _MULTI_SCAN_OK = {
     "q118_temperature_resample": "roles: per-source stats + doc re-join",
     "q130_skew_report": "roles: totals vs top-10-mass halves",
     "q131_ivm_agg": "roles: base aggregate + delta batch",
+    "q132_profile_table": "roles: exact-NDV pass + min/max/null pass — "
+    "split (r11) so the string-buffer aggs never ride the multi-distinct "
+    "Expand (which forced SortAggregate: a full sort of the 6×N expanded "
+    "rows); two column-pruned scans beat that sort at any scale",
     "q140_attribution": "roles: touch stream + conv endpoints + "
     "enum-sized touch-type dim (column-pruned)",
     "q133_cohort_matrix": "roles: cohort assignment + activity join",
@@ -486,8 +497,6 @@ _MANY_SHUFFLE_OK = {
     "q96_kmv_distinct": "sketch demo: per-type + __all__ KMV half-builds "
     "AND their exact countDistinct twins (the oracle-checked accuracy "
     "claim needs both), 4 arms × (distinct+agg) + merge + join",
-    "q142_rrf_fusion": "two retrieval arms × (rank window + agg) + fusion join",
-    "q95_heavy_hitters_cms": "sketch demo: two CMS half-builds + merge + exact twin",
     "q105_windowed_distinct": "per-window half-sketches + merge + exact twin",
     "q98_inverted_index": "postings + df-count + tf-idf join (ids-only rows)",
     "q157_dedup_method_agreement": "two dedup methods end-to-end + agreement join",

@@ -126,21 +126,35 @@ def test_stream_normalize_continuous_trigger(spark):
         assert q.isActive
 
         def staging_count():
+            # polling a COW table the stream concurrently rewrites: a read
+            # that lists a file the next batch's rewrite already replaced
+            # fails task-side with FileNotFoundException — that is the
+            # poll's own race, not a product defect (single-writer tables
+            # make no concurrent-reader promise); treat it as "not ready"
+            # and let the loop retry, like the table-absent case below
             try:
                 return store.read("staging_job_postings").count()
             except FileNotFoundError:
                 return 0
+            except Exception as e:  # Py4JJavaError: mid-rewrite read race
+                if "FileNotFoundException" in str(e):
+                    return -1
+                raise
 
         deadline = time.time() + 120
-        while staging_count() < 20 and time.time() < deadline:
-            time.sleep(1)
-        assert staging_count() == 20  # first drop drained: 20 identities
+
+        def wait_for(target):
+            n = staging_count()
+            while n < target and time.time() < deadline:
+                time.sleep(1)
+                n = staging_count()
+            return n
+
+        assert wait_for(20) == 20  # first drop drained: 20 identities
         # second drop lands while the query is live: jobs 20-59 add
         # exactly identities 20-29 (the rest are cycle duplicates)
         land_raw(spark, jobs[20:], run_ts).write.mode("append").parquet(raw_dir)
-        while staging_count() < 30 and time.time() < deadline:
-            time.sleep(1)
-        assert staging_count() == 30
+        assert wait_for(30) == 30
         assert q.isActive  # still running — it did not drain-and-stop
     finally:
         q.stop()
