@@ -444,10 +444,35 @@ def q27_embedding_neardup(
         # pair key before fetching vectors / the (expensive) exact cosine
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
-    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
-    cand = cand.join(va, "vec_a").join(vb, "vec_b")
-    sim = _cosine(F.col("va"), F.col("vb"))
+    # Per-vector norms are computed ONCE in the fetch-back projections
+    # (same fold as _cosine's norm → the quotient below is bit-identical):
+    # a vector in k candidate pairs used to pay k interpreted norm folds.
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform("vec", lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+        )
+    )
+    va = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), nrm.alias("na")
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), nrm.alias("nb")
+    )
+    # Explicit hash-repartition of the deduped id-pairs: AQE's bytes-based
+    # coalescing collapses the sub-MB pair stream to ONE partition, which
+    # serializes the CPU-dense exact-cosine verification into a single
+    # task (guide §2.5). Deterministic key hash; scales with the cluster.
+    cand = (
+        cand.repartition(spark.sparkContext.defaultParallelism, "vec_a")
+        .join(va, "vec_a")
+        .join(vb, "vec_b")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    sim = dot / (F.col("na") * F.col("nb"))
     return (
         cand.withColumn("sim", sim)
         .where(F.col("sim") >= threshold)

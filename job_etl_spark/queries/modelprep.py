@@ -549,7 +549,7 @@ def q122_semantic_dedup(
     # saturates (measured on the 64× dup-dense corpus; SCALING.md). The
     # defaults are the declared oracle-paired setting; ``max_bucket`` is
     # the same degenerate-bucket guard as the simhash/minhash paths.
-    from job_etl_spark.ml.ann import assign_centroid, banded_bucket_expr, cosine_expr
+    from job_etl_spark.ml.ann import assign_centroid, banded_bucket_expr
 
     emb = parallel_table(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
@@ -564,9 +564,21 @@ def q122_semantic_dedup(
     # The assignment table feeds four branches (banding, both vector
     # fetch-backs, member counts); lazily checkpoint it so the per-vector
     # centroid argmax runs once — at cluster scale this is the persisted
-    # IVF assignment table, not a bench trick.
+    # IVF assignment table, not a bench trick. The row norm is
+    # materialized alongside (same fold as cosine_expr's norm, so the
+    # downstream quotient is bit-identical): the pair filter then pays
+    # ONE interpreted dot fold per candidate instead of three (guide
+    # §1.2 "per-task work" — measured ~1.9 s of single-task norm
+    # recomputation over the 110k sf0.1 candidates).
     assigned = emb.withColumn(
         "cid", assign_centroid(F.col("vec"), cents)
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("vec", lambda x: x * x), F.lit(0.0), lambda s, x: s + x
+            )
+        ),
     ).localCheckpoint(eager=False)
     banded = assigned.select(
         "vec_id", "cid", F.explode(banded_bucket_expr(F.col("vec"), _q122_band_planes(bands, planes_per_band))).alias("bk")
@@ -599,12 +611,29 @@ def q122_semantic_dedup(
         .select(F.col("p.vec_a").alias("vec_a"), F.col("p.vec_b").alias("vec_b"), "cid")
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    va = assigned.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
-    vb = assigned.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    va = assigned.select(
+        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+    )
+    vb = assigned.select(
+        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    # Explicit hash-repartition of the deduped id-pairs before the vector
+    # fetch-back: the pair stream is a few hundred KB here, so AQE
+    # coalesces the dedup output to ONE partition — and the per-pair dot
+    # fold is CPU-dense per byte, serializing ~2 s of verification into a
+    # single task (guide §2.5: bytes-based coalescing misjudges
+    # compute-heavy rows). Deterministic key hash, count scales with the
+    # cluster (defaultParallelism); at scale this exchange is ids-only.
     dropped = (
-        cand.join(va, "vec_a")
+        cand.repartition(spark.sparkContext.defaultParallelism, "vec_a")
+        .join(va, "vec_a")
         .join(vb, "vec_b")
-        .where(cosine_expr(F.col("va"), F.col("vb")) >= threshold)
+        .where(dot / (F.col("na") * F.col("nb")) >= threshold)
         .select("cid", F.col("vec_b").alias("vec_id"))
         .distinct()
     )

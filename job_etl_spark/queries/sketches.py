@@ -1328,9 +1328,14 @@ _Q158_DIM = 64  # embeddings fixture dimension; asserted at run time
 def q158_kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
     from job_etl_spark.ml.ann import assign_centroid, assign_centroid_sim
 
+    # lazily checkpoint the (vec_id, vec) projection: every round (plus the
+    # init collect and the final inertia pass) re-reads the materialized
+    # blocks instead of replaying scan → repartition → cast-transform —
+    # at cluster scale this is the persisted feature table a trainer
+    # iterates over, not a bench trick (guide §5 "cut lineage")
     emb = parallel_table(spark, sf, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
-    )
+    ).localCheckpoint(eager=False)
     cents = {
         r["_cid"]: list(r["_cvec"])
         for r in emb.select(F.col("vec_id").alias("_cid"), F.col("vec").alias("_cvec"))
@@ -1347,24 +1352,35 @@ def q158_kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
         assigned = emb.withColumn(
             "cid", assign_centroid(F.col("vec"), sorted(cents.items()))
         )
-        rows = assigned.groupBy("cid").agg(
-            *[
-                # decimal-exact sum → IEEE-double divide → decimal-round
-                # (the q154 decimal÷bigint parity trap: each round's means
-                # become the next round's codebook LITERALS, so one flipped
-                # digit cascades through every later assignment). Rendered
-                # as one F.expr per dim — one driver call instead of ~8
-                # py4j round trips × 64 dims × R rounds (sqllit.py).
+        # decimal-exact sum → IEEE-double divide → decimal-round (the q154
+        # decimal÷bigint parity trap: each round's means become the next
+        # round's codebook LITERALS, so one flipped digit cascades through
+        # every later assignment). Grouped by (cid, pos) via posexplode —
+        # the oracle's own GROUP BY (c_id, ord) shape — so the aggregate
+        # is ONE fixed-size expression instead of 64 unrolled decimal
+        # buffers whose generated code dominated the round stage (guide
+        # §2.3; measured ~4× on the round jobs). COUNT(1) per (cid, pos)
+        # equals the per-cid member count on the fixed-dim fixture, which
+        # the dim assert above pins.
+        rows = (
+            assigned.select("cid", F.posexplode("vec").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(
                 F.expr(
-                    "CAST(ROUND(CAST(CAST(SUM(CAST(element_at(vec, "
-                    f"{d + 1}) AS DECIMAL(30,12))) AS DOUBLE) / COUNT(1) "
-                    "AS DECIMAL(24,10)), 6) AS DOUBLE)"
-                ).alias(f"m{d}")
-                for d in range(dim)
-            ]
-        ).collect()
+                    "CAST(ROUND(CAST(CAST(SUM(CAST(val AS DECIMAL(30,12))) "
+                    "AS DOUBLE) / COUNT(1) AS DECIMAL(24,10)), 6) AS DOUBLE)"
+                ).alias("m")
+            )
+            .collect()
+        )
         # empty clusters keep their previous centroid
-        cents = {**cents, **{r["cid"]: [r[f"m{d}"] for d in range(dim)] for r in rows}}
+        means: dict[int, dict[int, float]] = {}
+        for r in rows:
+            means.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        cents = {
+            **cents,
+            **{cid: [d[p] for p in range(dim)] for cid, d in means.items()},
+        }
     final = emb.withColumn(
         "a", assign_centroid_sim(F.col("vec"), sorted(cents.items()))
     ).select("vec_id", F.col("a.cid").alias("centroid_id"), F.col("a.sim").alias("sim"))

@@ -29,6 +29,23 @@ ROOT = Path(__file__).resolve().parents[1]
 # plus a "why". An entry authorizes raises UP TO the stated value only —
 # a further raise needs a fresh entry (and therefore a fresh review).
 _BUDGET_RAISE_OK: dict[str, dict] = {
+    "q27_embedding_neardup": {
+        "shuffles": 6,
+        "why": "r11: explicit hash-repartition of the deduped id-pair "
+        "stream before the vector fetch-back (the q122 fix) — the "
+        "exact-cosine verify otherwise ran as one AQE-coalesced task; "
+        "the added exchange is ids-only and scales with "
+        "defaultParallelism",
+    },
+    "q122_semantic_dedup": {
+        "shuffles": 6,
+        "why": "r11: explicit hash-repartition of the deduped id-pair "
+        "stream before the vector fetch-back — AQE's bytes-based "
+        "coalescing collapsed the CPU-dense cosine verification (~110k "
+        "interpreted dot folds at sf0.1) into one task; the added "
+        "exchange moves ids only and its count scales with "
+        "defaultParallelism",
+    },
     "q132_profile_table": {
         "scans": {"orders": 2},
         "shuffles": 3,

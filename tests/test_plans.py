@@ -504,6 +504,12 @@ _MANY_SHUFFLE_OK = {
     "checkpointed token frame (token-id rows, one corpus scan)",
     "q116_split_leakage": "train/test slices × (shingle agg) + leak pair join",
     "q103_incremental_neardup": "new×old band join + is_new stamp + pair agg",
+    "q27_embedding_neardup": "banding agg + pair dedup + r11 id-pair "
+    "repartition (parallelizes the CPU-dense cosine verify AQE collapsed "
+    "to one task) + fetch-back joins — ids-only exchanges",
+    "q122_semantic_dedup": "banding agg + pair dedup + r11 id-pair "
+    "repartition (parallelizes the CPU-dense cosine verify AQE collapsed "
+    "to one task) + distinct + member/drop aggs — ids-only exchanges",
 }
 
 

@@ -187,3 +187,46 @@ def test_q158_mean_expr_matches_column_form(spark):
     a = df.agg(old).collect()[0][0]
     b = df.agg(new).collect()[0][0]
     assert _bits(a) == _bits(b)
+
+
+def test_q158_posexplode_means_match_per_dim_aggregate(spark):
+    # the r11 round restructure: grouping the mean aggregate by
+    # (cid, pos) over a posexplode must reproduce the original 64-wide
+    # per-dim aggregate bit-for-bit (same decimal sum, same divide, same
+    # round) — COUNT(1) per (cid, pos) == per-cid row count when every
+    # vector has the full dimension, which the fixture (and q158's dim
+    # assert) guarantees
+    import random
+
+    rng = random.Random(11)
+    dim = 4
+    rows = [
+        (rng.randrange(3), [rng.uniform(-2, 2) for _ in range(dim)])
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(rows, "cid: int, vec: array<double>")
+    mean_sql = (
+        "CAST(ROUND(CAST(CAST(SUM(CAST({v} AS DECIMAL(30,12))) AS DOUBLE)"
+        " / COUNT(1) AS DECIMAL(24,10)), 6) AS DOUBLE)"
+    )
+    old = {
+        (r["cid"], d): r[f"m{d}"]
+        for r in df.groupBy("cid")
+        .agg(
+            *[
+                F.expr(mean_sql.format(v=f"element_at(vec, {d + 1})")).alias(f"m{d}")
+                for d in range(dim)
+            ]
+        )
+        .collect()
+        for d in range(dim)
+    }
+    new = {
+        (r["cid"], r["pos"]): r["m"]
+        for r in df.select("cid", F.posexplode("vec").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.expr(mean_sql.format(v="val")).alias("m"))
+        .collect()
+    }
+    assert set(old) == set(new)
+    assert all(_bits(old[k]) == _bits(new[k]) for k in old)
