@@ -86,12 +86,6 @@ def q117_bigram_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     # three consumers (vocab, unigrams, bigram occurrences) — checkpoint so
     # the corpus is scanned+tokenized ONCE, not once per branch
     toks = _q117_toks(spark, sf).localCheckpoint(eager=False)
-    # vocab size rides the plan as a broadcast 1-row frame instead of a
-    # driver-collected literal: no separate scalar job, one fewer full
-    # corpus pass — the oracle computes the identical integer in SQL
-    vocab = toks.select(F.explode("toks").alias("w")).agg(
-        F.countDistinct("w").alias("v")
-    )
     occ = toks.select(
         "doc_id", "lang", F.explode(_bigrams(F.col("toks"))).alias("o")
     ).select("doc_id", "lang", F.col("o.w1").alias("w1"), F.col("o.bg").alias("bg"))
@@ -100,6 +94,13 @@ def q117_bigram_perplexity(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("c1"))
     )
+    # vocab size rides the plan as a broadcast 1-row frame instead of a
+    # driver-collected literal — and it is COUNT(*) over the unigram
+    # count table (|distinct tokens| == |uni groups|, the same integer
+    # the oracle's COUNT(DISTINCT w) computes), so the third full
+    # explode+distinct pass over the token frame is gone (guide §2.3:
+    # one corpus-width pass fewer; r11)
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
     big = occ.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
     bits = dround(
         F.log2((F.col("c1") + F.col("v")).cast("double"))

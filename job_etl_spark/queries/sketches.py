@@ -542,11 +542,16 @@ def q102_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     stop_ratio = n_stop / n_tok.cast("double")
     punct_ratio = n_punct / F.col("n_chars").cast("double")
     quality = 0.5 * len_score + 0.3 * (1 - punct_ratio) + 0.2 * stop_ratio
+    # TWO consumers (the survivor→signature pipeline and the final split
+    # ledger) read the scored frame; lazily checkpoint it so the quality
+    # pass — tokenize + stopword filter + punctuation regex over every
+    # document — runs once, not once per branch (guide §2.3; the q117
+    # token-frame pattern)
     scored = docs.select(
         "doc_id", "lang", "source", "text",
         n_tok.cast("bigint").alias("n_tokens"),
         quality.alias("q"),
-    )
+    ).localCheckpoint(eager=False)
     surv = scored.where(F.col("q") >= _CURATION_QUALITY_THR)
     sigs = with_simhash(surv, "text", "simhash").select(
         "doc_id", "lang", "source", "simhash"

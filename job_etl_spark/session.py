@@ -39,6 +39,17 @@ def get_spark(app_name: str = "jobspark", shuffle_partitions: int | None = None)
         .appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing floor stays at the Spark default (1m): an
+        # interleaved 12-query A/B of 64k-vs-1m (r11) netted −2% inside
+        # weather noise with two clear regressions (q85/q98 pay task
+        # overhead on cheap stages) — the honest fix for CPU-dense
+        # sub-MB reduce stages is the explicit keyed repartition the
+        # affected queries (q27/q122) now carry. Override via
+        # JOBSPARK_AQE_MIN_PARTITION if a deployment's regime differs.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("JOBSPARK_AQE_MIN_PARTITION", "1m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(sp))
