@@ -1191,7 +1191,10 @@ _WS = r"\s+"
 
 
 def q85_repetition_metrics(spark: SparkSession, sf: str) -> DataFrame:
-    docs = table(spark, sf, "documents")
+    # parallel_table: the 2/3-gram explosion concatenates ~1M strings per
+    # corpus pass — single-task on the one-split sf0.1 file otherwise
+    # (q01's note; no-op at scale)
+    docs = parallel_table(spark, sf, "documents")
     t = F.split(F.lower(F.col("text")), _WS)
     tagged = F.concat(
         F.expr(
@@ -1261,7 +1264,9 @@ FROM c GROUP BY doc_id
 def q86_distinctive_terms(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = table(spark, sf, "documents")
+    # parallel_table: the tokenize+explode of the whole corpus otherwise
+    # runs inside the single-split scan task (q01's note; no-op at scale)
+    docs = parallel_table(spark, sf, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), _WS)).alias("term")
     )
@@ -1272,8 +1277,10 @@ def q86_distinctive_terms(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("tf")
     ).localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # count-star scalar: a parquet-footer read, not a corpus pass
-    n_docs = int(docs.agg(F.count(F.lit(1))).first()[0])
+    # count-star scalar: a parquet-footer read, not a corpus pass — on the
+    # RAW table, not the parallel frame (a repartition above the scan
+    # would defeat the metadata-only count)
+    n_docs = int(table(spark, sf, "documents").agg(F.count(F.lit(1))).first()[0])
     scored = (
         tf.join(dfreq, "term")
         .select(

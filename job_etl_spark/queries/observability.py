@@ -445,7 +445,9 @@ FROM act GROUP BY cohort_week, offset_weeks
 # ---------------------------------------------------------------------------
 _CHECKSUM_MOD = (1 << 61) - 1
 def q134_table_checksum(spark: SparkSession, sf: str) -> DataFrame:
-    li = table(spark, sf, "lineitem").select(
+    # parallel_table: one md5 per row over the single-row-group sf0.1
+    # file otherwise runs in ONE scan task (q01's note; no-op at scale)
+    li = parallel_table(spark, sf, "lineitem").select(
         "l_orderkey",
         "l_partkey",
         "l_suppkey",

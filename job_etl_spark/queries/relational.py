@@ -23,14 +23,19 @@ from job_etl_spark.queries._util import (
     sql_dround,
     sql_dsum,
 )
-from job_etl_spark.tables import table
+from job_etl_spark.tables import parallel_table, table
 
 
 # ---------------------------------------------------------------------------
 # q01 — pricing summary (A1/P5: grouped agg + FILTER-style conditional count)
 # ---------------------------------------------------------------------------
 def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
-    li = table(spark, sf, "lineitem")
+    # parallel_table: the sf0.1 lineitem file is ONE parquet row group, so
+    # the seven wide-decimal aggregates (BigDecimal buffers — precision
+    # > 18) ran in a single scan task (~2 s); the round-robin fan-out is a
+    # no-op at scale where the table has ≥ cores splits (guide §2.5
+    # "input skew: one huge unsplittable file")
+    li = parallel_table(spark, sf, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
@@ -72,7 +77,10 @@ GROUP BY l_returnflag, l_linestatus
 # q02 — regional revenue (J1: star join with broadcast dims)
 # ---------------------------------------------------------------------------
 def q02_regional_revenue(spark: SparkSession, sf: str) -> DataFrame:
-    li = table(spark, sf, "lineitem")
+    # parallel_table for the fact side: with the dims broadcast, the join
+    # + per-order decimal partial agg otherwise all run inside the
+    # single-split scan task (q01's note; no-op at scale)
+    li = parallel_table(spark, sf, "lineitem")
     orders = table(spark, sf, "orders")
     cust = table(spark, sf, "customer")
     nation = table(spark, sf, "nation")
@@ -732,7 +740,9 @@ WHERE s_suppkey IN (
 # disambiguate real NULLs from subtotal rows).
 # ---------------------------------------------------------------------------
 def q41_rollup_hierarchy(spark: SparkSession, sf: str) -> DataFrame:
-    li = table(spark, sf, "lineitem")
+    # parallel_table: rollup expands every row ×3 into wide-decimal
+    # buffers — single-task on the one-split file otherwise (q01's note)
+    li = parallel_table(spark, sf, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
@@ -878,7 +888,9 @@ GROUP BY p.purchase_id, p.user_id, p.ts_us
 # GROUP BY passes over a 100 TB fact.
 # ---------------------------------------------------------------------------
 def q45_cube_matrix(spark: SparkSession, sf: str) -> DataFrame:
-    orders = table(spark, sf, "orders")
+    # parallel_table: cube expands every row ×4 into decimal buffers
+    # (q41's note; no-op at scale)
+    orders = parallel_table(spark, sf, "orders")
     return orders.cube("o_orderpriority", "o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice")).alias("sum_price"),

@@ -29,6 +29,18 @@ ROOT = Path(__file__).resolve().parents[1]
 # plus a "why". An entry authorizes raises UP TO the stated value only —
 # a further raise needs a fresh entry (and therefore a fresh review).
 _BUDGET_RAISE_OK: dict[str, dict] = {
+    # r11 single-split fan-out class: the sf bench files are ONE parquet
+    # row group, so these queries' per-row-heavy first stage (wide-decimal
+    # aggregate buffers, md5-per-row, rollup/cube row expansion) ran in a
+    # single scan task; parallel_table adds one round-robin exchange that
+    # is a NO-OP at scale (real tables have >= cores splits) — guide §2.5
+    # "input skew: one huge unsplittable file".
+    "q01_pricing_summary": {"shuffles": 2, "why": "r11 single-split fan-out (see class note above)"},
+    "q02_regional_revenue": {"shuffles": 4, "why": "r11 single-split fan-out"},
+    "q41_rollup_hierarchy": {"shuffles": 2, "why": "r11 single-split fan-out"},
+    "q45_cube_matrix": {"shuffles": 2, "why": "r11 single-split fan-out"},
+    "q85_repetition_metrics": {"shuffles": 3, "why": "r11 single-split fan-out"},
+    "q134_table_checksum": {"shuffles": 2, "why": "r11 single-split fan-out"},
     "q27_embedding_neardup": {
         "shuffles": 6,
         "why": "r11: explicit hash-repartition of the deduped id-pair "
