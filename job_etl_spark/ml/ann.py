@@ -18,7 +18,12 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from job_etl_spark.functions.sqllit import sql_double, sql_double_array, sql_int
+from job_etl_spark.functions.sqllit import (
+    cached_expr,
+    sql_double,
+    sql_double_array,
+    sql_int,
+)
 
 DEFAULT_PLANES = 8
 
@@ -82,7 +87,7 @@ def bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     O(1) in P instead of O(P) — same IEEE arithmetic, same bucket ids.
     The literal array is rendered as one SQL string (functions/sqllit.py)
     so driver-side construction is one call, not P×dim py4j round trips."""
-    mat = F.expr(
+    mat = cached_expr(
         "array("
         + ",".join(
             f"named_struct('w',{sql_int(1 << p)},'v',{sql_double_array(plane)})"
@@ -101,7 +106,7 @@ def banded_bucket_expr(vec: Column, band_planes: list[list[list[float]]]) -> Col
     Nested transform over a literal (band → (weight, plane)) structure —
     the dot-product lambda is compiled once, looped bands × planes times.
     Per-band bucket ids are identical to ``bucket_expr`` on that band."""
-    bands = F.expr(
+    bands = cached_expr(
         "array("
         + ",".join(
             f"named_struct('band_id',{sql_int(i)},'planes',array("
@@ -174,7 +179,7 @@ def _lit_book(centroids: list[tuple[int, list[float]]]) -> Column:
     one driver call instead of C×(dim+2) py4j round trips (sqllit.py);
     ``nb`` is the precomputed ``_py_norm``, bit-identical to the in-plan
     fold."""
-    return F.expr(
+    return cached_expr(
         "array("
         + ",".join(
             f"named_struct('i',{sql_int(cid)},'nb',{sql_double(_py_norm(cvec))},"

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from job_etl_spark.functions.chunking import tokens_expr
 from job_etl_spark.functions.sqllit import (
+    cached_expr,
     lit_double_array,
     sql_double,
     sql_double_array,
@@ -204,8 +205,9 @@ def _pq_encode_exprs(book: list[list[float]]):
             F.transform(a_m, lambda x: x * x), F.lit(0.0), lambda s, x: s + x
         )
         # one rendered SQL literal per subspace codebook (sqllit.py):
-        # one driver call instead of K×(_PQ_D+2) py4j round trips
-        mat = F.expr(
+        # one driver call instead of K×(_PQ_D+2) py4j round trips;
+        # parse memoized (cached_expr) — the codebook is constant
+        mat = cached_expr(
             "array("
             + ",".join(
                 f"named_struct('v',{sql_double_array(cvec[m * _PQ_D : (m + 1) * _PQ_D])},"

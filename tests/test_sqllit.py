@@ -230,3 +230,22 @@ def test_q158_posexplode_means_match_per_dim_aggregate(spark):
     }
     assert set(old) == set(new)
     assert all(_bits(old[k]) == _bits(new[k]) for k in old)
+
+
+def test_cached_expr_memoizes_and_bounds(spark):
+    # r11: wide rendered literals are parse-memoized — same text must give
+    # the SAME Column object (parse skipped), different text a different
+    # one, and the memo must stay bounded under churn
+    from job_etl_spark.functions import sqllit as sl
+
+    sl._EXPR_CACHE.clear()
+    a1 = sl.cached_expr("array(1, 2, 3)")
+    a2 = sl.cached_expr("array(1, 2, 3)")
+    b = sl.cached_expr("array(4, 5)")
+    assert a1 is a2 and a1 is not b
+    # cached Column still evaluates correctly in a fresh plan
+    got = spark.range(1).select(a1.alias("xs")).collect()[0]["xs"]
+    assert got == [1, 2, 3]
+    for i in range(sl._EXPR_CACHE_MAX + 10):
+        sl.cached_expr(f"array({i})")
+    assert len(sl._EXPR_CACHE) <= sl._EXPR_CACHE_MAX
