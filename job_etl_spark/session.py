@@ -59,6 +59,18 @@ def get_spark(app_name: str = "jobspark", shuffle_partitions: int | None = None)
         # but never above what the host can actually back (a fixed 24g
         # default fails JVM startup / swaps on smaller hosts)
         .config("spark.driver.memory", os.environ.get("JOBSPARK_DRIVER_MEM") or _default_driver_mem())
+        # JIT code cache: a long-lived driver JVM running hundreds of
+        # codegen'd stages (the bench's 151 queries, the composed DAG
+        # probes) fills the default ~240m ReservedCodeCacheSize, at which
+        # point HotSpot DISABLES the compiler ("CodeHeap 'non-profiled
+        # nmethods' is full") and every later stage runs interpreted —
+        # observed in the r11 full-DAG probe, where post-fill phases ran
+        # 2-3x slower. 512m of reserved (virtual) space removes the cliff;
+        # this is the standard setting for long-lived Spark drivers.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
