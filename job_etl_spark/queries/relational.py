@@ -959,7 +959,10 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 # once, vs. the literal plan's two correlated rescans.
 # ---------------------------------------------------------------------------
 def q47_lone_return_supplier(spark: SparkSession, sf: str) -> DataFrame:
-    li = table(spark, sf, "lineitem")
+    # parallel_table: the per-order multi-countDistinct Expand doubles
+    # every row before its shuffle — single-task on the one-split file
+    # otherwise (q01's note; no-op at scale)
+    li = parallel_table(spark, sf, "lineitem")
     supp = table(spark, sf, "supplier")
     per_order = (
         li.groupBy("l_orderkey")

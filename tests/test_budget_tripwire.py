@@ -41,6 +41,11 @@ _BUDGET_RAISE_OK: dict[str, dict] = {
     "q45_cube_matrix": {"shuffles": 2, "why": "r11 single-split fan-out"},
     "q85_repetition_metrics": {"shuffles": 3, "why": "r11 single-split fan-out"},
     "q134_table_checksum": {"shuffles": 2, "why": "r11 single-split fan-out"},
+    "q47_lone_return_supplier": {
+        "shuffles": 5,
+        "why": "r11 single-split fan-out x2 (both lineitem branches: the "
+        "multi-distinct Expand and the blamed-side join)",
+    },
     "q27_embedding_neardup": {
         "shuffles": 6,
         "why": "r11: explicit hash-repartition of the deduped id-pair "
