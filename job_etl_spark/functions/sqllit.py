@@ -71,12 +71,35 @@ def sql_double_array(vals: Iterable[float | None]) -> str:
 # and across sessions within one JVM gateway — is safe. Bounded FIFO so
 # per-round codebooks (q158: fresh literals every round) can't grow the
 # memo without limit.
+#
+# Gateway lifecycle (ADVICE r11): a classic-mode Column wraps a py4j
+# JavaObject bound to ONE gateway; if the JVM/gateway is replaced
+# in-process (SparkContext fully stopped and recreated), every cached
+# Column is a dead handle and would fail obscurely on a hit. The memo is
+# therefore pinned to the SparkContext identity that parsed it and
+# cleared when a different context is active.
 _EXPR_CACHE: dict[str, Column] = {}
 _EXPR_CACHE_MAX = 128
+# weakref (not id(): ids are reused after GC) to the owning SparkContext
+_EXPR_CACHE_CTX = None
 
 
 def cached_expr(sql: str) -> Column:
-    """``F.expr(sql)`` with a bounded memo keyed on the exact SQL text."""
+    """``F.expr(sql)`` with a bounded memo keyed on the exact SQL text,
+    valid for the lifetime of the active SparkContext."""
+    global _EXPR_CACHE_CTX
+    import weakref
+
+    from pyspark import SparkContext
+
+    ctx = SparkContext._active_spark_context
+    if ctx is None:
+        # no live context: parse fresh (a memoized handle could outlive
+        # whatever context the caller is about to create)
+        return F.expr(sql)
+    if _EXPR_CACHE_CTX is None or _EXPR_CACHE_CTX() is not ctx:
+        _EXPR_CACHE.clear()
+        _EXPR_CACHE_CTX = weakref.ref(ctx)
     col = _EXPR_CACHE.get(sql)
     if col is None:
         if len(_EXPR_CACHE) >= _EXPR_CACHE_MAX:

@@ -31,6 +31,19 @@ def _default_driver_mem() -> str:
     return "8g"
 
 
+def _driver_java_opts() -> str:
+    """Driver JVM options: deployment-supplied opts (JOBSPARK_DRIVER_JAVA_OPTS)
+    come first, with the code-cache reserve appended unless the deployment
+    already sets one — so a cluster's GC flags are never clobbered and an
+    explicit ReservedCodeCacheSize choice wins (ADVICE r11). Note
+    getOrCreate() ignores all of this when reusing an existing context —
+    JVM flags only apply to the session that launches the JVM."""
+    opts = os.environ.get("JOBSPARK_DRIVER_JAVA_OPTS", "")
+    if "ReservedCodeCacheSize" not in opts:
+        opts = (opts + " -XX:ReservedCodeCacheSize=512m").strip()
+    return opts
+
+
 def get_spark(app_name: str = "jobspark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     sp = shuffle_partitions or int(os.environ.get("JOBSPARK_SHUFFLE_PARTITIONS", "32"))
@@ -67,10 +80,7 @@ def get_spark(app_name: str = "jobspark", shuffle_partitions: int | None = None)
         # observed in the r11 full-DAG probe, where post-fill phases ran
         # 2-3x slower. 512m of reserved (virtual) space removes the cliff;
         # this is the standard setting for long-lived Spark drivers.
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=512m",
-        )
+        .config("spark.driver.extraJavaOptions", _driver_java_opts())
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -223,16 +223,22 @@ def ts_strictly_after(df: DataFrame, cutoff) -> "F.Column":
     return F.col("_ts_raw") > lit
 
 
-_SCAN_PARTS_CACHE: dict[tuple[str, str], int] = {}
+_SCAN_PARTS_CACHE: dict[tuple, int] = {}
 
 
 def parallel_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """``parallel_scan(table(...))`` with the partition-count probe cached
-    per (sf_dir, table): the probe costs ~150 ms of driver-side plan
-    analysis per call, and a parquet file's split count is stable within a
-    process — so pay it once per table, not once per query invocation."""
+    per (sf_dir, table, freshness stamp): the probe costs ~150 ms of
+    driver-side plan analysis per call, and a parquet file's split count
+    is stable for given file bytes — so pay it once per table version, not
+    once per query invocation. The stamp keeps the memo honest if a table
+    file is replaced mid-process (VERDICT r11 #6); an _UNCACHEABLE stamp
+    (nested layout / stat error) skips the memo like table() does."""
     df = table(spark, sf_dir, name)
-    key = (sf_dir, name)
+    stamp = _stamp(f"{sf_dir}/{name}.parquet")
+    if stamp is _UNCACHEABLE:
+        return parallel_scan(df)
+    key = (sf_dir, name, stamp)
     n = _SCAN_PARTS_CACHE.get(key)
     if n is None:
         n = df.rdd.getNumPartitions()

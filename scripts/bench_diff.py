@@ -44,10 +44,23 @@ def main() -> None:
         ratio = ss[len(ss) // 2] / spin_base
         return f" [CONTENDED spin x{ratio:.1f}]" if ratio > 1.3 else ""
 
+    def spin_factor(r) -> float:
+        # normalization factor: the session's median spin sample over the
+        # all-time floor. Dividing a session's timings by this approximates
+        # "what the number would read on an uncontended box" — coarse (GC
+        # and scheduler contention do not scale 1:1 with a pure-Python
+        # spin), so the raw numbers stay primary and the normalized column
+        # is the tie-breaker for flagging regressions across weather.
+        ss = sorted(s for s in r.get("spin_ms", []) if s)
+        if not ss or not spin_base:
+            return 1.0
+        return max(1.0, ss[len(ss) // 2] / spin_base)
+
     for sf, rs in sorted(by_sf.items(), key=lambda kv: str(kv[0])):
         if len(rs) < 2:
             continue
         prev, cur = rs[-2], rs[-1]
+        fp, fc = spin_factor(prev), spin_factor(cur)
         print(
             f"sf={sf}: total {prev['value']:.1f}s ({prev.get('rev')}{contended(prev)}) -> "
             f"{cur['value']:.1f}s ({cur.get('rev')}{contended(cur)}), "
@@ -55,6 +68,11 @@ def main() -> None:
         )
         if contended(prev) or contended(cur):
             print("  note: a compared session ran contended; treat moves as noise")
+        if abs(fp - fc) > 0.05:
+            print(
+                f"  spin-normalized (median-spin/floor: prev x{fp:.2f}, cur x{fc:.2f}): "
+                f"total {prev['value'] / fp:.1f}s -> {cur['value'] / fc:.1f}s"
+            )
         moved = [
             (name, prev["queries"].get(name), t)
             for name, t in sorted(cur["queries"].items())
@@ -62,7 +80,12 @@ def main() -> None:
         ]
         for name, was, now in sorted(moved, key=lambda x: x[1] - x[2]):
             sign = "+" if now > was else "-"
-            print(f"  {sign} {name:32s} {was:6.2f} -> {now:6.2f}")
+            norm = ""
+            if abs(fp - fc) > 0.05:
+                nw, nn = was / fp, now / fc
+                flag = "+" if nn > nw else "-"
+                norm = f"   [norm {nw:5.2f} -> {nn:5.2f} {flag}]"
+            print(f"  {sign} {name:32s} {was:6.2f} -> {now:6.2f}{norm}")
         added = sorted(set(cur["queries"]) - set(prev["queries"]))
         if added:
             print(f"  new: {', '.join(added)}")

@@ -38,10 +38,9 @@ def main() -> None:
     outdir.mkdir(parents=True, exist_ok=True)
 
     for prefix in names:
-        name = prefix if prefix in reg else next((n for n in reg if n.startswith(prefix)), None)
-        if name is None:
-            print(f"{prefix}: not found", file=sys.stderr)
-            continue
+        from _resolve import resolve_query
+
+        name = resolve_query(reg, prefix)
         try:
             df = reg[name].fn(spark, args.sf)
             plan = df._jdf.queryExecution().explainString(

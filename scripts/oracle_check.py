@@ -43,11 +43,9 @@ def main() -> None:
     qs, osql = e.queries(), e.oracle_sql()
     names = []
     for prefix in args.queries:
-        name = next((n for n in qs if n.startswith(prefix)), None)
-        if name is None:
-            print(f"{prefix}: not found", file=sys.stderr)
-            sys.exit(2)
-        names.append(name)
+        from _resolve import resolve_query
+
+        names.append(resolve_query(qs, prefix))
 
     bad = 0
     for sf in sfs:

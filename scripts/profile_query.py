@@ -69,10 +69,9 @@ def main() -> None:
     reg["q01_pricing_summary"].fn(spark, args.sf).write.format("noop").mode("overwrite").save()
 
     for prefix in args.queries:
-        name = next((n for n in reg if n.startswith(prefix)), None)
-        if name is None:
-            print(f"{prefix}: not found", file=sys.stderr)
-            continue
+        from _resolve import resolve_query
+
+        name = resolve_query(reg, prefix)
         best, best_marks = None, None
         for _ in range(args.runs):
             jobs_before = {j["jobId"] for j in _get(f"{base}/applications/{app_id}/jobs")}
@@ -109,14 +108,19 @@ def main() -> None:
             for sid in sorted(j["stageIds"]):
                 s = sid_map.get(sid)
                 if not s:
+                    # listed in the job but never ran (AQE-skipped /
+                    # reused-exchange stages) — label instead of dur=-1
+                    print(f"    stage {sid}: skipped")
                     continue
-                dur = (
-                    _parse_ts(s["completionTime"]) - _parse_ts(s["firstTaskLaunchedTime"])
-                    if s.get("completionTime") and s.get("firstTaskLaunchedTime")
-                    else -1
-                )
+                if s.get("completionTime") and s.get("firstTaskLaunchedTime"):
+                    dur = _parse_ts(s["completionTime"]) - _parse_ts(
+                        s["firstTaskLaunchedTime"]
+                    )
+                    dur_s = f"{dur:6.3f}s"
+                else:
+                    dur_s = "  (no tasks)"
                 print(
-                    f"    stage {sid}: {dur:6.3f}s tasks={s['numCompleteTasks']} "
+                    f"    stage {sid}: {dur_s} tasks={s['numCompleteTasks']} "
                     f"in={s['inputBytes']} sr={s['shuffleReadBytes']} sw={s['shuffleWriteBytes']} "
                     f"{s['name'][:50]}"
                 )

@@ -45,8 +45,9 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     reg = registry()
-    name = next((n for n in reg if n.startswith(args.query)), None)
-    assert name, f"{args.query} not found"
+    from _resolve import resolve_query
+
+    name = resolve_query(reg, args.query)
     for _ in range(2):
         reg[name].fn(spark, args.sf).write.format("noop").mode("overwrite").save()
 

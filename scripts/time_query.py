@@ -31,10 +31,9 @@ def main() -> None:
         "overwrite"
     ).save()
     for prefix in args.queries:
-        name = next((n for n in reg if n.startswith(prefix)), None)
-        if name is None:
-            print(f"{prefix}: not found", file=sys.stderr)
-            continue
+        from _resolve import resolve_query
+
+        name = resolve_query(reg, prefix)
         times = []
         for _ in range(args.n):
             t0 = time.perf_counter()
