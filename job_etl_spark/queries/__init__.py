@@ -301,19 +301,38 @@ def registry() -> dict[str, Query]:
     # (r6 verdict: q49 was rewritten in r6 but its driver green was r4 —
     # a rewrite must never wait behind the stalest-green backlog for
     # driver confirmation). Order: failing (-2), never-verified (-1),
-    # changed-since-green (-0.5), then greens stalest-first.
+    # changed-since-green (-0.5), then greens stalest-first. WITHIN the
+    # changed bucket, stalest-green-first (r12): an edit to a widely
+    # shared helper (tables.py, session.py) marks ~every query changed at
+    # once, and a definition-order tie-break would then fill the 50-entry
+    # window with q01..q50 while the queries whose driver green is
+    # OLDEST — exactly the ones a structural rewrite left unconfirmed
+    # longest — wait outside it.
     green_hash = _green_hashes()
     changed = {
         n
         for n, q in reg.items()
         if n in green_hash and green_hash[n] != source_hash(q)
     }
+    # explicit 'pending-driver-green' sentinels (non-hex sidecar values,
+    # stamped by green_hashes.py --mark-pending on a structural rewrite)
+    # outrank hash-detected changes: the hash cannot tell a semantic
+    # rewrite from a shared-helper ripple, the sentinel is the builder
+    # saying "this one MUST be re-confirmed". --update clears it at the
+    # query's next driver green.
+    pending = {
+        n
+        for n in changed
+        if not re.fullmatch(r"[0-9a-f]+", str(green_hash.get(n, "")))
+    }
 
-    def key(n: str) -> float:
+    def key(n: str) -> tuple[float, float]:
         k = last.get(n, -1)
+        if k >= 0 and n in pending:
+            return (-0.75, k)
         if k >= 0 and n in changed:
-            return -0.5
-        return k
+            return (-0.5, k)
+        return (k, 0.0)
 
     base = {name: i for i, name in enumerate(reg)}
     order = sorted(reg, key=lambda n: (key(n), base[n]))

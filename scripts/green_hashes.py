@@ -100,6 +100,25 @@ def main() -> int:
         )
         return 0
 
+    if "--mark-pending" in sys.argv:
+        # Stamp an explicit 'pending-driver-green' sentinel on queries the
+        # builder structurally rewrote: the rotation ranks sentinels ahead
+        # of hash-detected changes (a shared-helper edit ripples the hash
+        # of ~every dependent at once, drowning the genuinely-rewritten
+        # ones), so these are guaranteed a slot in the driver's first-50
+        # verification window. --update clears a sentinel at the query's
+        # next driver green.
+        names = sys.argv[sys.argv.index("--mark-pending") + 1 :]
+        unknown = sorted(n for n in names if n not in current)
+        if unknown:
+            print(f"not in registry: {', '.join(unknown)}", file=sys.stderr)
+            return 2
+        for n in names:
+            stored[n] = "pending-driver-green"
+        SIDECAR.write_text(json.dumps(stored, indent=1, sort_keys=True) + "\n")
+        print(f"marked {len(names)} pending-driver-green: {', '.join(sorted(names))}")
+        return 0
+
     if "--update" in sys.argv:
         rnd, greens = latest_round_greens()
         refreshed = sorted(n for n in greens if stored.get(n) != current[n])

@@ -77,6 +77,56 @@ def test_changed_since_green_outranks_stale_greens(monkeypatch):
     assert order2.index(greens[0]) < order2.index(victim)
 
 
+def test_pending_sentinel_outranks_hash_changed(monkeypatch):
+    """r12 ladder extension: an explicit 'pending-driver-green' sentinel
+    (structural rewrite awaiting driver confirmation) must outrank every
+    hash-detected changed green — a shared-helper edit marks ~all
+    dependents changed at once, and the sentinel is what keeps the
+    genuinely-rewritten query inside the 50-entry window — while failing
+    and never-verified still come first."""
+    reg_names = list(registry())
+    rounds = qmod._last_verified_round()
+    greens = [n for n in reg_names if rounds.get(n, -1) >= 0]
+    assert len(greens) >= 3
+    sentinel_q = greens[-1]  # freshest green: worst-case staleness rank
+    hash_changed_q = greens[-2]
+
+    poisoned = dict(qmod._green_hashes())
+    poisoned[sentinel_q] = "pending-driver-green"
+    poisoned[hash_changed_q] = "0000000000000000"  # hex: plain changed, not sentinel
+    monkeypatch.setattr(qmod, "_green_hashes", lambda: poisoned)
+    order = list(registry())
+    assert order.index(sentinel_q) < order.index(hash_changed_q)
+    # failing outranks the sentinel
+    fake_rounds = dict(rounds)
+    fake_rounds[greens[0]] = -2
+    monkeypatch.setattr(qmod, "_last_verified_round", lambda: fake_rounds)
+    order2 = list(registry())
+    assert order2.index(greens[0]) < order2.index(sentinel_q)
+
+
+def test_changed_bucket_orders_stalest_first(monkeypatch):
+    """r12: WITHIN the changed-since-green bucket, stalest green first —
+    so when a shared-helper edit floods the bucket, the queries whose
+    driver confirmation is oldest (the longest-unverified rewrites) fill
+    the window instead of whatever happens to be defined first."""
+    reg_names = list(registry())
+    rounds = qmod._last_verified_round()
+    greens = sorted(
+        (n for n in reg_names if rounds.get(n, -1) >= 0),
+        key=lambda n: rounds[n],
+    )
+    assert len(greens) >= 2
+    stale_q, fresh_q = greens[0], greens[-1]
+    assert rounds[stale_q] < rounds[fresh_q], "test needs distinct green rounds"
+    poisoned = dict(qmod._green_hashes())
+    poisoned[stale_q] = "0000000000000000"
+    poisoned[fresh_q] = "0000000000000000"
+    monkeypatch.setattr(qmod, "_green_hashes", lambda: poisoned)
+    order = list(registry())
+    assert order.index(stale_q) < order.index(fresh_q)
+
+
 _CONST_FOR_HASH_TEST = 7 * 86_400
 
 
