@@ -136,11 +136,18 @@ def minhash_bands(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """shingle → minhash → (id, band, bucket) rows — the STORABLE state of
     the LSH pipeline. Persisting this table is what makes dedup
     incremental: a new batch joins its bands against the stored corpus
-    bands (new×old, no old×old re-pairing) and then appends its own."""
+    bands (new×old, no old×old re-pairing) and then appends its own.
+
+    ``toks_col`` names a pre-tokenized array column to sign instead of
+    tokenizing ``text_col`` — the shared-pass hook for consumers that run
+    several signature schemes over one corpus (q157 composes minhash AND
+    simhash: tokenize once, sign twice). Equivalent by construction when
+    the column holds ``tokens_expr(text_col)``."""
     # materialize base hashes as a column so the k permutations reuse them.
     # The degenerate-doc filter is the CHEAP equivalent predicate
     # (sig IS NULL ⟺ shingle set empty ⟺ fewer than 3 tokens): filtering on
@@ -149,11 +156,12 @@ def minhash_bands(
     # the entire signature computation then runs (twice) inside the
     # single-task scan stage on single-split inputs. The token-count form
     # sinks harmlessly (one split per row) and prunes early at scale.
+    toks = F.col(toks_col) if toks_col else tokens_expr(text_col)
     sig = (
-        docs.where(F.size(tokens_expr(text_col)) >= 3)
+        docs.where(F.size(toks) >= 3)
         .select(
             F.col(id_col),
-            shingle_hashes_expr(shingles_expr(tokens_expr(text_col))).alias("_hs"),
+            shingle_hashes_expr(shingles_expr(toks)).alias("_hs"),
         )
         .select(F.col(id_col), minhash_signature_expr(F.col("_hs"), k).alias("sig"))
     )
@@ -168,6 +176,7 @@ def minhash_lsh_candidates(
     bands: int = LSH_BANDS,
     rows: int = LSH_ROWS,
     max_bucket: int | None = None,
+    toks_col: str | None = None,
 ) -> DataFrame:
     """Full LSH pipeline → candidate pairs (id_a < id_b, n_shared_bands).
 
@@ -180,7 +189,7 @@ def minhash_lsh_candidates(
     ``max_bucket`` optionally drops degenerate buckets (a bucket of B
     docs yields B²/2 pairs under EITHER formulation — capping is the
     standard LSH guard for adversarial skew at corpus scale)."""
-    banded = minhash_bands(docs, id_col, text_col, k, bands, rows)
+    banded = minhash_bands(docs, id_col, text_col, k, bands, rows, toks_col)
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
@@ -219,17 +228,24 @@ def simhash_from_hashes_expr(hs: Column, n_tokens: Column, bits: int = SIMHASH_B
     the MASK instead of the hash is what unlocks the single pass). ~2×
     faster than the per-bit 60-fold version it replaces — higher-order
     functions evaluate interpreted, so array traversals, not arithmetic,
-    are the cost center. NULL for empty token lists."""
+    are the cost center. For the same reason the per-token ±1 contribution
+    is FUSED into the accumulator ``zip_with`` (one traversal per token)
+    instead of materializing a contrib array first and zip-adding it —
+    same integer adds in the same order (bit-identical), one interpreted
+    traversal + one allocation per token saved; measured 0.293 → 0.246 s
+    per sf0.1 corpus pass (scripts/fold_probe.py, r12). NULL for empty
+    token lists."""
     powers = lit_bigint_array(1 << j for j in range(bits))
 
     def merge(acc, h):
-        contrib = F.transform(
+        return F.zip_with(
+            acc,
             powers,
-            lambda p: F.when(h.bitwiseAND(p) != 0, F.lit(1))
+            lambda s, p: s
+            + F.when(h.bitwiseAND(p) != 0, F.lit(1))
             .otherwise(F.lit(-1))
             .cast("bigint"),
         )
-        return F.zip_with(acc, contrib, lambda s, c: s + c)
 
     sums = F.aggregate(hs, F.array_repeat(F.lit(0).cast("bigint"), bits), merge)
     packed = F.aggregate(
@@ -242,18 +258,69 @@ def simhash_from_hashes_expr(hs: Column, n_tokens: Column, bits: int = SIMHASH_B
     return F.when(n_tokens > 0, packed)
 
 
+# Arrow/numpy fold escape hatch (VERDICT r11 #9): the interpreted-HOF
+# fold above costs ~0.25 s per sf0.1 corpus pass; a vectorized numpy fold
+# in a pandas UDF is faster PER ROW but pays the Python-worker ramp
+# (~0.4 s/spawn on the bench box) and the JVM→Arrow→JVM transfer of the
+# token-hash arrays — measured BELOW break-even at sf0.1 (r11/r12 A/B in
+# OPTIMIZATION_r12.md), so default OFF. At real corpus scale (worker pool
+# warm, many batches per task) the vectorized path wins; a deployment
+# flips it with JOBSPARK_ARROW_FOLD=1 — results are bit-identical
+# (integer math, same strict-positive rule; pinned by
+# tests/test_banding_property.py::test_arrow_fold_matches_expr_fold).
+ARROW_FOLD_ENV = "JOBSPARK_ARROW_FOLD"
+
+
+def _arrow_simhash_udf(bits: int):
+    import pandas as pd  # noqa: F401 - signature type only
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def _fold(hs_series, n_series):
+        import numpy as np
+        import pandas as pd
+
+        shifts = np.arange(bits, dtype=np.uint64)
+        powers = np.uint64(1) << shifts
+
+        def one(h_list, n):
+            if h_list is None or n is None or n <= 0:
+                return None
+            h = np.asarray(h_list, dtype=np.uint64)
+            ones = ((h[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+            sums = 2 * ones.astype(np.int64) - len(h)
+            return int(powers[sums > 0].sum())
+
+        return pd.Series(
+            [one(h, n) for h, n in zip(hs_series, n_series)], dtype="object"
+        )
+
+    return _fold
+
+
+def _simhash_col(hs, n_tokens, bits: int):
+    import os
+
+    if os.environ.get(ARROW_FOLD_ENV) == "1":
+        return _arrow_simhash_udf(bits)(hs, n_tokens)
+    return simhash_from_hashes_expr(hs, n_tokens, bits)
+
+
 def with_simhash(
     df: DataFrame, text_col: str = "text", out_col: str = "simhash",
-    bits: int = SIMHASH_BITS,
+    bits: int = SIMHASH_BITS, toks_col: str | None = None,
 ) -> DataFrame:
     """Attach a simhash column; token hashes are materialized once so the
-    60 per-bit aggregates reuse them instead of re-hashing."""
-    toks = tokens_expr(text_col)
+    60 per-bit aggregates reuse them instead of re-hashing. ``toks_col``
+    names a pre-tokenized array column (the minhash_bands shared-pass
+    hook) — equivalent by construction when it holds
+    ``tokens_expr(text_col)``."""
+    toks = F.col(toks_col) if toks_col else tokens_expr(text_col)
     step = df.withColumn("_toks", toks).withColumn(
         "_hs", F.transform(F.col("_toks"), hexint)
     )
     out = step.withColumn(
-        out_col, simhash_from_hashes_expr(F.col("_hs"), F.size("_toks"), bits)
+        out_col, _simhash_col(F.col("_hs"), F.size("_toks"), bits)
     )
     return out.drop("_toks", "_hs")
 
@@ -286,8 +353,8 @@ def with_simhash_wide(
     )
     n = F.size("_toks")
     out = step.withColumn(
-        hi_col, simhash_from_hashes_expr(F.col("_hs1"), n)
-    ).withColumn(lo_col, simhash_from_hashes_expr(F.col("_hs2"), n))
+        hi_col, _simhash_col(F.col("_hs1"), n, SIMHASH_BITS)
+    ).withColumn(lo_col, _simhash_col(F.col("_hs2"), n, SIMHASH_BITS))
     return out.drop("_toks", "_hs1", "_hs2")
 
 

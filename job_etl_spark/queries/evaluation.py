@@ -605,10 +605,18 @@ def q157_dedup_method_agreement(spark: SparkSession, sf: str) -> DataFrame:
         q31_simhash_neardup,
     )
 
-    mh = q29_minhash_lsh(spark, sf).select("doc_a", "doc_b").withColumn(
+    # Both detectors tokenize the SAME corpus the same way before their
+    # (different) signature schemes — so tokenize ONCE and hand the
+    # materialized token frame to both generators (guide §2.3/§2.4, the
+    # q142 shared-scan pattern): one documents scan + one split+lower
+    # pass instead of two of each. The checkpoint is lazy and
+    # intra-invocation; signature work itself is untouched (it runs above
+    # the checkpoint, once per arm, at full fan-out parallelism).
+    tok = _q157_tok(spark, sf).localCheckpoint(eager=False)
+    mh = q29_minhash_lsh(spark, sf, tok=tok).select("doc_a", "doc_b").withColumn(
         "m", F.lit(1)
     )
-    sh = q31_simhash_neardup(spark, sf).select("doc_a", "doc_b").withColumn(
+    sh = q31_simhash_neardup(spark, sf, tok=tok).select("doc_a", "doc_b").withColumn(
         "s", F.lit(1)
     )
     j = mh.join(sh, ["doc_a", "doc_b"], "full_outer")
@@ -629,6 +637,19 @@ def q157_dedup_method_agreement(spark: SparkSession, sf: str) -> DataFrame:
         "n_minhash_only",
         "n_simhash_only",
         dround(F.col("n_both") / total.cast("double"), 6).alias("pair_jaccard"),
+    )
+
+
+def _q157_tok(spark: SparkSession, sf: str) -> DataFrame:
+    """The shared pre-tokenized frame BOTH q157 arms consume — module-level
+    (not inline) so tests/test_plans.py can assert the documents scan shape
+    the lazy checkpoint hides (the _q117_toks pattern, ADVICE r11)."""
+    from job_etl_spark.ml.dedup import tokens_expr
+    from job_etl_spark.tables import parallel_table
+
+    docs = parallel_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id", "lang", "source", tokens_expr("text").alias("_tok")
     )
 
 

@@ -730,9 +730,18 @@ WHERE len(toks) > 0
 # ---------------------------------------------------------------------------
 # q29 — MinHash-LSH near-dup candidates (shingle→minhash→band→bucket-join)
 # ---------------------------------------------------------------------------
-def q29_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+def q29_minhash_lsh(spark: SparkSession, sf: str, tok: DataFrame | None = None) -> DataFrame:
     from job_etl_spark.ml.dedup import minhash_lsh_candidates
 
+    # `tok` is an optional pre-tokenized (doc_id, …, _tok) frame — the
+    # q26/q32 `emb=` shared-scan pattern: a composer running several
+    # signature schemes over one corpus (q157: minhash AND simhash)
+    # tokenizes once and hands both generators the same materialized
+    # frame. Standalone plan unchanged when absent.
+    if tok is not None:
+        return minhash_lsh_candidates(tok, "doc_id", toks_col="_tok").orderBy(
+            "doc_a", "doc_b"
+        )
     docs = parallel_table(spark, sf, "documents")
     return minhash_lsh_candidates(docs, "doc_id", "text").orderBy("doc_a", "doc_b")
 
@@ -813,13 +822,21 @@ FROM hh
 # collect_list task — while the pair set stays EXACTLY
 # {pairs: hamming ≤ 8} (any such pair agrees on ≥1 of 9 bands).
 # ---------------------------------------------------------------------------
-def q31_simhash_neardup(spark: SparkSession, sf: str) -> DataFrame:
+def q31_simhash_neardup(spark: SparkSession, sf: str, tok: DataFrame | None = None) -> DataFrame:
     from job_etl_spark.ml.dedup import simhash_block_pairs, with_simhash
 
-    docs = parallel_table(spark, sf, "documents")
-    sigs = with_simhash(docs, "text", "simhash").select(
-        "doc_id", "lang", "source", "simhash"
-    )
+    # `tok`: optional pre-tokenized (doc_id, lang, source, _tok) frame —
+    # see q29's parameter of the same name (one tokenize feeding both
+    # signature schemes in q157). Standalone plan unchanged when absent.
+    if tok is not None:
+        sigs = with_simhash(tok, "text", "simhash", toks_col="_tok").select(
+            "doc_id", "lang", "source", "simhash"
+        )
+    else:
+        docs = parallel_table(spark, sf, "documents")
+        sigs = with_simhash(docs, "text", "simhash").select(
+            "doc_id", "lang", "source", "simhash"
+        )
     return simhash_block_pairs(sigs, ("lang", "source"), max_hamming=8)
 
 
