@@ -57,13 +57,29 @@ def build_bloom(
 ) -> list[int]:
     """Aggregate the build side into a bitmap of ``m_bits/64`` words.
 
-    ``m_bits=None`` (default) sizes the bitmap from a count of the build
-    side. One explode (k rows/key) + one ``bit_or`` aggregate; the
-    collect is bounded at ``m_bits/64`` rows (≤ 65536 at the cap)
-    regardless of build-side cardinality."""
-    if m_bits is None:
-        m_bits = sized_m_bits(df.count())
-    bits = F.explode(F.array(*_bit_positions(F.col(key_col), m_bits, k))).alias("bit")
+    ``m_bits=None`` (default) sizes the bitmap to ~BITS_PER_KEY bits/key
+    in ONE pass (guide §2.3 — the r11 form ran a separate ``count()`` job
+    over the build side whose only output was the sizing integer): the
+    bitmap is aggregated at the CAP resolution while the key count rides
+    the same job as an ``observe()`` metric, then the cap bitmap is
+    folded down to the size the count implies. The fold is exact: every
+    power-of-two ``m`` divides ``M_BITS_MAX``, so
+    ``pmod(h, M_BITS_MAX) mod m == pmod(h, m)`` — bit ``p`` of the cap
+    bitmap lands at ``p mod m``, and because 64 | m that is word
+    ``word_idx mod (m/64)`` at the same in-word offset. OR-folding the
+    cap words therefore reproduces bit-for-bit the bitmap a direct
+    ``m``-sized build would produce. One explode (k rows/key) + one
+    ``bit_or`` aggregate; the collect is bounded at ``M_BITS_MAX/64``
+    rows (65536) regardless of build-side cardinality."""
+    from pyspark.sql import Observation
+
+    obs = None
+    build_bits = m_bits
+    if build_bits is None:
+        build_bits = M_BITS_MAX
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("n_keys"))
+    bits = F.explode(F.array(*_bit_positions(F.col(key_col), build_bits, k))).alias("bit")
     words = (
         df.select(bits)
         .select(
@@ -72,11 +88,14 @@ def build_bloom(
         )
         .groupBy("word_idx")
         .agg(F.bit_or("mask").alias("word"))
-        .collect()  # bounded: ≤ m_bits/64 rows
+        .collect()  # bounded: ≤ build_bits/64 rows
     )
-    bitmap = [0] * (m_bits // 64)
+    if obs is not None:
+        m_bits = sized_m_bits(int(obs.get["n_keys"]))
+    n_words = m_bits // 64
+    bitmap = [0] * n_words
     for row in words:
-        bitmap[int(row["word_idx"])] = int(row["word"])
+        bitmap[int(row["word_idx"]) % n_words] |= int(row["word"])
     return bitmap
 
 
@@ -120,10 +139,16 @@ def bloom_prefilter(
         [(1 << j) if j < 63 else -(1 << 63) for j in range(64)]
     ).cast("array<bigint>")
     df = probe
+    # ONE local word table, projected under per-hash names — the k joins
+    # share the same non-zero words; building k identical DataFrames paid
+    # the local-relation conversion k times
+    word_table = spark.createDataFrame(
+        [(w_idx, w) for w_idx, w in enumerate(bitmap) if w != 0],
+        "_bl_w int, _bl_word bigint",
+    )
     for i, bit in enumerate(_bit_positions(F.col(key_col), m_bits, k)):
-        words = spark.createDataFrame(
-            [(w_idx, w) for w_idx, w in enumerate(bitmap) if w != 0],
-            f"_bl_w{i} int, _bl_word{i} bigint",
+        words = word_table.select(
+            F.col("_bl_w").alias(f"_bl_w{i}"), F.col("_bl_word").alias(f"_bl_word{i}")
         )
         df = df.withColumn(f"_bl_w{i}", (bit / 64).cast("int")).withColumn(
             f"_bl_m{i}", F.element_at(powers, (bit % 64).cast("int") + 1)

@@ -527,9 +527,14 @@ QUERIES.update(
 _CURATION_QUALITY_THR = 0.5
 
 
-def q102_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
-    from job_etl_spark.ml.cluster import connected_components
-    from job_etl_spark.ml.dedup import hexint, simhash_block_pairs, with_simhash
+def _q102_scored(spark: SparkSession, sf: str) -> DataFrame:
+    """q102's pre-checkpoint quality-scoring pass — module-level so
+    tests/test_plans.py can assert the documents scan shape the lazy
+    checkpoint hides (the _q117_toks pattern, ADVICE r11). Carries the
+    token ARRAY (not the text) through the checkpoint: the survivor
+    simhash consumes the same ``split(lower(text), ' ')`` tokens the
+    quality score already computed, so signing survivors re-tokenizes
+    nothing (guide §2.3) — equivalent by construction, same expression."""
     from job_etl_spark.queries.lifedata import _STOPWORDS
 
     docs = parallel_table(spark, sf, "documents")
@@ -542,18 +547,25 @@ def q102_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     stop_ratio = n_stop / n_tok.cast("double")
     punct_ratio = n_punct / F.col("n_chars").cast("double")
     quality = 0.5 * len_score + 0.3 * (1 - punct_ratio) + 0.2 * stop_ratio
+    return docs.select(
+        "doc_id", "lang", "source", tokens.alias("_tok"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        quality.alias("q"),
+    )
+
+
+def q102_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    from job_etl_spark.ml.cluster import connected_components
+    from job_etl_spark.ml.dedup import hexint, simhash_block_pairs, with_simhash
+
     # TWO consumers (the survivor→signature pipeline and the final split
     # ledger) read the scored frame; lazily checkpoint it so the quality
     # pass — tokenize + stopword filter + punctuation regex over every
     # document — runs once, not once per branch (guide §2.3; the q117
     # token-frame pattern)
-    scored = docs.select(
-        "doc_id", "lang", "source", "text",
-        n_tok.cast("bigint").alias("n_tokens"),
-        quality.alias("q"),
-    ).localCheckpoint(eager=False)
+    scored = _q102_scored(spark, sf).localCheckpoint(eager=False)
     surv = scored.where(F.col("q") >= _CURATION_QUALITY_THR)
-    sigs = with_simhash(surv, "text", "simhash").select(
+    sigs = with_simhash(surv, "text", "simhash", toks_col="_tok").select(
         "doc_id", "lang", "source", "simhash"
     )
     # hamming ≤ 8 = the true near-dup boundary (see q31); banding is
@@ -1330,6 +1342,15 @@ _Q158_ROUNDS = 3
 _Q158_DIM = 64  # embeddings fixture dimension; asserted at run time
 
 
+def _q158_emb(spark: SparkSession, sf: str) -> DataFrame:
+    """q158's pre-checkpoint feature projection — module-level so
+    tests/test_plans.py can assert the embeddings scan shape the lazy
+    checkpoint hides (the _q117_toks pattern, ADVICE r11)."""
+    return parallel_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+
+
 def q158_kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
     from job_etl_spark.ml.ann import assign_centroid, assign_centroid_sim
 
@@ -1338,9 +1359,7 @@ def q158_kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
     # blocks instead of replaying scan → repartition → cast-transform —
     # at cluster scale this is the persisted feature table a trainer
     # iterates over, not a bench trick (guide §5 "cut lineage")
-    emb = parallel_table(spark, sf, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
-    ).localCheckpoint(eager=False)
+    emb = _q158_emb(spark, sf).localCheckpoint(eager=False)
     cents = {
         r["_cid"]: list(r["_cvec"])
         for r in emb.select(F.col("vec_id").alias("_cid"), F.col("vec").alias("_cvec"))
