@@ -155,14 +155,20 @@ def test_fold_tombstone_revive_of_base_key(spark):
     assert out["a"]["co"] is None and out["a"]["kf"] is None and out["a"]["other"] is None
 
 
-def test_policy_mor_read_never_shuffles_base(spark, tmp_path):
+def test_policy_mor_read_never_shuffles_base(spark, tmp_path, monkeypatch):
     """The physical plan of a policy-table mor_read must keep the base out
     of every exchange: the delta fold windows over delta rows only, and
     the base merge is broadcast-shaped (merge_upsert_onto) — BroadcastHash
     joins, no SortMergeJoin. This IS the 100 TB read-path claim: read cost
-    is base-scan + delta-sized work, never an O(table) shuffle."""
+    is base-scan + delta-sized work, never an O(table) shuffle.
+
+    The r12 per-run read memo wraps mor_read in a lazy localCheckpoint
+    whose post-materialization plan is a block scan — opt out here so the
+    assertion still sees the FOLD plan (the memo adds a node above it,
+    it does not change the fold; test_mor_read_memo covers the memo)."""
     from job_etl_spark.pipeline.runner import TableStore
 
+    monkeypatch.setenv("JOBSPARK_MOR_READ_MEMO", "0")
     store = TableStore(spark, str(tmp_path))
     base = spark.range(0, 1000).selectExpr(
         "cast(id as string) k", "'ow-b' ow", "'co-b' co", "'kf-b' kf", "cast(null as string) other"
@@ -607,3 +613,41 @@ def test_mor_stages_dry_run_is_pure(spark, tmp_path):
     run_marts(store, run_ts=ts)
     stats = run_rank(store, rank_all=True, mor=True, dry_run=True)
     assert stats["dry_run"] and not store.mor_exists("fact_jobs")
+
+
+def test_mor_read_memo(spark, tmp_path):
+    """r12 per-run merged-view memo: two mor_reads of the same (deltas,
+    base) state return the SAME frame (one fold feeds every consumer of a
+    composed DAG run), an upsert or compaction invalidates the memo, and
+    the memoized view stays row-identical to a fresh fold."""
+    from job_etl_spark.pipeline.runner import TableStore
+
+    store = TableStore(spark, str(tmp_path))
+    base = spark.range(0, 100).selectExpr("cast(id as string) k", "id v")
+    store.write("t", base)
+    store.mor_init("t", store.read("t"), ["k"])
+    upd = spark.range(0, 10).selectExpr("cast(id as string) k", "id + 1000 v")
+    store.mor_upsert("t", upd)
+
+    m1 = store.mor_read("t")
+    m2 = store.mor_read("t")
+    assert m1 is m2, "same delta-stack state must hit the memo"
+    rows = {(r["k"], r["v"]) for r in m1.collect()}
+    assert ("5", 1005) in rows and ("50", 50) in rows and len(rows) == 100
+
+    # a new delta invalidates the memo and the fresh fold sees it
+    store.mor_upsert("t", spark.createDataFrame([("5", 2000)], "k string, v long"))
+    m3 = store.mor_read("t")
+    assert m3 is not m1
+    rows3 = {(r["k"], r["v"]) for r in m3.collect()}
+    assert ("5", 2000) in rows3 and len(rows3) == 100
+
+    # memoized view == fresh (opt-out) fold, bit-for-bit
+    import os
+
+    os.environ["JOBSPARK_MOR_READ_MEMO"] = "0"
+    try:
+        fresh = {(r["k"], r["v"]) for r in store.mor_read("t").collect()}
+    finally:
+        del os.environ["JOBSPARK_MOR_READ_MEMO"]
+    assert fresh == rows3
