@@ -212,9 +212,14 @@ def q148_pagerank(spark: SparkSession, sf: str) -> DataFrame:
                 * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
             ).alias("rank"),
         )
-        # truncate the per-iteration lineage growth (the classic iterative
-        # plan blow-up); lazy, so no extra job per iteration
-        ranks = ranks.localCheckpoint(eager=False)
+        # NO per-iteration checkpoint (r12): K is FIXED at 3, so the
+        # unrolled lineage is bounded (3 join+agg blocks over the two
+        # checkpointed frames) and safe to plan as ONE action — the lazy
+        # per-iteration checkpoints serialized materialization into a
+        # cascade of tiny jobs whose driver-side gaps dominated the query
+        # (~3.5 s of gaps across 22 jobs in the r12 profile; guide §2.1
+        # "stragglers you can't see in the plan"). An unbounded-K loop
+        # would need the checkpoint back (classic iterative plan blow-up).
     return ranks.orderBy(F.desc("rank"), "doc_id").limit(_PR_TOP)
 
 

@@ -959,32 +959,45 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 # once, vs. the literal plan's two correlated rescans.
 # ---------------------------------------------------------------------------
 def q47_lone_return_supplier(spark: SparkSession, sf: str) -> DataFrame:
-    # parallel_table: the per-order multi-countDistinct Expand doubles
-    # every row before its shuffle — single-task on the one-split file
-    # otherwise (q01's note; no-op at scale)
+    # ONE lineitem pass (r12, guide §2.3/§3): aggregate straight to the
+    # (orderkey, suppkey) grain — every predicate and the final count are
+    # functions of that grain, so the r11 shape's SECOND lineitem scan,
+    # its per-order multi-countDistinct Expand (2× every row before the
+    # shuffle) and the fact-to-fact join all collapse into one partial-
+    # aggregable pass + a window over the aggregated (much smaller) frame.
+    # Equivalence: COUNT(DISTINCT l_suppkey) ≡ COUNT(*) over (o,s) groups
+    # (NULL suppkeys pre-filtered — countDistinct ignores NULLs and the
+    # supplier join dropped them); 'exactly one returning supplier' makes
+    # each qualifying order contribute exactly 1 to exactly the pair with
+    # ret=1, so COUNT(DISTINCT l_orderkey) per supplier ≡ COUNT(*) over
+    # its qualifying pairs. parallel_table: the (o,s) agg is single-task
+    # on the one-split file otherwise (q01's note; no-op at scale).
     li = parallel_table(spark, sf, "lineitem")
     supp = table(spark, sf, "supplier")
-    per_order = (
-        li.groupBy("l_orderkey")
+    pairs = (
+        li.where(F.col("l_suppkey").isNotNull())
+        .groupBy("l_orderkey", "l_suppkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(
-                F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-            ).alias("n_ret_supp"),
+            F.max(
+                F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0))
+            ).alias("ret")
         )
-        .where((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
-        .select("l_orderkey")
     )
+    w = Window.partitionBy("l_orderkey")
     blamed = (
-        li.where(F.col("l_returnflag") == "R")
-        # no broadcast hint: per_order is fact-derived (a constant fraction
-        # of ALL orders qualifies), so a forced broadcast is a driver-OOM
-        # hazard at 100 TB — AQE still picks a broadcast when the filtered
-        # frame is actually small, and a shuffle join when it isn't
-        .join(per_order, "l_orderkey")
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        pairs.select(
+            "l_orderkey",
+            "l_suppkey",
+            "ret",
+            F.count(F.lit(1)).over(w).alias("n_supp"),
+            F.sum("ret").over(w).alias("n_ret_supp"),
+        )
+        .where(
+            (F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1) & (F.col("ret") == 1)
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .groupBy("s_suppkey", "s_name")
-        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
     return top_k(blamed, [F.desc("numwait"), F.asc("s_suppkey")], 10)
 
