@@ -178,7 +178,35 @@ _PRUNED_SCANS = {
     # ReadSchema string in plan output beyond ~5 columns)
     "q137_sessions_segmented": ("events.parquet", {"user_id", "ts"}),
     "q140_attribution": ("events.parquet", {"user_id", "event_id", "event_type", "ts"}),
+    "q157_dedup_method_agreement": (
+        "documents.parquet",
+        {"doc_id", "lang", "source", "text"},
+    ),
+    "q102_curation_pipeline": (
+        "documents.parquet",
+        {"doc_id", "lang", "source", "text", "n_chars"},
+    ),
+    "q158_kmeans_train": ("embeddings.parquet", {"vec_id", "embedding"}),
 }
+
+
+# queries whose scan is hidden by a lazy localCheckpoint: assert pruning on
+# the module-level PRE-checkpoint frame instead (the _q117_toks pattern;
+# generalized r12 per ADVICE r11 — q102/q158 budgets had collapsed to {}
+# and asserted nothing)
+def _precheckpoint_frames():
+    from job_etl_spark.queries.evaluation import _q157_tok
+    from job_etl_spark.queries.modelprep import _q117_toks
+    from job_etl_spark.queries.sketches import _q95_counts, _q96_pairs, _q102_scored, _q158_emb
+
+    return {
+        "q117_bigram_perplexity": _q117_toks,
+        "q96_kmv_distinct": _q96_pairs,
+        "q95_heavy_hitters_cms": _q95_counts,
+        "q157_dedup_method_agreement": _q157_tok,
+        "q102_curation_pipeline": _q102_scored,
+        "q158_kmeans_train": _q158_emb,
+    }
 
 
 # queries whose input goes through operators/ranks.py materialize the
@@ -214,25 +242,9 @@ def test_scan_reads_only_needed_columns(spark, name):
     import re
 
     table_file, expected = _PRUNED_SCANS[name]
-    if name == "q117_bigram_perplexity":
-        # the query checkpoints its token frame (scan-once for its three
-        # consumers), which hides the FileScan; assert pruning on the
-        # pre-checkpoint frame instead
-        from job_etl_spark.queries.modelprep import _q117_toks
-
-        plan = _plan(_q117_toks(spark, SF_SMOKE))
-    elif name == "q96_kmv_distinct":
-        # r11: the distinct (type, uid) pass is checkpointed (one events
-        # scan feeds sketch + both exact sides) — same carve-out as q117
-        from job_etl_spark.queries.sketches import _q96_pairs
-
-        plan = _plan(_q96_pairs(spark, SF_SMOKE))
-    elif name == "q95_heavy_hitters_cms":
-        # r11: the per-uid count pass is checkpointed (one events scan
-        # feeds CMS build + exact top-20) — same carve-out as q96/q117
-        from job_etl_spark.queries.sketches import _q95_counts
-
-        plan = _plan(_q95_counts(spark, SF_SMOKE))
+    pre = _precheckpoint_frames().get(name)
+    if pre is not None:
+        plan = _plan(pre(spark, SF_SMOKE))
     else:
         plan = _plan(_REG[name].fn(spark, SF_SMOKE))
     scans = [
@@ -317,7 +329,6 @@ _MULTI_SCAN_OK = {
     "q36_hourly_rollup": "roles: hour spine + per-hour aggregate",
     "q37_asof_join": "roles: left events vs right quotes slice",
     "q44_interval_join": "roles: intervals + points + overlap check",
-    "q47_lone_return_supplier": "roles: returns vs all-supplier halves",
     "q48_ann_ivf": "ann: query set + corpus",
     "q51_top_supplier": "roles: per-supplier revenue vs global max",
     "q52_except_customers": "roles: EXCEPT left/right order slices",
@@ -356,7 +367,9 @@ _MULTI_SCAN_OK = {
     "q145_snippets": "roles: match spans + doc text re-join",
     "q153_hard_negatives": "ann: query set + corpus",
     "q154_centroid_separation": "roles: centroid table + re-join (checkpointed)",
-    "q157_dedup_method_agreement": "roles: two dedup methods over documents",
+    "q148_pagerank": "pregel unrolled: K=3 iterations each re-join the "
+    "pruned documents id column (r12 — the per-iteration checkpoints "
+    "that hid these scans serialized a tiny-job cascade)",
     "q86_distinctive_terms": "roles: per-doc tf + corpus df (checkpointed)",
     "q97_vocab_oov": "roles: vocab build + OOV probe (global counts only)",
 }
@@ -499,7 +512,9 @@ _MANY_SHUFFLE_OK = {
     "claim needs both), 4 arms × (distinct+agg) + merge + join",
     "q105_windowed_distinct": "per-window half-sketches + merge + exact twin",
     "q98_inverted_index": "postings + df-count + tf-idf join (ids-only rows)",
-    "q157_dedup_method_agreement": "two dedup methods end-to-end + agreement join",
+    "q148_pagerank": "pregel unrolled: 2 shuffles/iteration x K=3 "
+    "(contribution join + per-node sum), visible since the r12 "
+    "checkpoint removal",
     "q117_bigram_perplexity": "vocab + bigram + unigram aggs over the "
     "checkpointed token frame (token-id rows, one corpus scan)",
     "q116_split_leakage": "train/test slices × (shingle agg) + leak pair join",
