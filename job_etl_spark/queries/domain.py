@@ -15,7 +15,7 @@ from job_etl_spark.functions.text import seniority_case_sql, seniority_level_exp
 from job_etl_spark.functions.timeparse import parse_timestamp_expr
 from job_etl_spark.operators import top_k
 from job_etl_spark.queries._util import Query, dround, sql_dround
-from job_etl_spark.tables import table
+from job_etl_spark.tables import parallel_table, table
 
 # Unicode-whitespace class for RE2 (DuckDB): ASCII \s is not enough — the
 # Spark side uses (?U)\s = Unicode White_Space for Python-strip parity.
@@ -87,7 +87,10 @@ _TITLES = [
 
 
 def q15_seniority_cascade(spark: SparkSession, sf: str) -> DataFrame:
-    part = table(spark, sf, "part")
+    # parallel_table (r12): the ~14-regex seniority cascade is per-row
+    # heavy, and the one-split bench file ran it in a single task — the
+    # r11 fan-out class (q01's note; guarded no-op at scale)
+    part = parallel_table(spark, sf, "part")
     title = F.concat(
         F.col("p_brand"),
         F.lit(" "),

@@ -225,7 +225,9 @@ FROM tok
 # ---------------------------------------------------------------------------
 # q25 — n-gram Jaccard near-dup (blocked candidate join, no cartesian)
 # ---------------------------------------------------------------------------
-def q25_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+def _q25_grams(spark: SparkSession, sf: str) -> DataFrame:
+    """q25's pre-checkpoint gram pass — module-level so tests/test_plans.py
+    can assert the documents scan shape the lazy checkpoint hides."""
     docs = parallel_table(spark, sf, "documents")
     tokens = F.split(F.lower("text"), " ")
     n = F.size(tokens)
@@ -238,9 +240,17 @@ def q25_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     from job_etl_spark.ml.dedup import hexint
 
     gram_hashes = F.array_distinct(F.transform(grams, hexint))
-    d = docs.where(n >= 3).select(
+    return docs.where(n >= 3).select(
         "doc_id", "lang", "source", "n_chars", gram_hashes.alias("grams")
     )
+
+
+def q25_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    # BOTH self-join sides consume the gram frame; lazily checkpoint so
+    # the tokenize + per-trigram md5 pass (the query's dominant compute)
+    # runs once, not once per side (guide §2.3 — the q157 shared-pass
+    # pattern; same frame, deterministic, result-identical)
+    d = _q25_grams(spark, sf).localCheckpoint(eager=False)
     # Blocking: same (lang, source), |Δchars| ≤ 5. A bare (lang, source)
     # equi-key is unbounded — one hot (en, web) block goes quadratic at
     # corpus scale — so a 16-char length band joins as part of the EQUI key

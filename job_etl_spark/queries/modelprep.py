@@ -754,7 +754,11 @@ def q126_bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
     for _step, merged_token, _n in merges:
         pair_sp = " " + merged_token.replace("+", "  ") + " "
         repl = " " + merged_token + " "
-        enc = enc.withColumn("s", F.regexp_replace("s", _re_escape(pair_sp), repl))
+        # literal replace, not regexp_replace-on-escaped-literal (r12):
+        # same greedy left-to-right non-overlapping semantics (and the
+        # semantics the DuckDB twin's replace() already pins), without a
+        # regex engine scanning the corpus-sized string once per merge
+        enc = enc.withColumn("s", F.replace(F.col("s"), F.lit(pair_sp), F.lit(repl)))
     n_after = F.size(F.filter(F.split(F.col("s"), " "), lambda x: x != ""))
     joined = enc.select("doc_id", "lang", "nb", n_after.alias("na"))
     return joined.groupBy("lang").agg(
@@ -765,12 +769,6 @@ def q126_bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("na").cast("decimal(30,8)") / F.sum("nb"), 6
         ).cast("double").alias("compression"),
     )
-
-
-def _re_escape(s: str) -> str:
-    import re
-
-    return re.escape(s)
 
 
 def _q126_sql() -> str:

@@ -41,6 +41,11 @@ _BUDGET_RAISE_OK: dict[str, dict] = {
     "q45_cube_matrix": {"shuffles": 2, "why": "r11 single-split fan-out"},
     "q85_repetition_metrics": {"shuffles": 3, "why": "r11 single-split fan-out"},
     "q134_table_checksum": {"shuffles": 2, "why": "r11 single-split fan-out"},
+    "q15_seniority_cascade": {
+        "shuffles": 1,
+        "why": "r12 single-split fan-out (the ~14-regex cascade ran in one "
+        "task on the one-split part file; guarded no-op at scale)",
+    },
     "q148_pagerank": {
         "shuffles": 6,
         "scans": {"documents": 4},

@@ -187,6 +187,10 @@ _PRUNED_SCANS = {
         {"doc_id", "lang", "source", "text", "n_chars"},
     ),
     "q158_kmeans_train": ("embeddings.parquet", {"vec_id", "embedding"}),
+    "q25_ngram_jaccard": (
+        "documents.parquet",
+        {"doc_id", "lang", "source", "n_chars", "text"},
+    ),
 }
 
 
@@ -196,6 +200,7 @@ _PRUNED_SCANS = {
 # and asserted nothing)
 def _precheckpoint_frames():
     from job_etl_spark.queries.evaluation import _q157_tok
+    from job_etl_spark.queries.lifedata import _q25_grams
     from job_etl_spark.queries.modelprep import _q117_toks
     from job_etl_spark.queries.sketches import _q95_counts, _q96_pairs, _q102_scored, _q158_emb
 
@@ -206,6 +211,7 @@ def _precheckpoint_frames():
         "q157_dedup_method_agreement": _q157_tok,
         "q102_curation_pipeline": _q102_scored,
         "q158_kmeans_train": _q158_emb,
+        "q25_ngram_jaccard": _q25_grams,
     }
 
 
@@ -322,7 +328,6 @@ with open(_os.path.join(_os.path.dirname(__file__), "scan_budgets.json")) as _f:
 _MULTI_SCAN_OK = {
     "q08_merge_upsert": "roles: target vs incoming-batch halves",
     "q10_union_sources": "roles: two source slices unioned by name",
-    "q25_ngram_jaccard": "roles: pair join, both sides of documents",
     "q26_ann_cosine_topk": "ann: query set + corpus",
     "q27_embedding_neardup": "fetch: banded candidates + id→vector fetch-back",
     "q32_ann_lsh_bucketed": "ann: query set + corpus",
